@@ -1,0 +1,43 @@
+"""rajepy_tpu — a TPU-native radiative-transfer and synthetic-observation
+framework for ionised jets from young stellar objects.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of the reference
+RaJePy package (SimonP2207/RaJePy): Reynolds (1986) + disc-wind jet models
+on a voxel grid, free-free continuum and LTE radio-recombination-line
+radiative transfer, FITS sky models, and CASA-free on-device synthetic
+interferometric observations (uv sampling, thermal noise, imaging, CLEAN,
+source fitting).
+
+Package layout
+--------------
+- ``ops``       pure-JAX kernels: geometry, Reynolds physics, Gauss 2F1,
+                Faddeeva/Voigt, van Hoof gaunt factors, RRL line physics,
+                radiative-transfer reductions/scans
+- ``models``    grid construction, field evaluation, ejection bursts,
+                the ``JetModel`` API
+- ``parallel``  device-mesh sharding of the RT step (pjit/shard_map)
+- ``synthobs``  interferometer simulation replacing the CASA subprocess
+- ``io``        FITS writer/reader, checkpoints
+- ``plotting``  diagnostic figures
+- ``utils``     logging, validation, misc helpers
+
+Float64 is enabled globally (required for the 1e-6 oracle-parity targets);
+pass ``dtype=jnp.float32`` to ``JetModel`` for maximum TPU throughput.
+"""
+from jax import config as _jax_config
+
+_jax_config.update("jax_enable_x64", True)
+
+from . import constants as cnsts            # noqa: E402
+from . import _config as cfg                # noqa: E402
+from .utils.logger import Log               # noqa: E402
+from .utils import logger                   # noqa: E402  (Log export fix,
+#                                                  SURVEY §1 L8)
+from .models.jetmodel import JetModel       # noqa: E402
+from .models.runs import ContinuumRun, RRLRun  # noqa: E402
+from .pipeline import Pipeline              # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = ["JetModel", "Pipeline", "ContinuumRun", "RRLRun", "Log",
+           "logger", "cnsts", "cfg", "__version__"]

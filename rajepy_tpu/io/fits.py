@@ -1,0 +1,233 @@
+"""Minimal, dependency-free FITS writer/reader.
+
+The reference writes sky models through astropy.io.fits
+(classes.py:1543-1652); astropy is not part of this framework's runtime
+footprint, so the (small) required subset of FITS is implemented directly:
+single-HDU primary images, BITPIX -32/-64, 80-char cards in 2880-byte
+blocks, string/numeric/boolean values, COMMENT/HISTORY cards.
+
+The reader handles everything this writer produces (plus common simple
+primary-HDU images), enough for pipeline resume (classes.py:2430) and the
+synthetic-observation backend's sky-model ingestion (classes.py:2691-2707).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+BLOCK = 2880
+CARD = 80
+
+
+def _format_value(value) -> str:
+    if isinstance(value, bool):
+        return 'T' if value else 'F'
+    if isinstance(value, str):
+        s = value.replace("'", "''")
+        return "'" + s.ljust(8) + "'"
+    if isinstance(value, (int, np.integer)):
+        return str(int(value))
+    if isinstance(value, (float, np.floating)):
+        v = float(value)
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v).upper().replace('E', 'E')
+    raise TypeError(f"unsupported FITS header value type: {type(value)}")
+
+
+def _card(key: str, value=None, comment: str = '') -> str:
+    key = key.upper()[:8]
+    if key in ('COMMENT', 'HISTORY', 'END', ''):
+        text = f"{key:<8}{value if value is not None else '':<72}"
+        return text[:CARD].ljust(CARD)
+    vs = _format_value(value)
+    if vs.startswith("'"):
+        body = f"{key:<8}= {vs}"
+    else:
+        body = f"{key:<8}= {vs:>20}"
+    if comment:
+        body += f" / {comment}"
+    return body[:CARD].ljust(CARD)
+
+
+class Header:
+    """Ordered FITS header: mapping access plus per-key comments, COMMENT and
+    HISTORY accumulation."""
+
+    def __init__(self):
+        self._cards: List[Tuple[str, object, str]] = []
+        self.comments: Dict[str, str] = _CommentProxy(self)
+
+    def __setitem__(self, key: str, value):
+        key = key.upper()
+        if key in ('COMMENT', 'HISTORY'):
+            for chunk in _split72(str(value)):
+                self._cards.append((key, chunk, ''))
+            return
+        for i, (k, _, c) in enumerate(self._cards):
+            if k == key:
+                self._cards[i] = (key, value, c)
+                return
+        self._cards.append((key, value, ''))
+
+    def __getitem__(self, key: str):
+        key = key.upper()
+        vals = [v for k, v, _ in self._cards if k == key]
+        if not vals:
+            raise KeyError(key)
+        if key in ('COMMENT', 'HISTORY'):
+            return vals
+        return vals[0]
+
+    def __contains__(self, key: str) -> bool:
+        return any(k == key.upper() for k, _, _ in self._cards)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def keys(self):
+        return [k for k, _, _ in self._cards]
+
+    def set_comment(self, key: str, comment: str):
+        key = key.upper()
+        for i, (k, v, _) in enumerate(self._cards):
+            if k == key:
+                self._cards[i] = (k, v, comment)
+                return
+        raise KeyError(key)
+
+    def cards(self):
+        return list(self._cards)
+
+
+class _CommentProxy(dict):
+    def __init__(self, header: Header):
+        super().__init__()
+        self._header = header
+
+    def __setitem__(self, key, value):
+        self._header.set_comment(key, value)
+
+
+def _split72(text: str) -> List[str]:
+    return [text[i:i + 72] for i in range(0, max(len(text), 1), 72)]
+
+
+def write_fits(filename: str, data: np.ndarray,
+               header: Optional[Header] = None, overwrite: bool = True):
+    """Write ``data`` as a primary-HDU FITS image.  Axis order follows the
+    FITS convention: data[..., NAXIS2, NAXIS1] (last numpy axis fastest)."""
+    if os.path.exists(filename) and not overwrite:
+        raise FileExistsError(filename)
+    data = np.asarray(data)
+    if data.dtype in (np.float32,):
+        bitpix, dt = -32, '>f4'
+    else:
+        bitpix, dt = -64, '>f8'
+        data = data.astype(np.float64)
+
+    cards = [_card('SIMPLE', True, 'conforms to FITS standard'),
+             _card('BITPIX', bitpix, 'array data type'),
+             _card('NAXIS', data.ndim, 'number of array dimensions')]
+    for i, n in enumerate(reversed(data.shape)):
+        cards.append(_card(f'NAXIS{i + 1}', int(n)))
+    if header is not None:
+        for key, value, comment in header.cards():
+            if key in ('SIMPLE', 'BITPIX', 'NAXIS') or key.startswith('NAXIS'):
+                continue
+            if key in ('COMMENT', 'HISTORY'):
+                cards.append(_card(key, value))
+            else:
+                cards.append(_card(key, value, comment))
+    cards.append(_card('END'))
+
+    header_bytes = ''.join(cards).encode('ascii')
+    header_bytes += b' ' * (-len(header_bytes) % BLOCK)
+
+    payload = data.astype(dt).tobytes()
+    payload += b'\x00' * (-len(payload) % BLOCK)
+
+    with open(filename, 'wb') as f:
+        f.write(header_bytes)
+        f.write(payload)
+
+
+def _parse_value(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'"):
+        return raw[1:raw.rindex("'")].rstrip()
+    if raw == 'T':
+        return True
+    if raw == 'F':
+        return False
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def read_fits(filename: str) -> Tuple[np.ndarray, Header]:
+    """Read a primary-HDU FITS image -> (data, header)."""
+    with open(filename, 'rb') as f:
+        raw = f.read()
+
+    header = Header()
+    pos = 0
+    bitpix = None
+    shape = []
+    ended = False
+    while not ended:
+        block = raw[pos:pos + BLOCK].decode('ascii', errors='replace')
+        pos += BLOCK
+        for i in range(0, BLOCK, CARD):
+            card = block[i:i + CARD]
+            key = card[:8].strip()
+            if key == 'END':
+                ended = True
+                break
+            if not key:
+                continue
+            if key in ('COMMENT', 'HISTORY'):
+                header._cards.append((key, card[8:].rstrip(), ''))
+                continue
+            if card[8:10] != '= ':
+                continue
+            rest = card[10:]
+            if rest.lstrip().startswith("'"):
+                q = rest.index("'")
+                q2 = rest.index("'", q + 1)
+                while q2 + 1 < len(rest) and rest[q2 + 1] == "'":
+                    q2 = rest.index("'", q2 + 2)
+                value = _parse_value(rest[:q2 + 1])
+                comment = rest[q2 + 1:].lstrip().lstrip('/').strip()
+            else:
+                parts = rest.split('/', 1)
+                value = _parse_value(parts[0])
+                comment = parts[1].strip() if len(parts) > 1 else ''
+            if key == 'BITPIX':
+                bitpix = int(value)
+            elif key.startswith('NAXIS') and key != 'NAXIS':
+                shape.append(int(value))
+            header._cards.append((key, value, comment))
+
+    dt = {8: '>u1', 16: '>i2', 32: '>i4', 64: '>i8',
+          -32: '>f4', -64: '>f8'}[bitpix]
+    count = int(np.prod(shape)) if shape else 0
+    data = np.frombuffer(raw[pos:pos + count * np.dtype(dt).itemsize],
+                         dtype=dt, count=count)
+    data = data.reshape(tuple(reversed(shape))).astype(
+        np.float64 if bitpix < 0 else np.int64)
+    bscale = header.get('BSCALE', 1.0)
+    bzero = header.get('BZERO', 0.0)
+    if bscale != 1.0 or bzero != 0.0:
+        data = data * bscale + bzero
+    return data, header

@@ -1,0 +1,872 @@
+"""JetModel — the physical jet model and its radiative-transfer products.
+
+API-compatible rebuild of the reference's ``JetModel``
+(classes.py:42-1713) on a functional JAX core:
+
+* the params dict (same schema as files/example-model-params.py, with
+  ``n_0`` optional/derived — fixing the validator/example mismatch noted in
+  SURVEY §2.1) defines a *static* model; all grids are computed by fused,
+  jit-compiled kernels in :mod:`rajepy_tpu.models.fields` and cached as
+  device arrays;
+* ejection bursts are data (:mod:`rajepy_tpu.models.ejection`), not nested
+  closures (classes.py:383-463), so the burst factor is one fused kernel
+  and models pickle cleanly;
+* radiative transfer (free-free + RRL) runs through
+  :mod:`rajepy_tpu.ops.radtrans`: per-channel work is factorised off the
+  grid for the continuum and channel-batched via ``lax.map`` for RRL cubes
+  (the reference loops channels in Python over full-grid numpy algebra,
+  classes.py:1384-1400 and 1179-1189);
+* public properties reproduce the reference's NaN-outside-the-jet
+  convention at the API boundary; internally everything is masked and
+  NaN-free.
+
+Precision: ``dtype`` defaults to float64 (jax x64 enabled by package
+import) for oracle-grade parity; pass ``dtype=jnp.float32`` for TPU
+speed-of-light runs (f64 is emulated on TPU MXU/VPU).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as cnsts
+from ..io import fits as fitsio
+from ..ops import astronomy as astro
+from ..ops import geometry as mgeom
+from ..ops import physics as mphys
+from ..ops import radtrans as rt
+from ..ops import rrls as mrrl
+from ..utils import misc as miscf
+from ..utils.logger import Log
+from ..utils.validation import check_model_params
+from . import ejection as ej
+from . import grid as mgrid
+from .fields import Geometry, StaticFields, compute_static_fields
+
+
+class JetModel:
+    """Physical model of an ionised YSO jet (reference classes.py:42-1713)."""
+
+    _arr_indexing = 'ij'
+
+    # ------------------------------------------------------------------ #
+    # Construction / persistence
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def load_model(cls, model_file: str) -> "JetModel":
+        """Rebuild a model from a saved state (classes.py:48-88).  Accepts
+        both this framework's .pkl checkpoints and ones missing cached
+        grids."""
+        model_file = os.path.expanduser(model_file)
+        with open(model_file, 'rb') as f:
+            loaded = pickle.load(f)
+        log = loaded.get('log')
+        new_jm = cls(loaded['params'], log=log)
+        if loaded.get('ffs') is not None and loaded.get('areas') is not None:
+            new_jm._inject_cached_ff(loaded['ffs'], loaded['areas'])
+        new_jm.time = loaded.get('time', 0.0)
+        return new_jm
+
+    @staticmethod
+    def lz_to_grid_dims(params: Dict) -> Tuple[int, int, int]:
+        """classes.py:90-122 (see models.grid)."""
+        return mgrid.lz_to_grid_dims(params)
+
+    @staticmethod
+    def py_to_dict(py_file: str) -> Dict:
+        """Import an executable-python params file and validate
+        (classes.py:124-142)."""
+        if not os.path.exists(py_file):
+            raise FileNotFoundError(py_file + " does not exist")
+        dirname = os.path.dirname(os.path.abspath(py_file))
+        added = dirname not in sys.path
+        if added:
+            sys.path.append(dirname)
+        try:
+            modname = os.path.basename(py_file)
+            if modname.endswith('.py'):
+                modname = modname[:-3]
+            mod = __import__(modname)
+            params = mod.params
+        finally:
+            if added:
+                sys.path.remove(dirname)
+        err = check_model_params(params)
+        if err is not None:
+            raise err
+        return params
+
+    def __init__(self, params: Union[dict, str],
+                 log: Union[None, Log] = None,
+                 dtype=jnp.float64):
+        if isinstance(params, dict):
+            err = check_model_params(params)
+            if err is not None:
+                raise err
+            self._params = params
+        elif isinstance(params, str):
+            self._params = JetModel.py_to_dict(params)
+        else:
+            raise TypeError("Supplied arg params must be dict or file path "
+                            "(str)")
+
+        self._dtype = dtype
+        self._name = self.params['target']['name']
+        self._csize = self.params['grid']['c_size']
+
+        # Derived parameters (classes.py:169-181)
+        g = self._params['geometry']
+        pl = self._params['power_laws']
+        mr0 = float(mgeom.mod_r_0(g['opang'], g['epsilon'], g['w_0']))
+        q_n = mphys.q_n(g['epsilon'], pl['q_v'])
+        g['mod_r_0'] = mr0
+        pl['q_n'] = q_n
+        pl['q_tau'] = mphys.q_tau(g['epsilon'], pl['q_x'], q_n, pl['q_T'])
+
+        self._log = log if log is not None else Log(
+            os.path.expanduser('~') + os.sep + 'temp.log', verbose=False)
+
+        # Grid dimensions (classes.py:188-213)
+        if self.params['grid'].get('l_z') is not None:
+            nx, ny, nz = mgrid.lz_to_grid_dims(self.params)
+            self.log.add_entry(
+                "INFO",
+                'For a (bipolar) jet length of {:.1f}", cell size of '
+                '{:.2f}au and distance of {:.0f}pc, a grid size of '
+                '(n_x, n_y, n_z) = ({}, {}, {}) voxels is calculated'.format(
+                    self.params['grid']['l_z'],
+                    self.params['grid']['c_size'],
+                    self.params['target']['dist'], nx, ny, nz))
+        else:
+            nx = (self.params['grid']['n_x'] + 1) // 2 * 2
+            ny = (self.params['grid']['n_y'] + 1) // 2 * 2
+            nz = (self.params['grid']['n_z'] + 1) // 2 * 2
+        self.params['grid']['n_x'] = nx
+        self.params['grid']['n_y'] = ny
+        self.params['grid']['n_z'] = nz
+        self._nx, self._ny, self._nz = nx, ny, nz
+
+        # Steady-state mass-loss rates (classes.py:228-242)
+        props = self.params['properties']
+        self._ss_jml_rb_frac = props['mlr_rj'] / props['mlr_bj']
+        self._ss_jml_bj = props['mlr_bj'] * 1.989e30 / cnsts.YEAR
+        self._ss_jml_rj = self._ss_jml_bj * self._ss_jml_rb_frac
+
+        if props.get('n_0') is None:
+            props['n_0'] = mphys.n_0_from_mlr(
+                props['mlr_bj'], props['v_0'], g['w_0'], props['mu'],
+                pl['q^d_n'], pl['q^d_v'], self.params['target']['R_1'],
+                self.params['target']['R_2'])
+        else:
+            # Match the reference: n_0 is always (re-)derived from mlr_bj
+            # (classes.py:234-242 overrides any user-specified value)
+            props['n_0'] = mphys.n_0_from_mlr(
+                props['mlr_bj'], props['v_0'], g['w_0'], props['mu'],
+                pl['q^d_n'], pl['q^d_v'], self.params['target']['R_1'],
+                self.params['target']['R_2'])
+
+        # Ejection events (classes.py:244-264)
+        self._ejections: Dict[str, dict] = {}
+        spec_r, spec_b = ej.build_ejection_specs(
+            self.params, self._ss_jml_bj, self._ss_jml_rj)
+        self._spec_r, self._spec_b = spec_r, spec_b
+        which_arr = np.atleast_1d(np.asarray(self.params['ejection']['which']))
+        for idx, t0 in enumerate(np.atleast_1d(
+                np.asarray(self.params['ejection']['t_0'], dtype=float))):
+            which = str(which_arr[idx])
+            for side, ss in (('R', self._ss_jml_rj), ('B', self._ss_jml_bj)):
+                if side in which.upper():
+                    self._ejections[str(len(self._ejections) + 1)] = {
+                        't_0': t0 * cnsts.YEAR,
+                        'peak_jml': ss * self.params['ejection']['chi'][idx],
+                        'half_life':
+                            self.params['ejection']['hl'][idx] * cnsts.YEAR,
+                        'which': side}
+
+        self._time = 0.0
+        self._fields: Optional[StaticFields] = None
+        self._ts_cache = None
+        self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
+
+    # ------------------------------------------------------------------ #
+    # Core field computation (lazy, fused, cached on device)
+    # ------------------------------------------------------------------ #
+    @property
+    def _grid_coords(self):
+        return mgrid.grid_corner_coords(self._nx, self._ny, self._nz,
+                                        self._csize, self._dtype)
+
+    def _ensure_fields(self) -> StaticFields:
+        if self._fields is None:
+            if self.log:
+                self._log.add_entry(
+                    "INFO", "Calculating cells' fill factors/projected "
+                            "areas and physical fields (fused TPU pass)")
+            xx, yy, zz = self._grid_coords
+            # Model params are compile-time constants: close over them so
+            # every scalar folds into the compiled program.
+            sp = self._static_params()
+            rbf = self._ss_jml_rb_frac
+            wt = self._has_bursts
+
+            @jax.jit
+            def fn(xx_, yy_, zz_):
+                return compute_static_fields(sp, xx_, yy_, zz_, rbf,
+                                             with_time=wt)
+
+            self._fields = fn(xx, yy, zz)
+            jax.block_until_ready(self._fields.ff)
+        return self._fields
+
+    def _static_params(self) -> Dict:
+        """Hashable-safe shallow copy of params with only scalar leaves
+        (ejection arrays excluded — they live in the EjectionSpecs)."""
+        p = self._params
+        return {
+            'target': {k: p['target'][k] for k in
+                       ('dist', 'v_lsr', 'M_star', 'R_1', 'R_2')},
+            'grid': {'c_size': p['grid']['c_size']},
+            'geometry': dict(p['geometry']),
+            'power_laws': dict(p['power_laws']),
+            'properties': dict(p['properties']),
+        }
+
+    def _inject_cached_ff(self, ffs, areas):
+        """Accept previously computed fill factors/areas from a checkpoint
+        (classes.py:78-85).  NaN-style inputs are converted back to masked
+        zeros; remaining fields are recomputed (cheap next to t_rw)."""
+        fields = self._ensure_fields()
+        ffs = np.nan_to_num(np.asarray(ffs), nan=0.0)
+        areas = np.nan_to_num(np.asarray(areas), nan=0.0)
+        self._fields = fields._replace(
+            ff=jnp.asarray(ffs, self._dtype),
+            area=jnp.asarray(areas, self._dtype),
+            inside=jnp.asarray(areas > 0))
+
+    # ------------------------------------------------------------------ #
+    # Simple properties (classes.py:363-381, 1654-1702)
+    # ------------------------------------------------------------------ #
+    @property
+    def los_axis(self) -> int:
+        if self._arr_indexing == 'ij':
+            return 1
+        if self._arr_indexing == 'xy':
+            return 0
+        raise ValueError(f"Unknown numpy array indexing "
+                         f"({self._arr_indexing})")
+
+    @property
+    def time(self) -> float:
+        """Model time in seconds."""
+        return self._time
+
+    @time.setter
+    def time(self, new_time: float):
+        self._time = float(new_time)
+
+    @property
+    def log(self):
+        return self._log
+
+    @log.setter
+    def log(self, new_log):
+        self._log = new_log
+
+    @property
+    def csize(self) -> float:
+        return self._csize
+
+    @property
+    def nx(self) -> int:
+        return self._nx
+
+    @property
+    def ny(self) -> int:
+        return self._ny
+
+    @property
+    def nz(self) -> int:
+        return self._nz
+
+    @property
+    def params(self) -> Dict:
+        return self._params
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def ejections(self) -> Dict:
+        return self._ejections
+
+    def ss_jml(self, which: str) -> float:
+        """Steady-state jet mass-loss rate [kg/s] (classes.py:1694-1702)."""
+        if which == 'R':
+            return self._ss_jml_rj
+        if which == 'B':
+            return self._ss_jml_bj
+        if 'R' in which and 'B' in which:
+            return self._ss_jml_rj + self._ss_jml_bj
+        raise ValueError("which must be one of 'R', 'B', or 'RB'")
+
+    def jml_t(self, which: str):
+        """Time-dependent mass-loss rate callable [kg/s]
+        (classes.py:383-397)."""
+        def func(t):
+            jml = 0.0
+            if 'R' in which:
+                jml = jml + self._spec_r.jml(t)
+            if 'B' in which:
+                jml = jml + self._spec_b.jml(t)
+            return jml
+        return func
+
+    def add_ejection_event(self, t_0: float, peak_jml: float,
+                           half_life: float, which: str):
+        """Register a Gaussian ejection burst (classes.py:399-463).
+        Args in SI seconds / kg/s, as the reference."""
+        assert which in ('R', 'B')
+        spec = self._spec_r if which == 'R' else self._spec_b
+        new = ej.EjectionSpec(
+            ss_jml=spec.ss_jml,
+            t_0=np.append(spec.t_0, t_0),
+            peak_jml=np.append(spec.peak_jml, peak_jml),
+            half_life=np.append(spec.half_life, half_life))
+        if which == 'R':
+            self._spec_r = new
+        else:
+            self._spec_b = new
+        self._ejections[str(len(self._ejections) + 1)] = {
+            't_0': t_0, 'peak_jml': peak_jml, 'half_life': half_life,
+            'which': which}
+        self._has_bursts = True
+
+    # ------------------------------------------------------------------ #
+    # Coordinate grids (classes.py:465-569) — NaN-free by construction
+    # ------------------------------------------------------------------ #
+    @property
+    def indices(self):
+        return tuple(np.meshgrid(np.arange(self.nx), np.arange(self.ny),
+                                 np.arange(self.nz),
+                                 indexing=self._arr_indexing))
+
+    @property
+    def ix(self):
+        return self.indices[0]
+
+    @property
+    def iy(self):
+        return self.indices[1]
+
+    @property
+    def iz(self):
+        return self.indices[2]
+
+    @property
+    def grid(self):
+        xx, yy, zz = self._grid_coords
+        shape = (self.nx, self.ny, self.nz)
+        return tuple(np.broadcast_to(np.asarray(a), shape) for a in
+                     (xx, yy, zz))
+
+    @property
+    def xx(self):
+        return self.grid[0]
+
+    @property
+    def yy(self):
+        return self.grid[1]
+
+    @property
+    def zz(self):
+        return self.grid[2]
+
+    @property
+    def xs(self):
+        return np.asarray(self._grid_coords[0]).ravel()
+
+    @property
+    def ys(self):
+        return np.asarray(self._grid_coords[1]).ravel()
+
+    @property
+    def zs(self):
+        return np.asarray(self._grid_coords[2]).ravel()
+
+    @property
+    def grid_rwp(self):
+        gm = Geometry.from_params(self._static_params())
+        xx, yy, zz = self._grid_coords
+        half = self.csize / 2.0
+        rr, ww, pp = mgeom.xyz_to_rwp(xx + half, yy + half, zz + half,
+                                      gm.inc, gm.pa)
+        shape = (self.nx, self.ny, self.nz)
+        return tuple(np.broadcast_to(np.asarray(a), shape)
+                     for a in (rr, ww, pp))
+
+    @property
+    def rr(self):
+        return self.grid_rwp[0]
+
+    @property
+    def ww(self):
+        return self.grid_rwp[1]
+
+    @property
+    def pp(self):
+        return self.grid_rwp[2]
+
+    @property
+    def rreff(self):
+        gm = Geometry.from_params(self._static_params())
+        return np.asarray(mgeom.r_eff(
+            jnp.asarray(self.ww), gm.r_1, gm.r_2, gm.w_0,
+            jnp.abs(jnp.asarray(self.rr)), gm.mod_r_0, gm.r_0, gm.epsilon))
+
+    # ------------------------------------------------------------------ #
+    # Cached field views — NaN outside the jet, as the reference's API
+    # ------------------------------------------------------------------ #
+    def _nan_view(self, arr, mask=None) -> np.ndarray:
+        f = self._ensure_fields()
+        mask = f.inside if mask is None else mask
+        return np.asarray(jnp.where(mask, arr, jnp.nan))
+
+    @property
+    def fill_factor(self) -> np.ndarray:
+        """classes.py:571-769 (NaN outside the jet boundary)."""
+        f = self._ensure_fields()
+        return self._nan_view(f.ff, f.ff > 1e-6)
+
+    @property
+    def areas(self) -> np.ndarray:
+        """classes.py:771-784."""
+        f = self._ensure_fields()
+        return self._nan_view(f.area, f.area > 1e-6)
+
+    @property
+    def ts(self) -> np.ndarray:
+        """Launch time of each cell's material: model time minus travel
+        time [s] (classes.py:838-855)."""
+        f = self._ensure_fields()
+        if not self._has_bursts and not bool(np.any(np.asarray(f.ts))):
+            # travel time not yet computed (no bursts at construction)
+            xx, yy, zz = self._grid_coords
+            gm = Geometry.from_params(self._static_params())
+            half = self.csize / 2.0
+            rr, ww, _ = mgeom.xyz_to_rwp(xx + half, yy + half, zz + half,
+                                         gm.inc, gm.pa)
+            from .fields import travel_time_years
+            ts = travel_time_years(gm, self._static_params(), rr, ww) * \
+                cnsts.YEAR
+            self._fields = f._replace(ts=jnp.broadcast_to(
+                jnp.where(f.inside, ts, 0.0), f.ff.shape))
+            f = self._fields
+        return self._nan_view(self.time - f.ts)
+
+    @property
+    def chi_xyz(self) -> np.ndarray:
+        """Burst factor per cell (classes.py:861-870)."""
+        f = self._ensure_fields()
+        chi = ej.chi_field(f.rr, self.time - f.ts, self._spec_r,
+                           self._spec_b)
+        return np.asarray(chi)
+
+    def _nd_device(self):
+        """Device-side time-dependent number density (masked zeros)."""
+        f = self._ensure_fields()
+        if self._has_bursts:
+            chi = ej.chi_field(f.rr, self.time - f.ts, self._spec_r,
+                               self._spec_b)
+            return f.nd * chi
+        return f.nd
+
+    @property
+    def number_density(self) -> np.ndarray:
+        """Time-modulated number density [cm^-3] (classes.py:872-899)."""
+        return self._nan_view(self._nd_device())
+
+    @property
+    def mass_density(self) -> np.ndarray:
+        """[g cm^-3] (classes.py:901-908)."""
+        av_m = self.params['properties']['mu'] * cnsts.atomic_mass('H')
+        return av_m * 1e3 * self.number_density
+
+    @property
+    def ion_fraction(self) -> np.ndarray:
+        """classes.py:910-936."""
+        f = self._ensure_fields()
+        return self._nan_view(f.xi)
+
+    @property
+    def temperature(self) -> np.ndarray:
+        """[K] (classes.py:942-996; au/cm slip fixed, see models.fields)."""
+        f = self._ensure_fields()
+        return self._nan_view(f.temp)
+
+    @property
+    def pressure(self) -> np.ndarray:
+        """[Ba] (classes.py:1002-1007)."""
+        return self.number_density * self.temperature * cnsts.K_B * 1e7
+
+    @property
+    def vel(self):
+        """(vx, vy, vz) [km/s] (classes.py:1009-1099)."""
+        f = self._ensure_fields()
+        return (self._nan_view(f.vx), self._nan_view(f.vy),
+                self._nan_view(f.vz))
+
+    # ------------------------------------------------------------------ #
+    # Radiative transfer — device-side products
+    # ------------------------------------------------------------------ #
+    def _rt_inputs(self):
+        f = self._ensure_fields()
+        n_es = self._nd_device() * f.xi
+        ds = rt.path_length_cm(f.ff, f.area, self.csize)
+        return f, n_es, ds
+
+    def _use_reynolds_gaunt(self) -> bool:
+        # classes.py:1388-1393: van Hoof scalar gaunt iff q_T == 0
+        return self.params['power_laws']['q_T'] != 0.0
+
+    def emission_measure(self, savefits: Union[bool, str] = False
+                         ) -> np.ndarray:
+        """EM map [pc cm^-6] (classes.py:1101-1128)."""
+        f, n_es, _ = self._rt_inputs()
+        em = rt.emission_measure_map(self._nd_device(), f.xi, f.ff, f.area,
+                                     self.csize)
+        em = np.asarray(em)
+        if savefits:
+            self.save_fits(miscf.reorder_axes(em, ra_axis=0, dec_axis=1),
+                           savefits, 'em')
+        return em
+
+    def optical_depth_ff(self, freq, savefits: Union[bool, str] = False,
+                         collapse: bool = True) -> np.ndarray:
+        """Free-free optical depth (classes.py:1353-1447): collapsed
+        (nx, nz) maps per channel, or the full per-cell cube."""
+        f, n_es, ds = self._rt_inputs()
+        scalar = np.isscalar(freq)
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        t_0 = self.params['properties']['T_0']
+        reyn = self._use_reynolds_gaunt()
+        if collapse:
+            tff = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0,
+                                 reyn)
+        else:
+            tff = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside, t_0,
+                                 reyn)
+        tff = np.asarray(tff)
+
+        if savefits:
+            self._save_rt_fits(tff, savefits, 'tau', freq, scalar, collapse)
+        return tff[0] if scalar else tff
+
+    def intensity_ff(self, freq, savefits: Union[bool, str] = False
+                     ) -> np.ndarray:
+        """Free-free intensity [W m^-2 Hz^-1 sr^-1] (classes.py:1449-1496)."""
+        f, n_es, ds = self._rt_inputs()
+        scalar = np.isscalar(freq)
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        t_0 = self.params['properties']['T_0']
+        reyn = self._use_reynolds_gaunt()
+        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
+        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+        ints = np.asarray(rt.intensity_ff_maps(freqs, taus, tbar, any_in))
+
+        if savefits:
+            self._save_rt_fits(ints, savefits, 'intensity', freq, scalar,
+                               True)
+        return ints[0] if scalar else ints
+
+    def flux_ff(self, freq, savefits: Union[bool, str] = False) -> np.ndarray:
+        """Free-free flux [Jy/pixel] (classes.py:1498-1541)."""
+        f, n_es, ds = self._rt_inputs()
+        scalar = np.isscalar(freq)
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        t_0 = self.params['properties']['T_0']
+        reyn = self._use_reynolds_gaunt()
+        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
+        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+        fluxes = np.asarray(rt.flux_ff_maps(
+            freqs, taus, tbar, any_in, self.csize,
+            self.params['target']['dist']))
+
+        if savefits:
+            self._save_rt_fits(fluxes, savefits, 'flux', freq, scalar, True)
+        return fluxes[0] if scalar else fluxes
+
+    def optical_depth_rrl(self, rrl: str, freq, lte: bool = True,
+                          savefits: Union[bool, str] = False,
+                          collapse: bool = True) -> np.ndarray:
+        """RRL optical depth (classes.py:1130-1229)."""
+        if not lte:
+            raise ValueError("Non-LTE RRL calculations not yet supported")
+        f, n_es, ds = self._rt_inputs()
+        scalar = np.isscalar(freq)
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        coeffs = rt.RRLCoeffs(rrl)
+        fn = rt.tau_rrl_maps if collapse else rt.tau_rrl_cube
+        taus = np.asarray(fn(coeffs, freqs, f.temp, n_es, f.vy, ds,
+                             f.inside))
+        if savefits:
+            self._save_rt_fits(taus, savefits, 'tau', freq, scalar, collapse)
+        return taus[0] if scalar else taus
+
+    def intensity_rrl(self, rrl: str, freq, lte: bool = True,
+                      savefits: Union[bool, str] = False) -> np.ndarray:
+        """LTE RRL intensity (classes.py:1231-1290; the reference's
+        whole-array-inside-the-channel-loop defect is fixed — each channel
+        uses its own frequency)."""
+        if not lte:
+            raise ValueError("Non-LTE RRL calculations not yet supported")
+        f, n_es, ds = self._rt_inputs()
+        scalar = np.isscalar(freq)
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        t_0 = self.params['properties']['T_0']
+        reyn = self._use_reynolds_gaunt()
+        coeffs = rt.RRLCoeffs(rrl)
+        tau_l = rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy, ds,
+                                f.inside)
+        tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
+        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+        ints = np.asarray(rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l,
+                                                any_in))
+        if savefits:
+            self._save_rt_fits(ints, savefits, 'intensity', freq, scalar,
+                               True)
+        return ints[0] if scalar else ints
+
+    def flux_rrl(self, rrl: str, freq, lte: bool = True,
+                 contsub: bool = True,
+                 savefits: Union[bool, str] = False) -> np.ndarray:
+        """RRL flux [Jy/pixel], optionally with continuum
+        (classes.py:1292-1351)."""
+        scalar = np.isscalar(freq)
+        freqs = np.atleast_1d(np.asarray(freq, dtype=float))
+        ints = self.intensity_rrl(rrl, freqs, lte=lte)
+        fluxes = ints * float(rt.flux_scale_jy(
+            self.csize, self.params['target']['dist']))
+        if not contsub:
+            fluxes = fluxes + self.flux_ff(freqs)
+        if savefits:
+            self._save_rt_fits(fluxes, savefits, 'flux', freq, scalar, True)
+        return fluxes[0] if scalar else fluxes
+
+    # ------------------------------------------------------------------ #
+    # Ordered RT along the LOS (beyond-reference capability)
+    # ------------------------------------------------------------------ #
+    def emergent_intensity_ff(self, freq) -> np.ndarray:
+        """Emergent free-free intensity from the ordered transfer integral
+        sum S_i e^-tau (1-e^-dtau) along the LOS (BASELINE north-star), in
+        W m^-2 Hz^-1 sr^-1.  Reduces to the reference's slab form for an
+        isothermal jet."""
+        f, n_es, ds = self._rt_inputs()
+        scalar = np.isscalar(freq)
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        t_0 = self.params['properties']['T_0']
+        reyn = self._use_reynolds_gaunt()
+        dtau = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
+        src = mphys.blackbody_nu(freqs[:, None, None, None],
+                                 jnp.where(f.inside, f.temp, 1.0)[None])
+        src = jnp.where(f.inside[None], src, 0.0)
+        ints = rt.transfer_scan(src, dtau) * 1e-7 * 1e4  # cgs -> SI
+        ints = np.asarray(ints)
+        return ints[0] if scalar else ints
+
+    # ------------------------------------------------------------------ #
+    # FITS output (classes.py:1543-1652)
+    # ------------------------------------------------------------------ #
+    def _save_rt_fits(self, data: np.ndarray, savefits: str, image_type: str,
+                      freq, scalar: bool, collapse: bool):
+        """Reorder axes per the reference's conventions and write."""
+        if scalar:
+            img = data[0]
+            if collapse or img.ndim == 2:
+                out = miscf.reorder_axes(img, ra_axis=0, dec_axis=1)
+            else:
+                out = miscf.reorder_axes(img, ra_axis=0, dec_axis=2,
+                                         axis3=1, axis3_type='y')
+            self.save_fits(out, savefits, image_type,
+                           freq if np.ndim(freq) else [freq])
+        else:
+            if collapse or data.ndim == 3:
+                out = miscf.reorder_axes(data, ra_axis=1, dec_axis=2,
+                                         axis3=0, axis3_type='freq')
+            else:
+                out = miscf.reorder_axes(data, ra_axis=1, dec_axis=3,
+                                         axis3=2, axis3_type='y',
+                                         axis4=0, axis4_type='freq')
+            self.save_fits(out, savefits, image_type, freq)
+
+    def save_fits(self, data: np.ndarray, filename: str, image_type: str,
+                  freq=None):
+        """Write a 2-D/3-D FITS image with the reference's WCS/units header
+        (classes.py:1543-1652)."""
+        if image_type not in ('flux', 'tau', 'em', 'intensity'):
+            raise ValueError("arg image_type must be one of 'flux', 'tau' "
+                             "or 'em'")
+        ra_deg = astro.parse_ra(self.params['target']['ra'])
+        dec_deg = astro.parse_dec(self.params['target']['dec'])
+        csize_deg = np.degrees(np.arctan(
+            self.csize * cnsts.AU /
+            (self.params['target']['dist'] * cnsts.PARSEC)))
+
+        ndims = np.ndim(data)
+        if ndims not in (2, 3):
+            raise ValueError(f"Unexpected number of data dimensions "
+                             f"({ndims})")
+
+        hdr = fitsio.Header()
+        hdr['AUTHOR'] = 'rajepy_tpu'
+        hdr['OBJECT'] = self.params['target']['name']
+        hdr['CTYPE1'] = 'RA---TAN'
+        hdr.comments['CTYPE1'] = 'x-coord type is RA Tan Gnomonic projection'
+        hdr['CTYPE2'] = 'DEC--TAN'
+        hdr.comments['CTYPE2'] = 'y-coord type is DEC Tan Gnomonic projection'
+        hdr['EQUINOX'] = 2000.0
+        hdr.comments['EQUINOX'] = 'Equinox of coordinates'
+        hdr['CRPIX1'] = self.nx / 2 + 0.5
+        hdr.comments['CRPIX1'] = 'Reference pixel in RA'
+        hdr['CRPIX2'] = self.nz / 2 + 0.5
+        hdr.comments['CRPIX2'] = 'Reference pixel in DEC'
+        hdr['CRVAL1'] = ra_deg
+        hdr.comments['CRVAL1'] = 'Reference pixel value in RA (deg)'
+        hdr['CRVAL2'] = dec_deg
+        hdr.comments['CRVAL2'] = 'Reference pixel value in DEC (deg)'
+        hdr['CDELT1'] = -csize_deg
+        hdr.comments['CDELT1'] = 'Pixel increment in RA (deg)'
+        hdr['CDELT2'] = csize_deg
+        hdr.comments['CDELT2'] = 'Pixel size in DEC (deg)'
+
+        if image_type in ('flux', 'tau', 'intensity'):
+            if ndims == 3:
+                freq = np.atleast_1d(np.asarray(freq, dtype=float))
+                nchan = len(freq)
+                chan_width = freq[1] - freq[0] if nchan != 1 else 1.0
+                hdr['CTYPE3'] = 'FREQ'
+                hdr.comments['CTYPE3'] = 'Spectral axis (frequency)'
+                hdr['CRPIX3'] = nchan / 2.0 + 0.5
+                hdr.comments['CRPIX3'] = \
+                    'Reference frequency (channel number)'
+                hdr['CRVAL3'] = float(freq[len(freq) // 2 - 1] +
+                                      chan_width / 2)
+                hdr.comments['CRVAL3'] = 'Reference frequency (Hz)'
+                hdr['CDELT3'] = float(chan_width)
+                hdr.comments['CDELT3'] = 'Frequency increment (Hz)'
+            else:
+                freq = np.atleast_1d(np.asarray(freq, dtype=float))
+                hdr['CDELT3'] = 1.0
+                hdr.comments['CDELT3'] = 'Frequency increment (Hz)'
+                hdr['CRPIX3'] = 0.5
+                hdr.comments['CRPIX3'] = \
+                    'Reference frequency (channel number)'
+                hdr['CRVAL3'] = float(freq[0])
+                hdr.comments['CRVAL3'] = 'Reference frequency (Hz)'
+
+        hdr['BUNIT'] = {'flux': 'Jy pixel^-1',
+                        'intensity': 'W m^-2 Hz^-1 sr^-1',
+                        'em': 'pc cm^-6',
+                        'tau': 'dimensionless'}[image_type]
+
+        for line in str(self).split('\n'):
+            hdr['HISTORY'] = line
+
+        fitsio.write_fits(filename, np.nan_to_num(np.asarray(data), nan=0.0),
+                          hdr, overwrite=True)
+
+    # ------------------------------------------------------------------ #
+    # Persistence (classes.py:1704-1713)
+    # ------------------------------------------------------------------ #
+    def save(self, filename: str):
+        """Pickle params + expensive caches + model time
+        (classes.py:1704-1713)."""
+        f = self._fields
+        ps = {'params': self._params,
+              'areas': None if f is None else np.asarray(self.areas),
+              'ffs': None if f is None else np.asarray(self.fill_factor),
+              'time': self.time,
+              'log': None}
+        if self.log:
+            self.log.add_entry("INFO",
+                               f"Saving physical model to {filename}")
+        with open(filename, 'wb') as fh:
+            pickle.dump(ps, fh)
+
+    # ------------------------------------------------------------------ #
+    def __str__(self) -> str:
+        """Tabulated summary (classes.py:268-361)."""
+        p = self.params
+        rows = [
+            ('epsilon', format(p['geometry']['epsilon'], '+.3f')),
+            ('opang', format(p['geometry']['opang'], '+.0f') + ' deg'),
+            ('q_v', format(p['power_laws']['q_v'], '+.3f')),
+            ('q_T', format(p['power_laws']['q_T'], '+.3f')),
+            ('q_x', format(p['power_laws']['q_x'], '+.3f')),
+            ('q_n', format(p['power_laws']['q_n'], '+.3f')),
+            ('q^d_v', format(p['power_laws']['q^d_v'], '+.3f')),
+            ('q^d_T', format(p['power_laws']['q^d_T'], '+.3f')),
+            ('q^d_x', format(p['power_laws']['q^d_x'], '+.3f')),
+            ('q^d_n', format(p['power_laws']['q^d_n'], '+.3f')),
+            ('q_tau', format(p['power_laws']['q_tau'], '+.3f')),
+            ('cell', format(p['grid']['c_size'], '.1f') + ' au'),
+            ('w_0', format(p['geometry']['w_0'], '.2f') + ' au'),
+            ('r_0', format(p['geometry']['r_0'], '.2f') + ' au'),
+            ('v_0', format(p['properties']['v_0'], '.0f') + ' km/s'),
+            ('x_0', format(p['properties']['x_0'], '.3f')),
+            ('n_0', format(p['properties']['n_0'], '.3e') + ' cm^-3'),
+            ('T_0', format(p['properties']['T_0'], '.0e') + ' K'),
+            ('f_R2B', format(self._ss_jml_rb_frac, '.2e')),
+            ('i', format(p['geometry']['inc'], '+.1f') + ' deg'),
+            ('theta', format(p['geometry']['pa'], '+.1f') + ' deg'),
+            ('D', format(p['target']['dist'], '+.0f') + ' pc'),
+            ('M*', format(p['target']['M_star'], '+.1f') + ' Msol'),
+            ('R_1', format(p['target']['R_1'], '+.1f') + ' au'),
+            ('R_2', format(p['target']['R_2'], '+.1f') + ' au'),
+        ]
+        t0s = np.atleast_1d(np.asarray(p['ejection']['t_0'], dtype=float))
+        if len(t0s) > 0:
+            rows.append(('t_now',
+                         format(self.time / cnsts.YEAR, '+.3f') + ' yr'))
+
+        w1 = max(len(r[0]) for r in rows + [('Parameter', '')]) + 2
+        w2 = max(len(r[1]) for r in rows + [('', 'Value')]) + 2
+        width = w1 + w2 + 3
+        hline = width * '-'
+        out = [hline, '/' + format('JET MODEL', '^' + str(width - 2)) + '/',
+               hline,
+               '|' + format('Parameter', '^' + str(w1)) + '|' +
+               format('Value', '^' + str(w2)) + '|', hline]
+        for key, val in rows:
+            out.append('|' + format(key, '^' + str(w1)) + '|' +
+                       format(val, '^' + str(w2)) + '|')
+        out.append(hline)
+        out.append('/' + format('BURSTS', '^' + str(width - 2)) + '/')
+        out.append(hline)
+        if len(t0s) == 0:
+            out.append('|' + format(' None ', '-^' + str(width - 2)) + '|')
+            out.append(hline)
+            return '\n'.join(out) + '\n'
+        cw = (width - 4) // 3
+        cws = [cw + (1 if (width - 4) % 3 > i else 0) for i in range(3)]
+        for hdr_row in (('t_0', 'FWHM', 'chi'), ('[yr]', '[yr]', '')):
+            out.append('|' + '|'.join(
+                format(h, '^' + str(cws[i]))
+                for i, h in enumerate(hdr_row)) + '|')
+        out.append(hline)
+        hls = np.atleast_1d(np.asarray(p['ejection']['hl'], dtype=float))
+        chis = np.atleast_1d(np.asarray(p['ejection']['chi'], dtype=float))
+        for i, t0 in enumerate(t0s):
+            vals = (format(t0, '.2f'), format(hls[i], '.2f'),
+                    format(chis[i], '.2f'))
+            out.append('|' + '|'.join(
+                format(v, '^' + str(cws[j]))
+                for j, v in enumerate(vals)) + '|')
+        out.append(hline)
+        return '\n'.join(out) + '\n'

@@ -1,0 +1,84 @@
+"""Observability geometry: elevation and hour-angle windows.
+
+Replaces the reference's astropy-based maths/astronomy.py (elevation at
+astronomy.py:7-47, hour angle at astronomy.py:50-89) with plain
+trigonometry on degrees/hours, plus sexagesimal parsing utilities standing
+in for astropy.SkyCoord (used by the reference at classes.py:2332-2334).
+"""
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+import numpy as np
+
+
+def parse_ra(ra: str) -> float:
+    """'HH:MM:SS.SS' (or 'HHhMMmSS.Ss') -> degrees."""
+    parts = [float(p) for p in re.split('[:hms ]+', ra.strip()) if p != '']
+    h, m, s = (parts + [0.0, 0.0])[:3]
+    return (h + m / 60.0 + s / 3600.0) * 15.0
+
+
+def parse_dec(dec: str) -> float:
+    """'+DD:MM:SS.SS' (or 'DDdMMmSS.Ss') -> degrees."""
+    neg = dec.strip().startswith('-')
+    parts = [float(p) for p in re.split('[:dms ]+', dec.strip().lstrip('+-'))
+             if p != '']
+    d, m, s = (parts + [0.0, 0.0])[:3]
+    val = d + m / 60.0 + s / 3600.0
+    return -val if neg else val
+
+
+def parse_coord(ra: str, dec: str) -> Tuple[float, float]:
+    """Sexagesimal (ra, dec) strings -> degrees."""
+    return parse_ra(ra), parse_dec(dec)
+
+
+def format_hmsdms(ra_deg: float, dec_deg: float) -> str:
+    """Degrees -> 'HHhMMmSS.SSSSSSs +DDdMMmSS.SSSSSSs' (the astropy
+    ``to_string('hmsdms')`` style the reference writes into pointing files,
+    classes.py:2338-2339)."""
+    ra_h = ra_deg / 15.0
+    h = int(ra_h)
+    m = int((ra_h - h) * 60)
+    s = (ra_h - h - m / 60.0) * 3600.0
+    sign = '-' if dec_deg < 0 else '+'
+    ad = abs(dec_deg)
+    dd = int(ad)
+    dm = int((ad - dd) * 60)
+    ds = (ad - dd - dm / 60.0) * 3600.0
+    return f"{h:02d}h{m:02d}m{s:09.6f}s {sign}{dd:02d}d{dm:02d}m{ds:09.6f}s"
+
+
+def elevation(ra_deg: float, dec_deg: float, lat: float, lst: float) -> float:
+    """Elevation [deg] of (ra, dec) for an observer at latitude ``lat`` [deg]
+    at local sidereal time ``lst`` [hours] (astronomy.py:7-47)."""
+    if lst < 0.0 or lst > 24.0:
+        raise ValueError(f"lst must be in range 0 <= lst < 24, not {lst}")
+    if lat < -90.0 or lat > 90.0:
+        raise ValueError(f"lat must be in range -90 <= lat <= +90, not {lat}")
+    ha_rad = np.radians(ra_deg - lst * 15.0)
+    lat_rad = np.radians(lat)
+    dec_rad = np.radians(dec_deg)
+    p1 = np.sin(lat_rad) * np.sin(dec_rad)
+    p2 = np.cos(lat_rad) * np.cos(dec_rad) * np.cos(ha_rad)
+    return float(np.degrees(np.arcsin(p1 + p2)))
+
+
+def ha(ra_deg: float, dec_deg: float, lat: float, elev: float) -> float:
+    """Hour angle [hours, in [0, 24)] at which (ra, dec) crosses elevation
+    ``elev`` [deg] for latitude ``lat`` (astronomy.py:50-89).  NaN if the
+    source never reaches that elevation."""
+    if elev < -90.0 or elev > 90.0:
+        raise ValueError(f"elev must be in range -90 <= el <= +90, not {elev}")
+    if lat < -90.0 or lat > 90.0:
+        raise ValueError(f"lat must be in range -90 <= lat <= +90, not {lat}")
+    lat_rad = np.radians(lat)
+    dec_rad = np.radians(dec_deg)
+    el_rad = np.radians(elev)
+    p1 = np.sin(el_rad) - np.sin(lat_rad) * np.sin(dec_rad)
+    p2 = np.cos(lat_rad) * np.cos(dec_rad)
+    ha_rad = np.arccos(p1 / p2)
+    ha_hours = np.degrees(ha_rad) / 15.0
+    return float(ha_hours % 24.0)

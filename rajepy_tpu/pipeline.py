@@ -1,0 +1,417 @@
+"""Pipeline — the multi-epoch, multi-frequency orchestrator.
+
+API-compatible rebuild of the reference's ``Pipeline``
+(classes.py:1970-2868): builds the run matrix (epochs x frequencies for the
+continuum, epochs x lines for RRLs), executes radiative transfer per run
+with resume/clobber semantics and the reference's directory layout
+(``<model_dcy>/Day<day>/<freq|line>/``), then drives the **CASA-free**
+synthetic-observation backend (:mod:`rajepy_tpu.synthobs`) where the
+reference shells out to the CASA binary (classes.py:2490-2815,
+casa/_interface.py:63-81).  State is checkpointed with pickle exactly like
+the reference (save/load at classes.py:2215-2258, 1976-2017) so pipelines
+resume across processes.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time as _time
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+from . import constants as cnsts
+from .models.jetmodel import JetModel
+from .models.runs import ContinuumRun, RRLRun
+from .utils import misc as miscf
+from .utils.logger import Log
+from .utils.validation import check_pline_params
+
+
+class Pipeline:
+    """Creation of a physical jet model, FITS sky models, and synthetic
+    observations (classes.py:1970-2868)."""
+
+    @classmethod
+    def load_pipeline(cls, load_file: str) -> "Pipeline":
+        """Resume from a previously saved state (classes.py:1976-2017)."""
+        home = os.path.expanduser('~')
+        load_file = os.path.expanduser(load_file)
+        with open(load_file, 'rb') as f:
+            loaded = pickle.load(f)
+
+        for run in loaded['runs']:
+            run.dcy = run.dcy.replace('~', home)
+        loaded['model_file'] = loaded['model_file'].replace('~', home)
+        full_dcy = loaded['params']['dcys']['model_dcy'].replace('~', home)
+        loaded['params']['dcys']['model_dcy'] = full_dcy
+
+        jm = JetModel.load_model(loaded['model_file'])
+        log = loaded.get('log')
+        if log is None:
+            dcy = os.path.dirname(loaded['model_file'])
+            log = Log(os.sep.join(
+                [dcy, os.path.basename(load_file).split('.')[0] + '.log']))
+        new_pipeline = cls(jm, loaded['params'], log=log)
+        new_pipeline.runs = loaded['runs']
+        return new_pipeline
+
+    @staticmethod
+    def py_to_dict(py_file: str) -> Dict:
+        """Import an executable-python pipeline params file and validate
+        (classes.py:2019-2048)."""
+        if not os.path.exists(py_file):
+            raise FileNotFoundError(py_file + " does not exist")
+        dirname = os.path.dirname(os.path.abspath(py_file))
+        added = dirname not in sys.path
+        if added:
+            sys.path.append(dirname)
+        try:
+            modname = os.path.basename(py_file)
+            if modname.endswith('.py'):
+                modname = modname[:-3]
+            mod = __import__(modname)
+            params = mod.params
+        finally:
+            if added:
+                sys.path.remove(dirname)
+        err = check_pline_params(params)
+        if err:
+            raise err
+        return params
+
+    def __init__(self, jetmodel: JetModel, params: Union[dict, str],
+                 log: Optional[Log] = None):
+        if isinstance(jetmodel, JetModel):
+            self.model = jetmodel
+        else:
+            raise TypeError("Supplied arg jetmodel must be JetModel instance"
+                            " not {}".format(type(jetmodel)))
+
+        if isinstance(params, dict):
+            err = check_pline_params(params)
+            if err:
+                raise err
+            self._params = params
+        elif isinstance(params, str):
+            self._params = Pipeline.py_to_dict(params)
+        else:
+            raise TypeError("Supplied arg params must be dict or full path "
+                            "(str)")
+
+        self.dcy = self.params['dcys']['model_dcy'].rstrip(os.sep)
+        self.model_file = self.dcy + os.sep + "jetmodel.save"
+        self.save_file = self.dcy + os.sep + "pipeline.save"
+        self.ptgfile = self.dcy + os.sep + 'pointings.ptg'
+
+        log_name = "Pipeline_{}.log".format(
+            _time.strftime("%Y%m%d%H-%M-%S", _time.localtime()))
+        if not os.path.exists(self.dcy):
+            os.makedirs(self.dcy)
+        self._log = log if log is not None else Log(
+            fname=os.sep.join([self.dcy, log_name]))
+        self.log.add_entry("INFO",
+                           f"Pipeline directory is {self.dcy}")
+
+        if self.model.log is None:
+            self.model.log = self.log
+        elif self.model.log is not self.log:
+            new_log = Log.combine_logs(self.log, self.model.log,
+                                       self.log.filename,
+                                       delete_old_logs=True)
+            self.log = self.model.log = new_log
+
+        # Sort runs into time order (classes.py:2116-2125)
+        for band in ('continuum', 'rrls'):
+            if self.params[band]['times'] is not None:
+                self.params[band]['times'] = np.sort(
+                    np.asarray(self.params[band]['times']))
+            else:
+                self.params[band]['times'] = np.array([])
+
+        # Run matrix (classes.py:2127-2178)
+        runs = []
+        cp = self.params['continuum']
+        self.log.add_entry("INFO", "Reading continuum runs into pipeline")
+        made_any = False
+        for t in cp['times']:
+            for idx2, freq in enumerate(np.atleast_1d(
+                    np.asarray(cp['freqs'] if cp['freqs'] is not None
+                               else []))):
+                def pick(arr):
+                    return (arr[idx2] if miscf.is_iter(arr) else arr)
+                runs.append(ContinuumRun(
+                    self.dcy, t, freq, pick(cp['bws']), pick(cp['chanws']),
+                    pick(cp['t_obs']), pick(cp['t_ints']),
+                    pick(cp['tscps'])))
+                made_any = True
+        if not made_any:
+            self.log.add_entry("WARNING", "No continuum runs found")
+
+        rp = self.params['rrls']
+        self.log.add_entry(
+            "INFO", "Reading radio recombination line runs into pipeline")
+        made_any = False
+        for t in rp['times']:
+            for idx2, line in enumerate(np.atleast_1d(
+                    np.asarray(rp['lines'] if rp['lines'] is not None
+                               else []))):
+                def pick(arr):
+                    return (arr[idx2] if miscf.is_iter(arr) else arr)
+                runs.append(RRLRun(
+                    self.dcy, t, str(line), pick(rp['bws']),
+                    pick(rp['chanws']), pick(rp['t_obs']),
+                    pick(rp['t_ints']), pick(rp['tscps'])))
+                made_any = True
+        if not made_any:
+            self.log.add_entry("WARNING", "No RRL runs found")
+
+        self._runs = runs
+        self.log.add_entry("INFO", self.__str__())
+
+    # ------------------------------------------------------------------ #
+    def __str__(self):
+        from .models.runs import _tabulate, _fmt_row, _HDR, _UNITS
+        rows = []
+        for run in self.runs:
+            rows.append(_fmt_row([
+                run.year, run.obs_type.capitalize(), run.tscop, run.t_obs,
+                run.t_int,
+                None if run.obs_type == 'continuum' else run.line,
+                run.freq, run.bandwidth, run.chanwidth,
+                run.radiative_transfer, run.simobserve, run.completed]))
+        return _tabulate(rows, _HDR, _UNITS)
+
+    # ------------------------------------------------------------------ #
+    def save(self, save_file: str, absolute_directories: bool = False):
+        """Pickle runs/params/model-file with ~-relativised paths
+        (classes.py:2215-2258)."""
+        home = os.path.expanduser('~')
+        rs = self.runs
+        if not absolute_directories:
+            for run in rs:
+                run.dcy = run.dcy.replace(home, '~')
+        ps = self._params
+        mf = self.model_file
+        if not absolute_directories:
+            ps['dcys']['model_dcy'] = ps['dcys']['model_dcy'].replace(
+                home, '~')
+            mf = mf.replace(home, '~')
+        p = {"runs": rs, "params": ps, "model_file": mf, 'log': None}
+        self.log.add_entry("INFO", "Saving pipeline to " + save_file)
+        with open(save_file, 'wb') as f:
+            pickle.dump(p, f)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def params(self):
+        return self._params
+
+    @property
+    def dcy(self):
+        return self._dcy
+
+    @dcy.setter
+    def dcy(self, path):
+        self._dcy = path
+
+    @property
+    def model(self):
+        return self._model
+
+    @model.setter
+    def model(self, new_model):
+        self._model = new_model
+
+    @property
+    def runs(self):
+        return self._runs
+
+    @runs.setter
+    def runs(self, new_runs):
+        self._runs = new_runs
+
+    @property
+    def log(self):
+        return self._log
+
+    @log.setter
+    def log(self, new_log):
+        self._log = new_log
+
+    # ------------------------------------------------------------------ #
+    def execute(self, simobserve=True, verbose=True, dryrun=False,
+                resume=True, clobber=False, plot=True):
+        """Execute all runs: radiative transfer, FITS products, synthetic
+        observations, imaging, source fitting (classes.py:2296-2868).
+
+        ``plot=False`` additionally skips the diagnostic figures (the
+        reference always draws them)."""
+        self.log.add_entry("INFO", "Beginning pipeline execution")
+        if verbose != self.log.verbose:
+            self.log.verbose = verbose
+
+        from .ops import astronomy as astro
+        ra_deg = astro.parse_ra(self.model.params['target']['ra'])
+        dec_deg = astro.parse_dec(self.model.params['target']['dec'])
+
+        if simobserve:
+            ptg_txt = "#Epoch     RA          DEC      TIME(optional)\n"
+            ptg_txt += f"J2000 {astro.format_hmsdms(ra_deg, dec_deg)} "
+            self.log.add_entry(
+                "INFO", "Creating pointings and writing to file, "
+                        f"{self.ptgfile}, for synthetic observations")
+            with open(self.ptgfile, 'wt') as f:
+                f.write(ptg_txt)
+
+        if resume and os.path.exists(self.model_file):
+            self.model = JetModel.load_model(self.model_file)
+
+        if plot:
+            from .plotting import functions as pfunc
+            pfunc.geometry_plot(
+                self.model, show_plot=False,
+                savefig=os.sep.join([self.dcy, 'GridPlot.pdf']))
+            pfunc.jml_profile_plot(
+                self, show_plot=False,
+                savefig=os.sep.join([self.dcy, 'JMLPlot.pdf']))
+
+        for idx, run in enumerate(self.runs):
+            self.model.time = run.year * cnsts.YEAR
+            self.log.add_entry(
+                "INFO", "Executing run #{} -> Details:\n{}".format(
+                    idx + 1, str(run)))
+            if run.completed and resume and not clobber:
+                self.log.add_entry(
+                    "INFO", f"Run #{idx + 1} previously completed, skipping",
+                    timestamp=False)
+                continue
+            try:
+                if run.rt_dcy and not os.path.exists(run.rt_dcy):
+                    self.log.add_entry(
+                        "INFO", f"{run.rt_dcy} doesn't exist, creating",
+                        timestamp=False)
+                    os.makedirs(run.rt_dcy)
+
+                if plot:
+                    from .plotting import functions as pfunc
+                    model_plotfile = os.sep.join(
+                        [os.path.dirname(run.rt_dcy), "ModelPlot.pdf"])
+                    if not os.path.exists(model_plotfile) or clobber:
+                        pfunc.model_plot(self.model, savefig=model_plotfile,
+                                         show_plot=False)
+
+                if not dryrun and run.radiative_transfer:
+                    self.log.add_entry(
+                        "INFO",
+                        "Conducting radiative transfer at "
+                        f"{run.freq / 1e9:.1f}GHz for a model time of "
+                        f"{run.year:.1f}yr")
+
+                    if not os.path.exists(run.fits_em) or clobber:
+                        self.log.add_entry(
+                            "INFO",
+                            f"Emission measures saved to {run.fits_em}")
+                        self.model.emission_measure(savefits=run.fits_em)
+                    else:
+                        self.log.add_entry(
+                            "INFO", "Emission measures already exist -> "
+                                    f"{run.fits_em}", timestamp=False)
+
+                    if run.obs_type == 'continuum':
+                        if not os.path.exists(run.fits_tau) or clobber:
+                            self.log.add_entry(
+                                "INFO", "Computing optical depths and "
+                                        f"saving to {run.fits_tau}")
+                            self.model.optical_depth_ff(
+                                run.chan_freqs, savefits=run.fits_tau)
+                        if not os.path.exists(run.fits_flux) or clobber:
+                            self.log.add_entry(
+                                "INFO", "Calculating fluxes and saving to "
+                                        f"{run.fits_flux}")
+                            fluxes = self.model.flux_ff(
+                                run.chan_freqs, savefits=run.fits_flux)
+                        else:
+                            from .io.fits import read_fits
+                            fluxes = read_fits(run.fits_flux)[0]
+                    else:
+                        if not os.path.exists(run.fits_tau) or clobber:
+                            self.log.add_entry(
+                                "INFO", "Computing optical depths and "
+                                        f"saving to {run.fits_tau}")
+                            self.model.optical_depth_rrl(
+                                run.line, run.chan_freqs,
+                                savefits=run.fits_tau)
+                        if not os.path.exists(run.fits_flux) or clobber:
+                            self.log.add_entry(
+                                "INFO", "Calculating fluxes and saving to "
+                                        f"{run.fits_flux}")
+                            fluxes = self.model.flux_rrl(
+                                run.line, run.chan_freqs, contsub=False,
+                                savefits=run.fits_flux)
+                        else:
+                            from .io.fits import read_fits
+                            fluxes = read_fits(run.fits_flux)[0]
+
+                    fluxes = np.asarray(fluxes)
+                    if run.obs_type == 'continuum':
+                        # average over channels, sum over pixels
+                        # (classes.py:2461-2467)
+                        flux = float(np.nansum(np.nanmean(fluxes, axis=0)))
+                        self.log.add_entry(
+                            "INFO", "Total, average, channel flux of "
+                                    f"{flux:.2e}Jy calculated")
+                    else:
+                        # per-channel summed fluxes (classes.py:2468-2471)
+                        flux = np.nansum(np.nansum(fluxes, axis=1), axis=1)
+                    self.runs[idx].results['flux'] = flux
+
+                    if not os.path.exists(self.model_file):
+                        self.model.save(self.model_file)
+                    self.save(self.save_file, absolute_directories=True)
+
+            except KeyboardInterrupt:
+                self.log.add_entry(
+                    "ERROR", "Pipeline interrupted by user, saving state")
+                self.save(self.save_file)
+                self.model.save(self.model_file)
+                raise KeyboardInterrupt("Pipeline interrupted by user")
+
+            # Synthetic observations — on-device, CASA-free
+            # (replaces classes.py:2490-2851)
+            if simobserve and run.simobserve and not dryrun:
+                from .synthobs import simulate_observation
+                self.log.add_entry(
+                    "INFO", "Running CASA-free synthetic observation "
+                            f"({run.tscop[0]} config {run.tscop[1]})")
+                products = simulate_observation(
+                    self, run, min_el=self.params['min_el'])
+                run.products.update(products)
+                if run.obs_type == 'continuum' and \
+                        'imfit' in run.results and \
+                        run.results['imfit'] is None:
+                    self.log.add_entry(
+                        "ERROR", f"Run #{idx + 1}'s source fit failed")
+
+            self.runs[idx].completed = True
+
+        if not dryrun and simobserve and plot:
+            from .plotting import functions as pfunc
+            for year in self.params['continuum']['times']:
+                save_file = os.sep.join(
+                    [self.dcy, f'RadioSED{year:.1f}yrPlot.png'])
+                self.log.add_entry(
+                    "INFO", "Saving radio SED figure to "
+                            f"{save_file.replace('png', '(png,pdf)')} for "
+                            f"time {year}yr")
+                pfunc.sed_plot(self, year, savefig=save_file)
+
+        self.save(self.save_file)
+        self.model.save(self.model_file)
+        return None
+
+    def radio_plot(self, run, percentile: float = 5.0, savefig: str = ''):
+        """Plot radio image of a run's products (classes.py:3015+)."""
+        from .plotting import functions as pfunc
+        return pfunc.rt_plot(run, percentile=percentile, savefig=savefig)

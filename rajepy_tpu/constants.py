@@ -9,23 +9,40 @@ cm^-3, temperatures in K, frequencies in Hz, velocities in km/s unless noted.
 """
 
 # ---------------------------------------------------------------------------
-# SI base constants (CODATA 2018, as in scipy.constants)
+# SI base constants.  Sourced from scipy.constants when available so results
+# bit-match the reference (which uses scipy.constants throughout) under the
+# installed scipy's CODATA tables; CODATA-2018 literals otherwise.
 # ---------------------------------------------------------------------------
-C = 299792458.0                  # speed of light [m/s]
-H = 6.62607015e-34               # Planck constant [J s]
-K_B = 1.380649e-23               # Boltzmann constant [J/K]
-E_CHARGE = 1.602176634e-19       # elementary charge [C]
-M_E = 9.1093837015e-31           # electron mass [kg]
-G = 6.6743e-11                   # gravitational constant [m^3/kg/s^2]
-U_AMU = 1.6605390666e-27         # atomic mass unit [kg]
-EPSILON_0 = 8.8541878128e-12     # vacuum permittivity [F/m]
-RYDBERG = 10973731.56816         # Rydberg constant [1/m]
-
-# Lengths / times
-AU = 149597870700.0              # astronomical unit [m]
-PARSEC = 3.0856775814671916e16   # parsec [m]
-YEAR = 31557600.0                # Julian year [s]
-ARCSEC = 4.84813681109536e-06    # arcsecond [rad]
+try:
+    import scipy.constants as _sc
+    C = _sc.c                    # speed of light [m/s]
+    H = _sc.h                    # Planck constant [J s]
+    K_B = _sc.k                  # Boltzmann constant [J/K]
+    E_CHARGE = _sc.e             # elementary charge [C]
+    M_E = _sc.m_e                # electron mass [kg]
+    G = _sc.G                    # gravitational constant [m^3/kg/s^2]
+    U_AMU = _sc.u                # atomic mass unit [kg]
+    EPSILON_0 = _sc.epsilon_0    # vacuum permittivity [F/m]
+    RYDBERG = _sc.Rydberg        # Rydberg constant [1/m]
+    AU = _sc.au                  # astronomical unit [m]
+    PARSEC = _sc.parsec          # parsec [m]
+    YEAR = _sc.year              # 365-day year [s] (the reference uses
+    #                              con.year for every yr<->s conversion)
+    ARCSEC = _sc.arcsec          # arcsecond [rad]
+except ImportError:              # pragma: no cover
+    C = 299792458.0
+    H = 6.62607015e-34
+    K_B = 1.380649e-23
+    E_CHARGE = 1.602176634e-19
+    M_E = 9.1093837015e-31
+    G = 6.6743e-11
+    U_AMU = 1.6605390666e-27
+    EPSILON_0 = 8.8541878128e-12
+    RYDBERG = 10973731.56816
+    AU = 149597870700.0
+    PARSEC = 3.0856775814671916e16
+    YEAR = 31536000.0
+    ARCSEC = 4.84813681109536e-06
 
 # ---------------------------------------------------------------------------
 # cgs conversions (the reference's RT formulas are cgs; rrls.py:7-11)

@@ -19,7 +19,7 @@ from typing import Dict, NamedTuple, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-YEAR = 31557600.0
+YEAR = 31536000.0
 
 
 class EjectionSpec(NamedTuple):

@@ -222,8 +222,10 @@ def compute_static_fields(params: Dict, xx, yy, zz, rb_frac: float,
     temp = temperature(gm, params, rr, reff, inside)
     vx, vy, vz = velocity(gm, params, rr, pp, reff, inside)
     if with_time:
-        ts = travel_time_years(gm, params, rr, ww) * 31557600.0
-        ts = jnp.where(inside, ts, 0.0)
+        # NB: unmasked — the reference evaluates travel time for every cell
+        # (classes.py:838-855) and the burst factor field samples it
+        # everywhere (classes.py:861-870)
+        ts = travel_time_years(gm, params, rr, ww) * 31536000.0
     else:
         ts = jnp.zeros_like(nd)
 

@@ -453,7 +453,8 @@ class JetModel:
     @property
     def ts(self) -> np.ndarray:
         """Launch time of each cell's material: model time minus travel
-        time [s] (classes.py:838-855)."""
+        time [s], computed for every cell like the reference
+        (classes.py:838-855 — unmasked)."""
         f = self._ensure_fields()
         if not self._has_bursts and not bool(np.any(np.asarray(f.ts))):
             # travel time not yet computed (no bursts at construction)
@@ -465,10 +466,10 @@ class JetModel:
             from .fields import travel_time_years
             ts = travel_time_years(gm, self._static_params(), rr, ww) * \
                 cnsts.YEAR
-            self._fields = f._replace(ts=jnp.broadcast_to(
-                jnp.where(f.inside, ts, 0.0), f.ff.shape))
+            self._fields = f._replace(
+                ts=jnp.broadcast_to(ts, f.ff.shape))
             f = self._fields
-        return self._nan_view(self.time - f.ts)
+        return np.asarray(self.time - f.ts)
 
     @property
     def chi_xyz(self) -> np.ndarray:

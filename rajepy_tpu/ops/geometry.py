@@ -139,7 +139,7 @@ def t_rw(r_au, w_au, *, w_0, r_0, v_0, mr0, eps, r_1, r_2, q_v, q_vd,
     shapes, in au).  Returns time in **years**.
     """
     AU = 149597870700.0
-    YEAR = 31557600.0
+    YEAR = 31536000.0
 
     w0_m = w_0 * AU
     r0_m = r_0 * AU
@@ -161,8 +161,10 @@ def t_rw(r_au, w_au, *, w_0, r_0, v_0, mr0, eps, r_1, r_2, q_v, q_vd,
         wr = w0_m * (rad / mr0_m) ** eps
         reff = r1_m + (r2_m - r1_m) * w_m / wr
         p2 = (reff / r1_m) ** (-q_vd)
-        z = (r1_m * w0_m * rad ** eps) / \
-            jnp.where(w_m == 0.0, 1.0, w_m * mr0_m ** eps * (r1_m - r2_m))
+        z = jnp.where(
+            w_m == 0.0, 0.0,
+            (r1_m * w0_m * rad ** eps) /
+            jnp.where(w_m == 0.0, 1.0, w_m * mr0_m ** eps * (r1_m - r2_m)))
         u = z / (z - 1.0)
         p34 = hyp2f1_a1_series(a, b + 1.0, u, max_terms=max_terms, rtol=rtol)
         p34_w0 = 1.0 + q_vd / (1.0 - q_v)

@@ -1,0 +1,189 @@
+"""Interferometric imaging: gridding, weighting, dirty images, Hogbom
+CLEAN, beam fitting and restoration — all on device.
+
+Replaces the reference's CASA ``tclean`` invocation (casa/tasks.py:215-277,
+defaults briggs robust=0.5, niter=500, nsigma=3.0 set at
+classes.py:2771-2782) with JAX kernels: scatter-add gridding, FFT dirty
+images, a `lax.while_loop` Hogbom minor cycle, and an analytic Gaussian
+restoring beam fitted to the PSF core.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=('n_pix',))
+def grid_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float):
+    """Scatter weights onto the uv grid (conjugate-symmetrised); returns the
+    (n_pix, n_pix) weight-density grid used for uniform/briggs weighting."""
+    du = 1.0 / (n_pix * cell_rad)
+    gu = jnp.round(u_wav / du).astype(jnp.int32) + n_pix // 2
+    gv = jnp.round(v_wav / du).astype(jnp.int32) + n_pix // 2
+    ok = ((gu >= 0) & (gu < n_pix) & (gv >= 0) & (gv < n_pix))
+    w = jnp.where(ok, weights, 0.0)
+    grid = jnp.zeros((n_pix, n_pix))
+    grid = grid.at[gv, gu].add(w)
+    # conjugate points
+    gu2 = n_pix - gu
+    gv2 = n_pix - gv
+    ok2 = ((gu2 >= 0) & (gu2 < n_pix) & (gv2 >= 0) & (gv2 < n_pix))
+    grid = grid.at[jnp.where(ok2, gv2, 0),
+                   jnp.where(ok2, gu2, 0)].add(jnp.where(ok2, w, 0.0))
+    return grid
+
+
+def briggs_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float,
+                   robust: float = 0.5):
+    """Briggs (1995) robust weighting: w_i / (1 + W_k f^2) with
+    f^2 = (5 * 10^-robust)^2 / (sum W_k^2 / sum w_i).  robust=+2 ~ natural,
+    -2 ~ uniform; tclean's default robust=0.5 (casa/tasks.py:242)."""
+    dens = grid_weights(u_wav, v_wav, weights, n_pix, cell_rad)
+    du = 1.0 / (n_pix * cell_rad)
+    gu = jnp.round(u_wav / du).astype(jnp.int32) + n_pix // 2
+    gv = jnp.round(v_wav / du).astype(jnp.int32) + n_pix // 2
+    gu = jnp.clip(gu, 0, n_pix - 1)
+    gv = jnp.clip(gv, 0, n_pix - 1)
+    w_k = dens[gv, gu]
+    f2 = (5.0 * 10.0 ** -robust) ** 2 / (jnp.sum(w_k ** 2) /
+                                         jnp.maximum(jnp.sum(weights), 1e-30))
+    return weights / (1.0 + w_k * f2)
+
+
+@partial(jax.jit, static_argnames=('n_pix',))
+def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float):
+    """Grid weighted visibilities and FFT to the sky plane.
+
+    Returns (dirty_image, dirty_beam), both (n_pix, n_pix), beam peak
+    normalised to 1 and the image in Jy/dirty-beam.
+    """
+    du = 1.0 / (n_pix * cell_rad)
+    gu = jnp.round(u_wav / du).astype(jnp.int32) + n_pix // 2
+    gv = jnp.round(v_wav / du).astype(jnp.int32) + n_pix // 2
+    ok = ((gu >= 0) & (gu < n_pix) & (gv >= 0) & (gv < n_pix))
+    w = jnp.where(ok, weights, 0.0)
+    wv = w * vis
+
+    vis_grid = jnp.zeros((n_pix, n_pix), dtype=jnp.complex128)
+    wgt_grid = jnp.zeros((n_pix, n_pix))
+    gu_s = jnp.where(ok, gu, 0)
+    gv_s = jnp.where(ok, gv, 0)
+    vis_grid = vis_grid.at[gv_s, gu_s].add(wv)
+    wgt_grid = wgt_grid.at[gv_s, gu_s].add(w)
+    # Hermitian conjugates
+    gu2 = jnp.clip(n_pix - gu, 0, n_pix - 1)
+    gv2 = jnp.clip(n_pix - gv, 0, n_pix - 1)
+    vis_grid = vis_grid.at[gv2, gu2].add(jnp.conj(wv))
+    wgt_grid = wgt_grid.at[gv2, gu2].add(w)
+
+    norm = jnp.maximum(jnp.sum(wgt_grid), 1e-30)
+    img = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(vis_grid))).real
+    psf = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(
+        wgt_grid.astype(jnp.complex128)))).real
+    scale = n_pix * n_pix / norm
+    return img * scale, psf * scale
+
+
+@partial(jax.jit, static_argnames=('niter',))
+def hogbom_clean(dirty, psf, mask, gain: float = 0.1, niter: int = 500,
+                 threshold: float = 0.0):
+    """Hogbom CLEAN minor cycle as a bounded `lax.while_loop`.
+
+    ``psf`` must be the same shape as ``dirty`` with its peak at the centre
+    pixel; ``mask`` restricts component placement (the reference builds a
+    clean box from the model's bounding box, classes.py:2748-2751).
+
+    Returns (model, residual, n_iterations).
+    """
+    n = dirty.shape[0]
+    centre = n // 2
+    # pad psf so any shift keeps full support
+    psf_pad = jnp.pad(psf, ((n // 2, n // 2), (n // 2, n // 2)))
+
+    def cond(state):
+        model, res, it = state
+        peak = jnp.max(jnp.abs(res * mask))
+        return (it < niter) & (peak > threshold)
+
+    def body(state):
+        model, res, it = state
+        masked = jnp.abs(res * mask)
+        idx = jnp.argmax(masked)
+        py, px = idx // n, idx % n
+        val = res[py, px] * gain
+        model = model.at[py, px].add(val)
+        shifted = jax.lax.dynamic_slice(
+            psf_pad, (centre + n // 2 - py, centre + n // 2 - px), (n, n))
+        res = res - val * shifted
+        return model, res, it + 1
+
+    model0 = jnp.zeros_like(dirty)
+    model, residual, its = jax.lax.while_loop(
+        cond, body, (model0, dirty, jnp.asarray(0, jnp.int32)))
+    return model, residual, its
+
+
+def fit_psf_beam(psf, cell_rad: float) -> Tuple[float, float, float]:
+    """Fit an elliptical Gaussian to the PSF main lobe.
+
+    Returns (bmaj_rad, bmin_rad, bpa_deg) — FWHM axes.  Second-moment fit
+    over the positive core (pixels above half maximum), the standard
+    approximation used to define the CLEAN restoring beam.
+    """
+    psf = np.asarray(psf)
+    n = psf.shape[0]
+    yy, xx = np.mgrid[0:n, 0:n]
+    core = psf * (psf > 0.5 * psf.max())
+    # keep only the central connected-ish blob: within n//8 of centre
+    r2 = (yy - n // 2) ** 2 + (xx - n // 2) ** 2
+    core = np.where(r2 < (n // 8) ** 2, core, 0.0)
+    s = core.sum()
+    cx = (core * xx).sum() / s
+    cy = (core * yy).sum() / s
+    mxx = (core * (xx - cx) ** 2).sum() / s
+    myy = (core * (yy - cy) ** 2).sum() / s
+    mxy = (core * (xx - cx) * (yy - cy)).sum() / s
+    t = mxx + myy
+    d = np.sqrt((mxx - myy) ** 2 + 4 * mxy ** 2)
+    lam1 = (t + d) / 2.0
+    lam2 = (t - d) / 2.0
+    # For a 2-D Gaussian truncated at half maximum the per-axis second
+    # moment is sigma^2 (1 - ln 2); undo that bias.
+    calib = 1.0 / (1.0 - np.log(2.0))
+    sig1 = np.sqrt(max(lam1, 1e-12) * calib)
+    sig2 = np.sqrt(max(lam2, 1e-12) * calib)
+    fwhm = 2.0 * np.sqrt(2.0 * np.log(2.0))
+    bmaj = sig1 * fwhm * cell_rad
+    bmin = sig2 * fwhm * cell_rad
+    bpa = 0.5 * np.degrees(np.arctan2(2 * mxy, mxx - myy))
+    # position angle: convention east of north; image x = -RA
+    return float(bmaj), float(bmin), float(90.0 - bpa)
+
+
+def gaussian_beam_kernel(n: int, cell_rad: float, bmaj_rad: float,
+                         bmin_rad: float, bpa_deg: float) -> np.ndarray:
+    """Unit-peak elliptical Gaussian restoring beam image (n, n)."""
+    yy, xx = np.mgrid[0:n, 0:n]
+    x = (xx - n // 2) * cell_rad
+    y = (yy - n // 2) * cell_rad
+    th = np.radians(90.0 - bpa_deg)
+    xr = x * np.cos(th) + y * np.sin(th)
+    yr = -x * np.sin(th) + y * np.cos(th)
+    c = 4.0 * np.log(2.0)
+    return np.exp(-c * ((xr / bmaj_rad) ** 2 + (yr / bmin_rad) ** 2))
+
+
+def restore(model, residual, beam_kernel):
+    """Convolve the CLEAN model with the restoring beam and add residuals
+    (Jy/beam)."""
+    model = jnp.asarray(model)
+    kern = jnp.asarray(beam_kernel)
+    n = model.shape[0]
+    fk = jnp.fft.rfft2(jnp.fft.ifftshift(kern))
+    fm = jnp.fft.rfft2(model)
+    conv = jnp.fft.irfft2(fm * fk, s=(n, n))
+    return conv + jnp.asarray(residual)

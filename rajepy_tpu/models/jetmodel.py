@@ -220,8 +220,11 @@ class JetModel:
                 return compute_static_fields(sp, xx_, yy_, zz_, rbf,
                                              with_time=wt)
 
-            self._fields = fn(xx, yy, zz)
-            jax.block_until_ready(self._fields.ff)
+            from ..utils.profiling import KernelTimer
+            with KernelTimer("grid fill (fields + fill factors)",
+                             self._log) as t:
+                self._fields = fn(xx, yy, zz)
+                t.set_result(self._fields.ff)
         return self._fields
 
     def _static_params(self) -> Dict:

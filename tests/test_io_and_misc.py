@@ -1,0 +1,221 @@
+"""Tests for FITS I/O, checkpoints, logging, misc utilities, validation
+and the CASA script-export compatibility layer."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from rajepy_tpu.io import fits as fitsio
+from rajepy_tpu.io import checkpoint
+from rajepy_tpu.utils import misc, validation
+from rajepy_tpu.utils.logger import Entry, Log
+
+
+class TestFits:
+    def test_roundtrip_2d(self, tmp_path):
+        data = np.random.default_rng(0).normal(size=(33, 47))
+        hdr = fitsio.Header()
+        hdr['OBJECT'] = 'test object'
+        hdr['CRVAL1'] = 67.89190567
+        hdr['CDELT1'] = -1.15e-6
+        hdr['BUNIT'] = 'Jy pixel^-1'
+        hdr['HISTORY'] = 'a' * 100  # splits over two cards
+        f = str(tmp_path / 'test.fits')
+        fitsio.write_fits(f, data, hdr)
+        data2, hdr2 = fitsio.read_fits(f)
+        np.testing.assert_array_equal(data2, data)
+        assert hdr2['OBJECT'] == 'test object'
+        assert hdr2['CRVAL1'] == pytest.approx(67.89190567)
+        assert hdr2['CDELT1'] == pytest.approx(-1.15e-6)
+        assert ''.join(hdr2['HISTORY']) == 'a' * 100
+
+    def test_roundtrip_3d_float32(self, tmp_path):
+        data = np.random.default_rng(1).normal(
+            size=(4, 16, 17)).astype(np.float32)
+        f = str(tmp_path / 'cube.fits')
+        fitsio.write_fits(f, data)
+        data2, hdr2 = fitsio.read_fits(f)
+        assert hdr2['NAXIS'] == 3
+        assert hdr2['BITPIX'] == -32
+        np.testing.assert_allclose(data2, data, rtol=1e-7)
+
+    def test_block_alignment(self, tmp_path):
+        f = str(tmp_path / 'a.fits')
+        fitsio.write_fits(f, np.ones((3, 3)))
+        assert os.path.getsize(f) % 2880 == 0
+
+
+class TestCheckpoint:
+    def test_model_roundtrip(self, model_params, tmp_path):
+        from rajepy_tpu import JetModel
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=12, n_y=16, n_z=12)
+        jm = JetModel(p)
+        jm.time = 0.7 * 31536000.0
+        _ = jm.fill_factor
+        path = str(tmp_path / 'ckpt')
+        checkpoint.save_model_checkpoint(path, jm)
+        jm2 = checkpoint.load_model_checkpoint(path)
+        assert jm2.time == jm.time
+        np.testing.assert_array_equal(
+            np.isnan(jm2.fill_factor), np.isnan(jm.fill_factor))
+        assert jm2.params['properties']['n_0'] == \
+            pytest.approx(jm.params['properties']['n_0'])
+
+    def test_pipeline_state(self, model_params, tmp_path):
+        from rajepy_tpu import JetModel, Pipeline
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=12, n_y=16, n_z=12)
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'p')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([6e9]), 't_obs': None,
+                          'tscps': None, 't_ints': None, 'bws': None,
+                          'chanws': None},
+            'rrls': {'times': None, 'lines': None, 't_obs': None,
+                     'tscps': None, 't_ints': None, 'bws': None,
+                     'chanws': None},
+        }
+        pline = Pipeline(JetModel(p), pparams)
+        pline.runs[0].completed = True
+        pline.runs[0].results['flux'] = 1.23
+        f = str(tmp_path / 'pipeline.json')
+        checkpoint.save_pipeline_checkpoint(f, pline)
+        state = checkpoint.load_pipeline_state(f)
+        assert state['runs'][0]['completed'] is True
+        assert state['runs'][0]['results']['flux'] == 1.23
+
+
+class TestLogger:
+    def test_log_writes_and_echoes(self, tmp_path, capsys):
+        f = str(tmp_path / 'test.log')
+        log = Log(f, verbose=True)
+        log.add_entry('INFO', 'hello world')
+        log.add_entry('WARNING', 'two\nlines')
+        out = capsys.readouterr().out
+        assert 'hello world' in out
+        text = open(f).read()
+        assert 'hello world' in text and 'INFO' in text
+        assert 'WARNING' in text
+        # timestamp=False blanks the preamble (reference logger.py:221-222)
+        log.add_entry('INFO', 'quiet', timestamp=False)
+        last = open(f).read().split('\n')[-1]
+        assert last.lstrip().startswith(': quiet') or 'quiet' in last
+        assert not last.startswith('1') and not last.startswith('2')
+
+    def test_invalid_mtype(self, tmp_path):
+        log = Log(str(tmp_path / 'x.log'))
+        with pytest.raises(TypeError):
+            log.add_entry('DEBUG', 'nope')
+
+    def test_combine_logs_time_order(self, tmp_path):
+        l1 = Log(str(tmp_path / 'a.log'), verbose=False)
+        l2 = Log(str(tmp_path / 'b.log'), verbose=False)
+        l1.add_entry('INFO', 'first')
+        l2.add_entry('INFO', 'second')
+        l1.add_entry('INFO', 'third')
+        merged = Log.combine_logs(l1, l2, str(tmp_path / 'c.log'), True)
+        msgs = [merged.entries[i].message for i in sorted(merged.entries)]
+        assert msgs == ['first', 'second', 'third']
+        assert not os.path.exists(str(tmp_path / 'a.log'))
+
+
+class TestMisc:
+    def test_freq_str(self):
+        assert misc.freq_str(6e9) == '6GHz'
+        assert misc.freq_str(250.) == '250Hz'
+        assert misc.freq_str(1.5e5, '.1f') == '150.0kHz'
+        assert misc.freq_str([1e9, 1e12]) == ['1GHz', '1THz']
+
+    def test_reorder_axes_2d(self):
+        a = np.arange(6).reshape(2, 3)  # (ra, dec)
+        out = misc.reorder_axes(a, ra_axis=0, dec_axis=1)
+        np.testing.assert_array_equal(out, a.T)
+
+    def test_reorder_axes_3d(self):
+        a = np.random.default_rng(0).normal(size=(4, 5, 6))
+        # (freq, ra, dec) -> (freq, dec, ra)
+        out = misc.reorder_axes(a, ra_axis=1, dec_axis=2, axis3=0,
+                                axis3_type='freq')
+        np.testing.assert_array_equal(out, np.transpose(a, (0, 2, 1)))
+
+    def test_reorder_axes_4d(self):
+        a = np.random.default_rng(0).normal(size=(3, 4, 5, 6))
+        # (freq, ra, y, dec) -> (freq, y, dec, ra)
+        out = misc.reorder_axes(a, ra_axis=1, dec_axis=3, axis3=2,
+                                axis3_type='y', axis4=0, axis4_type='freq')
+        np.testing.assert_array_equal(out, np.transpose(a, (0, 2, 3, 1)))
+
+
+class TestValidation:
+    def test_model_params_ok(self, model_params):
+        assert validation.check_model_params(model_params) is None
+
+    def test_missing_section(self, model_params):
+        p = {k: v for k, v in model_params.items() if k != 'geometry'}
+        assert isinstance(validation.check_model_params(p), KeyError)
+
+    def test_wrong_type(self, model_params):
+        p = copy.deepcopy(model_params)
+        p['geometry']['opang'] = 'wide'
+        assert isinstance(validation.check_model_params(p), ValueError)
+
+    def test_n_0_optional(self, model_params):
+        p = copy.deepcopy(model_params)
+        assert 'n_0' not in p['properties']
+        assert validation.check_model_params(p) is None
+
+    def test_legacy_schema_migration(self):
+        legacy = {'properties': {'mlr': 1e-8, 'n_0': None},
+                  'ejection': {'t_0': np.array([0.5]),
+                               'hl': np.array([0.25]),
+                               'chi': np.array([2.])}}
+        out = validation.migrate_legacy_model_params(legacy)
+        assert out['properties']['mlr_bj'] == 1e-8
+        assert out['properties']['mlr_rj'] == 1e-8
+        assert list(out['ejection']['which']) == ['RB']
+
+    def test_bad_epoch(self, model_params):
+        p = copy.deepcopy(model_params)
+        p['target']['epoch'] = 'B1875'
+        assert isinstance(validation.check_model_params(p), ValueError)
+
+
+class TestCasaCompat:
+    def test_task_rendering_omits_defaults(self):
+        from rajepy_tpu.casa_compat import Simobserve
+        so = Simobserve(project='SynObs', totaltime='3600s')
+        s = str(so)
+        assert s.startswith('simobserve(')
+        assert "project='SynObs'" in s
+        assert "totaltime='3600s'" in s
+        assert 'obsmode' not in s  # defaulted -> omitted
+
+    def test_task_type_check(self):
+        from rajepy_tpu.casa_compat import Tclean
+        with pytest.raises(TypeError):
+            Tclean(niter='lots')
+        with pytest.raises(KeyError):
+            Tclean(no_such_param=1)
+
+    def test_positional_tasks(self):
+        from rajepy_tpu.casa_compat import Chdir, Rmdir
+        assert str(Chdir('/tmp/x')) == "os.chdir('/tmp/x')"
+        assert str(Rmdir(path='/tmp/y')) == "shutil.rmtree(path='/tmp/y')"
+
+    def test_script_render_and_dryrun(self, tmp_path, capsys):
+        from rajepy_tpu.casa_compat import Script, Simobserve, Tclean
+        sc = Script()
+        sc.add_task(Simobserve(project='SynObs', skymodel='model.fits'))
+        sc.add_task(Tclean(vis='SynObs.ms', imagename='im',
+                           niter=500, interactive=False))
+        text = sc.render()
+        assert text.startswith('import os\nimport shutil\n')
+        assert 'vp.setpbgauss' in text  # e-MERLIN PB always prepended
+        assert 'simobserve(' in text and 'tclean(' in text
+        sc.execute(dcy=str(tmp_path), dryrun=True)
+        out = capsys.readouterr().out
+        assert 'casa --nogui --nologger --agg' in out
+        assert os.path.exists(str(tmp_path / sc.casafile))

@@ -57,27 +57,34 @@ def jax_cells_per_sec(n=512, nchan=8, dtype_name="float32"):
     ds = jnp.where(inside, jnp.asarray(7.5e12, dtype), 0.0)
     freqs = jnp.linspace(1e9, 5e10, nchan, dtype=dtype)
 
-    @jax.jit
-    def step(freqs, temp, n_es, ds, inside):
+    def one_step(freqs, temp, n_es, ds, inside):
         taus = rt.tau_ff_maps(freqs, temp, n_es, ds, inside, 1e4,
                               reynolds_gaunt=True)
         tbar, any_in = rt.mean_temperature_map(temp, inside)
         return rt.flux_ff_maps(freqs, taus, tbar, any_in, 0.5, 120.0)
 
+    n_rep = 20
+
+    @jax.jit
+    def bench_loop(freqs, temp, n_es, ds, inside):
+        # Repeat the full step on device, perturbing the input each
+        # iteration so XLA cannot hoist or CSE the work out of the loop.
+        # Amortises the host<->device sync latency (a ~30 ms floor through
+        # remote device tunnels) over n_rep real executions.
+        def body(i, acc):
+            scale = 1.0 + 1e-9 * i.astype(dtype)
+            fluxes = one_step(freqs, temp, n_es * scale, ds, inside)
+            return acc + jnp.sum(fluxes)
+        return jax.lax.fori_loop(0, n_rep, body,
+                                 jnp.asarray(0.0, dtype))
+
     def sync(x):
-        # a host transfer is the only reliable barrier through remote
-        # device tunnels where block_until_ready can return early
-        return float(jnp.sum(x))
+        # host transfer: the only reliable barrier through remote tunnels
+        return float(x)
 
-    out = step(freqs, temp, n_es, ds, inside)
-    sync(out)                           # compile + warm-up
-    sync(step(freqs, temp, n_es, ds, inside))
-
-    n_rep = 5
+    sync(bench_loop(freqs, temp, n_es, ds, inside))   # compile + warm-up
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = step(freqs, temp, n_es, ds, inside)
-        sync(out)
+    sync(bench_loop(freqs, temp, n_es, ds, inside))
     dt = (time.perf_counter() - t0) / n_rep
     return n ** 3 * nchan / dt, dt
 

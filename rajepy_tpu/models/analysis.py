@@ -1,0 +1,76 @@
+"""Derived science products: SEDs, spectral-index and turnover maps.
+
+BASELINE config 4 asks for "multi-frequency SED + spectral-index/turnover
+maps (0.3-300 GHz)" at high grid resolution.  The continuum factorisation
+in :mod:`rajepy_tpu.ops.radtrans` makes the whole frequency axis nearly
+free — one LOS reduction serves every channel — so these are thin fused
+wrappers over the RT kernels.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import radtrans as rt
+
+
+def sed(model, freqs) -> np.ndarray:
+    """Spatially integrated free-free SED S_nu [Jy] over ``freqs`` [Hz]."""
+    fluxes = model.flux_ff(np.atleast_1d(np.asarray(freqs, dtype=float)))
+    return np.nansum(fluxes, axis=(1, 2))
+
+
+def spectral_index_map(model, freq_lo: float, freq_hi: float,
+                       min_flux_jy: float = 0.0) -> np.ndarray:
+    """Two-point spectral-index map alpha = dlog S / dlog nu between two
+    frequencies; NaN where either flux is at/below ``min_flux_jy``."""
+    fluxes = model.flux_ff(np.asarray([freq_lo, freq_hi], dtype=float))
+    lo, hi = fluxes[0], fluxes[1]
+    with np.errstate(divide='ignore', invalid='ignore'):
+        alpha = (np.log10(hi) - np.log10(lo)) / \
+            (np.log10(freq_hi) - np.log10(freq_lo))
+    return np.where((lo > min_flux_jy) & (hi > min_flux_jy), alpha, np.nan)
+
+
+def sed_spectral_indices(freqs, seds) -> Tuple[np.ndarray, np.ndarray]:
+    """Neighbouring-frequency spectral indices of an integrated SED and the
+    log-mean frequencies they apply at (classes.py:2876+ / sed_plot)."""
+    freqs = np.asarray(freqs, dtype=float)
+    seds = np.asarray(seds, dtype=float)
+    alphas = np.diff(np.log10(seds)) / np.diff(np.log10(freqs))
+    fmid = 10 ** (0.5 * (np.log10(freqs[1:]) + np.log10(freqs[:-1])))
+    return fmid, alphas
+
+
+def turnover_map(model, freqs, tau_unity: float = 1.0) -> np.ndarray:
+    """Turnover-frequency map: the frequency at which the line-of-sight
+    free-free optical depth crosses ``tau_unity`` per pixel.
+
+    Uses the factorised opacity: tau(nu) = tau_base * s(nu) with s a known
+    monotone decreasing function of frequency, so the crossing can be
+    solved per pixel by log interpolation over the sampled ``freqs``
+    rather than a search.  Pixels never optically thick return NaN;
+    always-thick pixels return the highest sampled frequency.
+    """
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
+    taus = model.optical_depth_ff(freqs)  # (n_chan, nx, nz)
+    log_nu = np.log10(freqs)
+    out = np.full(taus.shape[1:], np.nan)
+
+    thick_any = taus[0] > tau_unity           # thickest at lowest nu
+    always_thick = taus[-1] > tau_unity
+    # per-pixel crossing via interpolation of log tau vs log nu
+    log_tau = np.where(taus > 0, np.log10(np.maximum(taus, 1e-300)), -np.inf)
+    for i in range(len(freqs) - 1):
+        lo, hi = log_tau[i], log_tau[i + 1]
+        crossing = (taus[i] > tau_unity) & (taus[i + 1] <= tau_unity)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            frac = (np.log10(tau_unity) - lo) / (hi - lo)
+        nu_c = 10 ** (log_nu[i] + frac * (log_nu[i + 1] - log_nu[i]))
+        out = np.where(crossing & np.isnan(out), nu_c, out)
+    out = np.where(always_thick, freqs[-1], out)
+    out = np.where(~thick_any, np.nan, out)
+    return out

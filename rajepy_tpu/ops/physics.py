@@ -204,6 +204,48 @@ def flux_expected_r86(params: dict, freq, y_max, y_min=None,
     return flux / 1e-26
 
 
+def flux_int_wrapped(freq: float, params: dict):
+    """Integrand factory for direct numerical integration of the monopolar
+    free-free flux over (z, x, y) model coordinates (physics.py:377-425);
+    a quadrature cross-check of the grid RT, not used by the pipeline."""
+    g, p, pl, t = (params['geometry'], params['properties'],
+                   params['power_laws'], params['target'])
+    inc = g['inc']
+    w_0 = g['w_0'] * cnsts.AU2CM
+    T_0 = p['T_0']
+    n_0 = p['n_0']
+    x_0 = p['x_0']
+    eps = g['epsilon']
+    mod_r_0 = g['mod_r_0'] * cnsts.AU2CM
+    r_0 = g['r_0'] * cnsts.AU2CM
+    r_1, r_2 = t['R_1'], t['R_2']
+    dist = t['dist'] * cnsts.PARSEC * 1e2
+    q_n_, q_x, q_T = pl['q_n'], pl['q_x'], pl['q_T']
+    q_nd, q_xd, q_Td = pl['q^d_n'], pl['q^d_x'], pl['q^d_T']
+
+    i_rad = np.radians(inc - 90.0)
+
+    def func(z, x, y):
+        # scalar jet-frame transform (pa = 0, as the reference's integrand)
+        yd = np.cos(i_rad) * y - np.sin(i_rad) * z
+        r = np.sin(i_rad) * y + np.cos(i_rad) * z
+        w = np.hypot(x, yd)
+        rho1 = (abs(r) + mod_r_0 - r_0) / mod_r_0
+        wr = w_0 * rho1 ** eps
+        if w > wr or abs(r) < r_0:
+            return 0.0
+        reff = r_1 + (r_2 - r_1) * w / wr
+        tau = (cnsts.a_k * n_0 ** 2.0 * x_0 ** 2.0 * T_0 ** -1.35 *
+               freq ** -2.1 *
+               rho1 ** (2.0 * q_n_ + 2.0 * q_x - 1.35 * q_T) *
+               (reff / r_1) ** (2.0 * q_nd + 2.0 * q_xd - 1.35 * q_Td))
+        temp = T_0 * rho1 ** q_T * (reff / r_1) ** q_Td
+        return (dist ** -2.0 * cnsts.a_j / cnsts.a_k * temp *
+                freq ** 2.0 * (1.0 - np.exp(-tau)))
+
+    return func
+
+
 # --------------------------------------------------------------------------- #
 # Mass-loss rate <-> base density
 # --------------------------------------------------------------------------- #

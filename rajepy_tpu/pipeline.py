@@ -412,6 +412,8 @@ class Pipeline:
         return None
 
     def radio_plot(self, run, percentile: float = 5.0, savefig: str = ''):
-        """Plot radio image of a run's products (classes.py:3015+)."""
+        """Plot flux/tau/EM from a run's FITS products
+        (classes.py:3015-3183)."""
         from .plotting import functions as pfunc
-        return pfunc.rt_plot(run, percentile=percentile, savefig=savefig)
+        return pfunc.radio_plot(self.model, run, percentile=percentile,
+                                savefig=savefig)

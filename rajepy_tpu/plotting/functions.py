@@ -386,6 +386,45 @@ def timelapse_animation(pline, tscop: Tuple[str, str] = None,
     return anim
 
 
+def radio_plot(model, run, percentile: float = 5.0,
+               savefig: Union[bool, str] = False):
+    """Flux / optical depth / emission measure from a run's FITS products
+    (reference Pipeline.radio_plot, classes.py:3015-3183)."""
+    from ..io.fits import read_fits
+
+    imgs = []
+    for path in (run.fits_flux, run.fits_tau, run.fits_em):
+        data, _ = read_fits(path)
+        while data.ndim > 2:
+            data = np.nanmean(np.where(data > 0, data, np.nan), axis=0)
+        imgs.append(np.where(data > 0, data, np.nan))
+
+    csize_as = np.degrees(np.arctan(
+        model.csize * cnsts.AU /
+        (model.params['target']['dist'] * cnsts.PARSEC))) * 3600.0
+    half_x = imgs[0].shape[1] * csize_as / 2.0
+    half_z = imgs[0].shape[0] * csize_as / 2.0
+    extent = (-half_x, half_x, -half_z, half_z)
+
+    fig, axes = plt.subplots(1, 3, figsize=(cfg.plots['dims']['text'],
+                                            cfg.plots['dims']['column']),
+                             sharey=True, constrained_layout=True)
+    labels = [r'$S_\nu\,[{\rm Jy\,pixel^{-1}}]$', r'$\tau_\nu$',
+              r'${\rm EM}\,[{\rm pc\,cm^{-6}}]$']
+    for ax, img, label in zip(axes, imgs, labels):
+        pos = img[np.isfinite(img)]
+        norm = None
+        if pos.size:
+            vmin = max(np.nanpercentile(pos, percentile), 1e-30)
+            norm = LogNorm(vmin=vmin, vmax=np.nanmax(pos))
+        im = ax.imshow(img, origin='lower', extent=extent, norm=norm,
+                       cmap='inferno', aspect='equal')
+        fig.colorbar(im, ax=ax, label=label, location='top', shrink=0.95)
+    fig.supxlabel(r'$\Delta\alpha\,[^{\prime\prime}]$')
+    fig.supylabel(r'$\Delta\delta\,[^{\prime\prime}]$')
+    _finish(fig, False, savefig)
+
+
 def load_fits_hdr_and_data(fits_file: str):
     """(header, data) of a FITS file (functions.py:1260-1271)."""
     from ..io.fits import read_fits

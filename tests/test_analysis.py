@@ -1,0 +1,85 @@
+"""Tests for SED/spectral-index/turnover analysis products and the
+flux_int_wrapped quadrature cross-check."""
+import copy
+
+import numpy as np
+import pytest
+
+from rajepy_tpu import JetModel
+from rajepy_tpu.models import analysis
+from rajepy_tpu.ops import physics as mphys
+
+
+@pytest.fixture
+def jm(model_params):
+    p = copy.deepcopy(model_params)
+    p['grid'].update(n_x=24, n_y=64, n_z=24)
+    p['ejection'] = {'t_0': np.array([]), 'hl': np.array([]),
+                     'chi': np.array([]), 'which': np.array([])}
+    return JetModel(p)
+
+
+class TestSED:
+    def test_sed_shape_and_rising_spectrum(self, jm):
+        freqs = np.logspace(8.5, 11.5, 13)
+        seds = analysis.sed(jm, freqs)
+        assert seds.shape == (13,)
+        assert np.all(seds > 0)
+        # optically-thick rising spectrum at low frequency
+        fmid, alphas = analysis.sed_spectral_indices(freqs, seds)
+        assert alphas[0] > 0.5
+        # approaches the optically-thin -0.1 slope at high frequency
+        assert alphas[-1] < 0.3
+
+    def test_spectral_index_map(self, jm):
+        amap = analysis.spectral_index_map(jm, 1e9, 2e9,
+                                           min_flux_jy=1e-12)
+        finite = amap[np.isfinite(amap)]
+        assert finite.size > 0
+        assert np.all(finite < 2.1)  # bounded by optically-thick limit
+
+    def test_turnover_map(self, jm):
+        freqs = np.logspace(8.5, 11.5, 25)
+        tmap = analysis.turnover_map(jm, freqs)
+        finite = tmap[np.isfinite(tmap)]
+        assert finite.size > 0
+        assert np.all((finite >= freqs[0]) & (finite <= freqs[-1]))
+        # at the turnover frequency tau ~ 1 for a probe pixel
+        iy, ix = np.argwhere(np.isfinite(tmap) &
+                             (tmap < freqs[-2]))[0]
+        nu_c = tmap[iy, ix]
+        tau_c = jm.optical_depth_ff(float(nu_c))[iy, ix]
+        assert tau_c == pytest.approx(1.0, rel=0.15)
+
+
+class TestFluxIntWrapped:
+    def test_integrand_inside_outside(self, jm):
+        func = mphys.flux_int_wrapped(6e9, jm.params)
+        AU2CM = 1.496e13
+        # on-axis inside the jet (z along the jet for inc=90)
+        val_in = func(10.0 * AU2CM, 0.0, 0.0)
+        assert val_in > 0
+        # far outside the boundary
+        assert func(10.0 * AU2CM, 50.0 * AU2CM, 0.0) == 0.0
+        # below the launch radius
+        assert func(0.0, 0.0, 0.0) == 0.0
+
+    def test_matches_reference_integrand(self, jm):
+        """Pointwise parity with the reference's own flux_int_wrapped
+        (physics.py:377-425 — an unused analytic helper there; the
+        formula, including its lack of a path-length factor, is
+        reproduced as-is)."""
+        from .reference_oracle import get_reference, reference_jetmodel
+        if get_reference() is None:
+            pytest.skip("reference tree unavailable")
+        import RaJePy.maths.physics as rphys
+        ref_jm = reference_jetmodel(jm.params)
+        freq = 6e9
+        ours = mphys.flux_int_wrapped(freq, jm.params)
+        theirs = rphys.flux_int_wrapped(freq, ref_jm)
+        AU2CM = 14959787070000.0
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-8, 8, size=(60, 3)) * AU2CM
+        for z, x, y in pts:
+            assert ours(z, x, y) == pytest.approx(
+                float(theirs(z, x, y)), rel=1e-9, abs=1e-300)

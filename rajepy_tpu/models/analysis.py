@@ -45,6 +45,42 @@ def sed_spectral_indices(freqs, seds) -> Tuple[np.ndarray, np.ndarray]:
     return fmid, alphas
 
 
+def light_curve(model, times_yr, freqs) -> np.ndarray:
+    """Multi-epoch continuum light curve: integrated flux [Jy] of shape
+    (n_times, n_chan) — BASELINE config 2.
+
+    The only time-dependent factor in the RT chain is the ejection burst
+    factor chi(t - travel_time) modulating the density
+    (classes.py:861-899), so the static fields are computed once and a
+    single jitted `lax.map` over epochs re-evaluates just
+    chi -> tau -> flux.  The reference re-walks the entire lazy property
+    chain per epoch (classes.py:2358-2424).
+    """
+    from . import ejection as ej
+
+    f = model._ensure_fields()
+    freqs = jnp.atleast_1d(jnp.asarray(freqs, dtype=model._dtype))
+    times = jnp.atleast_1d(jnp.asarray(times_yr, dtype=model._dtype)) * \
+        31536000.0
+    t_0 = model.params['properties']['T_0']
+    reyn = model._use_reynolds_gaunt()
+    csize = model.csize
+    dist = model.params['target']['dist']
+    spec_r, spec_b = model._spec_r, model._spec_b
+    ds = rt.path_length_cm(f.ff, f.area, csize)
+    tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+
+    @jax.jit
+    def per_epoch(t):
+        chi = ej.chi_field(f.rr, t - f.ts, spec_r, spec_b)
+        n_es = f.nd * chi * f.xi
+        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
+        fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize, dist)
+        return jnp.sum(fluxes, axis=(1, 2))
+
+    return np.asarray(jax.lax.map(per_epoch, times))
+
+
 def turnover_map(model, freqs, tau_unity: float = 1.0) -> np.ndarray:
     """Turnover-frequency map: the frequency at which the line-of-sight
     free-free optical depth crosses ``tau_unity`` per pixel.

@@ -193,6 +193,11 @@ class JetModel:
         self._fields: Optional[StaticFields] = None
         self._ts_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
+        # Per-instance cache of jit-compiled kernels.  All public RT entry
+        # points run through these: eager jnp dispatch costs one host
+        # round-trip per op on remote device backends (~200x slowdown
+        # observed through the axon tunnel).
+        self._jit_cache: Dict[str, object] = {}
 
     # ------------------------------------------------------------------ #
     # Core field computation (lazy, fused, cached on device)
@@ -485,11 +490,24 @@ class JetModel:
     def _nd_device(self):
         """Device-side time-dependent number density (masked zeros)."""
         f = self._ensure_fields()
-        if self._has_bursts:
-            chi = ej.chi_field(f.rr, self.time - f.ts, self._spec_r,
-                               self._spec_b)
-            return f.nd * chi
-        return f.nd
+        fn = self._jitted('nd', lambda: self._nd_chi)
+        return fn(f, self.time)
+
+    def _rt_inputs(self):
+        """(fields, n_es, ds) — building blocks for custom RT compositions
+        (used by the sharding layer and tests).  Runs one jitted kernel."""
+        f = self._ensure_fields()
+        csize = self.csize
+
+        def build():
+            def kernel(f, t):
+                n_es = self._nd_chi(f, t) * f.xi
+                ds = rt.path_length_cm(f.ff, f.area, csize)
+                return n_es, ds
+            return kernel
+
+        n_es, ds = self._jitted('rt_inputs', build)(f, self.time)
+        return f, n_es, ds
 
     @property
     def number_density(self) -> np.ndarray:
@@ -527,47 +545,89 @@ class JetModel:
                 self._nan_view(f.vz))
 
     # ------------------------------------------------------------------ #
-    # Radiative transfer — device-side products
+    # Radiative transfer — device-side products.
+    #
+    # Every public entry point routes through a per-instance jit-compiled
+    # kernel (cached in self._jit_cache).  Model time enters as a traced
+    # scalar so epoch changes never recompile; on remote device backends
+    # eager jnp dispatch costs a host round-trip per op (~200x observed
+    # through the axon tunnel), so nothing below runs eagerly.
     # ------------------------------------------------------------------ #
-    def _rt_inputs(self):
-        f = self._ensure_fields()
-        n_es = self._nd_device() * f.xi
-        ds = rt.path_length_cm(f.ff, f.area, self.csize)
-        return f, n_es, ds
+    def _jitted(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(builder())
+            self._jit_cache[key] = fn
+        return fn
 
     def _use_reynolds_gaunt(self) -> bool:
         # classes.py:1388-1393: van Hoof scalar gaunt iff q_T == 0
         return self.params['power_laws']['q_T'] != 0.0
 
+    def _nd_chi(self, f, t):
+        """Traced: time-modulated number density (masked zeros)."""
+        if self._has_bursts:
+            return f.nd * ej.chi_field(f.rr, t - f.ts, self._spec_r,
+                                       self._spec_b)
+        return f.nd
+
+    def _rt_constants(self):
+        return (self.params['properties']['T_0'],
+                self._use_reynolds_gaunt(), self.csize,
+                self.params['target']['dist'])
+
     def emission_measure(self, savefits: Union[bool, str] = False
                          ) -> np.ndarray:
         """EM map [pc cm^-6] (classes.py:1101-1128)."""
-        f, n_es, _ = self._rt_inputs()
-        em = rt.emission_measure_map(self._nd_device(), f.xi, f.ff, f.area,
-                                     self.csize)
-        em = np.asarray(em)
+        f = self._ensure_fields()
+        csize = self.csize
+
+        def build():
+            def kernel(f, t):
+                nd = self._nd_chi(f, t)
+                return rt.emission_measure_map(nd, f.xi, f.ff, f.area,
+                                               csize)
+            return kernel
+
+        em = np.asarray(self._jitted('em', build)(f, self.time))
         if savefits:
             self.save_fits(miscf.reorder_axes(em, ra_axis=0, dec_axis=1),
                            savefits, 'em')
         return em
 
+    def _continuum_kernel(self, kind: str, collapse: bool = True):
+        """Jitted (fields, t, freqs) -> tau/intensity/flux product."""
+        t_0, reyn, csize, dist = self._rt_constants()
+
+        def build():
+            def kernel(f, t, freqs):
+                n_es = self._nd_chi(f, t) * f.xi
+                ds = rt.path_length_cm(f.ff, f.area, csize)
+                if kind == 'tau' and not collapse:
+                    return rt.tau_ff_cube(freqs, f.temp, n_es, ds,
+                                          f.inside, t_0, reyn)
+                taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
+                                      t_0, reyn)
+                if kind == 'tau':
+                    return taus
+                tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+                if kind == 'intensity':
+                    return rt.intensity_ff_maps(freqs, taus, tbar, any_in)
+                return rt.flux_ff_maps(freqs, taus, tbar, any_in, csize,
+                                       dist)
+            return kernel
+
+        return self._jitted(('ff', kind, collapse), build)
+
     def optical_depth_ff(self, freq, savefits: Union[bool, str] = False,
                          collapse: bool = True) -> np.ndarray:
         """Free-free optical depth (classes.py:1353-1447): collapsed
         (nx, nz) maps per channel, or the full per-cell cube."""
-        f, n_es, ds = self._rt_inputs()
+        f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        t_0 = self.params['properties']['T_0']
-        reyn = self._use_reynolds_gaunt()
-        if collapse:
-            tff = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0,
-                                 reyn)
-        else:
-            tff = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside, t_0,
-                                 reyn)
-        tff = np.asarray(tff)
-
+        tff = np.asarray(self._continuum_kernel('tau', collapse)(
+            f, self.time, freqs))
         if savefits:
             self._save_rt_fits(tff, savefits, 'tau', freq, scalar, collapse)
         return tff[0] if scalar else tff
@@ -575,15 +635,11 @@ class JetModel:
     def intensity_ff(self, freq, savefits: Union[bool, str] = False
                      ) -> np.ndarray:
         """Free-free intensity [W m^-2 Hz^-1 sr^-1] (classes.py:1449-1496)."""
-        f, n_es, ds = self._rt_inputs()
+        f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        t_0 = self.params['properties']['T_0']
-        reyn = self._use_reynolds_gaunt()
-        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
-        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
-        ints = np.asarray(rt.intensity_ff_maps(freqs, taus, tbar, any_in))
-
+        ints = np.asarray(self._continuum_kernel('intensity')(
+            f, self.time, freqs))
         if savefits:
             self._save_rt_fits(ints, savefits, 'intensity', freq, scalar,
                                True)
@@ -591,20 +647,38 @@ class JetModel:
 
     def flux_ff(self, freq, savefits: Union[bool, str] = False) -> np.ndarray:
         """Free-free flux [Jy/pixel] (classes.py:1498-1541)."""
-        f, n_es, ds = self._rt_inputs()
+        f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        t_0 = self.params['properties']['T_0']
-        reyn = self._use_reynolds_gaunt()
-        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
-        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
-        fluxes = np.asarray(rt.flux_ff_maps(
-            freqs, taus, tbar, any_in, self.csize,
-            self.params['target']['dist']))
-
+        fluxes = np.asarray(self._continuum_kernel('flux')(
+            f, self.time, freqs))
         if savefits:
             self._save_rt_fits(fluxes, savefits, 'flux', freq, scalar, True)
         return fluxes[0] if scalar else fluxes
+
+    def _rrl_kernel(self, line: str, kind: str, collapse: bool = True):
+        """Jitted (fields, t, freqs) -> RRL tau/intensity product."""
+        t_0, reyn, csize, dist = self._rt_constants()
+        coeffs = rt.RRLCoeffs(line)
+
+        def build():
+            def kernel(f, t, freqs):
+                n_es = self._nd_chi(f, t) * f.xi
+                ds = rt.path_length_cm(f.ff, f.area, csize)
+                if kind == 'tau':
+                    fn = rt.tau_rrl_maps if collapse else rt.tau_rrl_cube
+                    return fn(coeffs, freqs, f.temp, n_es, f.vy, ds,
+                              f.inside)
+                tau_l = rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
+                                        ds, f.inside)
+                tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
+                                       t_0, reyn)
+                tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+                return rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l,
+                                             any_in)
+            return kernel
+
+        return self._jitted(('rrl', line, kind, collapse), build)
 
     def optical_depth_rrl(self, rrl: str, freq, lte: bool = True,
                           savefits: Union[bool, str] = False,
@@ -612,13 +686,11 @@ class JetModel:
         """RRL optical depth (classes.py:1130-1229)."""
         if not lte:
             raise ValueError("Non-LTE RRL calculations not yet supported")
-        f, n_es, ds = self._rt_inputs()
+        f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        coeffs = rt.RRLCoeffs(rrl)
-        fn = rt.tau_rrl_maps if collapse else rt.tau_rrl_cube
-        taus = np.asarray(fn(coeffs, freqs, f.temp, n_es, f.vy, ds,
-                             f.inside))
+        taus = np.asarray(self._rrl_kernel(rrl, 'tau', collapse)(
+            f, self.time, freqs))
         if savefits:
             self._save_rt_fits(taus, savefits, 'tau', freq, scalar, collapse)
         return taus[0] if scalar else taus
@@ -630,18 +702,11 @@ class JetModel:
         uses its own frequency)."""
         if not lte:
             raise ValueError("Non-LTE RRL calculations not yet supported")
-        f, n_es, ds = self._rt_inputs()
+        f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        t_0 = self.params['properties']['T_0']
-        reyn = self._use_reynolds_gaunt()
-        coeffs = rt.RRLCoeffs(rrl)
-        tau_l = rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy, ds,
-                                f.inside)
-        tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
-        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
-        ints = np.asarray(rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l,
-                                                any_in))
+        ints = np.asarray(self._rrl_kernel(rrl, 'intensity')(
+            f, self.time, freqs))
         if savefits:
             self._save_rt_fits(ints, savefits, 'intensity', freq, scalar,
                                True)
@@ -671,17 +736,26 @@ class JetModel:
         sum S_i e^-tau (1-e^-dtau) along the LOS (BASELINE north-star), in
         W m^-2 Hz^-1 sr^-1.  Reduces to the reference's slab form for an
         isothermal jet."""
-        f, n_es, ds = self._rt_inputs()
+        f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        t_0 = self.params['properties']['T_0']
-        reyn = self._use_reynolds_gaunt()
-        dtau = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
-        src = mphys.blackbody_nu(freqs[:, None, None, None],
-                                 jnp.where(f.inside, f.temp, 1.0)[None])
-        src = jnp.where(f.inside[None], src, 0.0)
-        ints = rt.transfer_scan(src, dtau) * 1e-7 * 1e4  # cgs -> SI
-        ints = np.asarray(ints)
+        t_0, reyn, csize, _ = self._rt_constants()
+
+        def build():
+            def kernel(f, t, freqs):
+                n_es = self._nd_chi(f, t) * f.xi
+                ds = rt.path_length_cm(f.ff, f.area, csize)
+                dtau = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside,
+                                      t_0, reyn)
+                src = mphys.blackbody_nu(
+                    freqs[:, None, None, None],
+                    jnp.where(f.inside, f.temp, 1.0)[None])
+                src = jnp.where(f.inside[None], src, 0.0)
+                return rt.transfer_scan(src, dtau) * 1e-7 * 1e4
+            return kernel
+
+        ints = np.asarray(self._jitted('emergent_ff', build)(
+            f, self.time, freqs))
         return ints[0] if scalar else ints
 
     # ------------------------------------------------------------------ #

@@ -751,7 +751,10 @@ class JetModel:
                     freqs[:, None, None, None],
                     jnp.where(f.inside, f.temp, 1.0)[None])
                 src = jnp.where(f.inside[None], src, 0.0)
-                return rt.transfer_scan(src, dtau) * 1e-7 * 1e4
+                # transfer_scan reduces the 3-D LOS axis; vmap the channel
+                # axis across it
+                scan = jax.vmap(rt.transfer_scan)
+                return scan(src, dtau) * 1e-7 * 1e4
             return kernel
 
         ints = np.asarray(self._jitted('emergent_ff', build)(

@@ -47,6 +47,9 @@ def _gauss_series_b1(a: float, c: float, u, max_terms: int, rtol: float):
     """
     u = jnp.asarray(u)
     dtype = u.dtype
+    # convergence threshold cannot be finer than the dtype resolution
+    # (an f32 series would otherwise always run to max_terms)
+    rtol = max(rtol, 4.0 * float(jnp.finfo(dtype).eps))
 
     def ratio(n):
         return (a + n) / (c + n) * u

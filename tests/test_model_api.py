@@ -1,0 +1,157 @@
+"""JetModel API behaviours beyond parity: float32 mode, light curves,
+emergent intensity, str/repr, pipeline RRL + EW-telescope integration."""
+import copy
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rajepy_tpu import JetModel, Pipeline
+from rajepy_tpu.models import analysis
+
+
+def small(params, n=(16, 40, 16), bursts=True):
+    p = copy.deepcopy(params)
+    p['grid'].update(n_x=n[0], n_y=n[1], n_z=n[2], l_z=None)
+    if not bursts:
+        p['ejection'] = {'t_0': np.array([]), 'hl': np.array([]),
+                         'chi': np.array([]), 'which': np.array([])}
+    return p
+
+
+class TestFloat32Mode:
+    def test_f32_model_matches_f64(self, model_params):
+        p = small(model_params)
+        jm64 = JetModel(copy.deepcopy(p))
+        jm32 = JetModel(copy.deepcopy(p), dtype=jnp.float32)
+        f32 = jm32._ensure_fields()
+        assert f32.nd.dtype == jnp.float32
+        fl64 = jm64.flux_ff(np.array([6e9]))
+        fl32 = jm32.flux_ff(np.array([6e9]))
+        # f32 grid fill agrees to single precision
+        np.testing.assert_allclose(np.nansum(fl32), np.nansum(fl64),
+                                   rtol=1e-4)
+
+
+class TestLightCurve:
+    def test_matches_sequential_api(self, model_params):
+        jm = JetModel(small(model_params))
+        times = np.linspace(0.0, 1.5, 7)
+        freqs = np.array([6e9, 1e10])
+        lc = analysis.light_curve(jm, times, freqs)
+        assert lc.shape == (7, 2)
+        for i in (0, 3, 6):
+            jm.time = times[i] * 31536000.0
+            ref = np.nansum(jm.flux_ff(freqs), axis=(1, 2))
+            np.testing.assert_allclose(lc[i], ref, rtol=1e-10)
+
+    def test_burst_shows_in_curve(self, model_params):
+        jm = JetModel(small(model_params))
+        times = np.linspace(0.0, 1.5, 31)
+        lc = analysis.light_curve(jm, times, [6e9])[:, 0]
+        assert lc.max() > lc.min() * 1.02  # bursts modulate the flux
+
+
+class TestEmergentIntensity:
+    def test_reduces_to_slab_when_isothermal(self, model_params):
+        """For an isothermal jet the ordered transfer integral must equal
+        the reference's slab form B_nu(T)(1 - e^-tau) pixelwise."""
+        from rajepy_tpu.ops import physics as mphys
+        jm = JetModel(small(model_params, bursts=False))
+        freq = 6e9
+        ints = jm.emergent_intensity_ff(freq)
+        tau = jm.optical_depth_ff(freq)
+        t0 = jm.params['properties']['T_0']
+        slab = float(mphys.blackbody_nu(freq, t0)) * \
+            (1.0 - np.exp(-tau)) * 1e-7 * 1e4
+        np.testing.assert_allclose(ints, slab, rtol=1e-9, atol=1e-30)
+
+
+class TestStr:
+    def test_model_summary_table(self, model_params):
+        jm = JetModel(small(model_params))
+        s = str(jm)
+        assert 'JET MODEL' in s and 'BURSTS' in s
+        assert 'q_tau' in s and 'n_0' in s
+
+    def test_run_tables(self, model_params, tmp_path):
+        from rajepy_tpu.models.runs import ContinuumRun, RRLRun
+        r = ContinuumRun(str(tmp_path), 1.0, 6e9, 1e8, 1e7, 600, 5,
+                         ('VLA', 'A'))
+        assert 'Continuum' in str(r)
+        assert r.nchan == 10
+        assert len(r.chan_freqs) == 10
+        np.testing.assert_allclose(r.chan_freqs.mean(), 6e9)
+        rr = RRLRun(str(tmp_path), 1.0, 'H58a', 1e8, 1e7, 600, 5,
+                    ('VLA', 'A'))
+        assert 'H58a' in str(rr)
+        assert rr.fits_flux.endswith('Flux_Day365_H58a.fits')
+
+
+class TestPipelineIntegration:
+    def _pparams(self, tmp_path, **continuum):
+        base = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'out')},
+            'continuum': {'times': np.array([]), 'freqs': None,
+                          't_obs': None, 'tscps': None, 't_ints': None,
+                          'bws': None, 'chanws': None},
+            'rrls': {'times': np.array([]), 'lines': None, 't_obs': None,
+                     'tscps': None, 't_ints': None, 'bws': None,
+                     'chanws': None},
+        }
+        base.update(continuum)
+        return base
+
+    def test_rrl_run_with_cube_imaging(self, model_params, tmp_path):
+        pparams = self._pparams(
+            tmp_path,
+            rrls={'times': np.array([0.]), 'lines': np.array(['H58a']),
+                  't_obs': np.array([1800]), 'tscps': np.array([('VLA',
+                                                                 'D')]),
+                  't_ints': np.array([60]), 'bws': np.array([4e6]),
+                  'chanws': np.array([2e6])})
+        jm = JetModel(small(model_params, n=(16, 40, 16)))
+        pline = Pipeline(jm, pparams)
+        pline.execute(simobserve=True, verbose=False, dryrun=False,
+                      resume=False, clobber=True, plot=False)
+        run = pline.runs[0]
+        assert run.completed
+        assert np.ndim(run.results['flux']) == 1  # per-channel fluxes
+        from rajepy_tpu.io.fits import read_fits
+        img, hdr = read_fits(run.products['clean_image'])
+        assert img.ndim == 3 and img.shape[0] == 2  # 2-channel cube
+
+    def test_ew_telescope_scan_split(self, model_params, tmp_path):
+        pparams = self._pparams(
+            tmp_path,
+            continuum={'times': np.array([0.]), 'freqs': np.array([6e9]),
+                       't_obs': np.array([1200]),
+                       'tscps': np.array([('ATCA', '6A')]),
+                       't_ints': np.array([60]), 'bws': np.array([1e8]),
+                       'chanws': np.array([1e8])})
+        jm = JetModel(small(model_params, n=(16, 40, 16)))
+        pline = Pipeline(jm, pparams)
+        pline.execute(simobserve=True, verbose=False, dryrun=False,
+                      resume=False, clobber=True, plot=False)
+        assert pline.runs[0].completed
+        assert os.path.exists(pline.runs[0].products['clean_image'])
+
+    def test_resume_skips_completed(self, model_params, tmp_path):
+        pparams = self._pparams(
+            tmp_path,
+            continuum={'times': np.array([0.]), 'freqs': np.array([6e9]),
+                       't_obs': None, 'tscps': None, 't_ints': None,
+                       'bws': None, 'chanws': None})
+        jm = JetModel(small(model_params, n=(16, 40, 16)))
+        pline = Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, dryrun=False,
+                      resume=False, clobber=True, plot=False)
+        mtime = os.path.getmtime(pline.runs[0].fits_flux)
+        # reload from the saved state and re-execute: must skip
+        pline2 = Pipeline.load_pipeline(pline.save_file)
+        assert pline2.runs[0].completed
+        pline2.execute(simobserve=False, verbose=False, dryrun=False,
+                       resume=True, clobber=False, plot=False)
+        assert os.path.getmtime(pline2.runs[0].fits_flux) == mtime

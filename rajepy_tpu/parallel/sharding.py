@@ -119,3 +119,56 @@ def shard_runs(n_runs: int, n_devices: Optional[int] = None):
     embarrassingly-parallel epoch x frequency fan-out."""
     n_devices = n_devices or jax.device_count()
     return [i % n_devices for i in range(n_runs)]
+
+
+def light_curve_sharded(model, times_yr, freqs,
+                        mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Multi-epoch light curve with epochs fanned out across all devices.
+
+    Epochs are embarrassingly parallel (the reference iterates them
+    sequentially, classes.py:2358): the time axis is sharded over a 1-D
+    device mesh, static fields are replicated, and each device evaluates
+    its epochs' burst factor -> opacity -> flux chain with zero
+    communication.  Returns (n_times, n_chan) integrated fluxes [Jy],
+    identical to models.analysis.light_curve.
+    """
+    from ..models import ejection as ej
+
+    devices = mesh.devices.ravel() if mesh is not None else \
+        np.array(jax.devices())
+    n_dev = len(devices)
+    t_mesh = Mesh(devices.reshape(-1), axis_names=('t',))
+
+    f = model._ensure_fields()
+    freqs = jnp.atleast_1d(jnp.asarray(freqs, dtype=model._dtype))
+    times = np.atleast_1d(np.asarray(times_yr, dtype=float)) * 31536000.0
+    n_times = len(times)
+    pad = (-n_times) % n_dev
+    times_p = jnp.asarray(np.pad(times, (0, pad), mode='edge'),
+                          model._dtype)
+
+    t_0 = model.params['properties']['T_0']
+    reyn = model._use_reynolds_gaunt()
+    csize = model.csize
+    dist = model.params['target']['dist']
+    spec_r, spec_b = model._spec_r, model._spec_b
+    ds = rt.path_length_cm(f.ff, f.area, csize)
+    tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+
+    @partial(jax.jit,
+             in_shardings=(NamedSharding(t_mesh, P('t')),),
+             out_shardings=NamedSharding(t_mesh, P('t')))
+    def fan_out(ts_shard):
+        def per_epoch(t):
+            chi = ej.chi_field(f.rr, t - f.ts, spec_r, spec_b)
+            n_es = f.nd * chi * f.xi
+            taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0,
+                                  reyn)
+            fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize,
+                                     dist)
+            return jnp.sum(fluxes, axis=(1, 2))
+        return jax.lax.map(per_epoch, ts_shard)
+
+    with t_mesh:
+        out = fan_out(times_p)
+    return np.asarray(out)[:n_times]

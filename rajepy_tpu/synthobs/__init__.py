@@ -58,7 +58,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          seed: int = 11111,
                          max_time_samples: int = 512,
                          niter: int = 500, nsigma: float = 3.0,
-                         robust: float = 0.5,
+                         weighting: str = 'briggs', robust: float = 0.5,
+                         apply_pb: bool = True,
                          sefd: Optional[float] = None) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -144,10 +145,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     vis_clean = np.empty((n_chan, uvw.shape[0]), dtype=complex)
     vis_noisy = np.empty_like(vis_clean)
+    mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
     for c in range(n_chan):
         u_wav = uvw[:, 0] / lam[c]
         v_wav = uvw[:, 1] / lam[c]
-        v = sampler.sample_vis(jnp.asarray(sky[c]), cell_model_rad,
+        img = sky[c]
+        if apply_pb:
+            # Gaussian primary-beam attenuation of the sky model (the role
+            # of CASA's vpmanager PB, casa/_interface.py:17-27)
+            img = img * sampler.primary_beam(
+                img.shape[0], img.shape[1], cell_model_rad, freqs[c],
+                mean_dish)
+        v = sampler.sample_vis(jnp.asarray(img), cell_model_rad,
                                jnp.asarray(u_wav), jnp.asarray(v_wav))
         key, sub = jax.random.split(key)
         vn = sampler.add_noise(sub, v, sigma)
@@ -164,9 +173,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         vs = np.concatenate([uvw[:, 1] / lam[c] for c in chan_idx])
         vv = np.concatenate([vis_noisy[c] for c in chan_idx])
         w0 = np.ones_like(us)
-        wb = np.asarray(imaging.briggs_weights(
-            jnp.asarray(us), jnp.asarray(vs), jnp.asarray(w0), imsize,
-            cell_rad, robust=robust))
+        if weighting == 'briggs':
+            wb = np.asarray(imaging.briggs_weights(
+                jnp.asarray(us), jnp.asarray(vs), jnp.asarray(w0), imsize,
+                cell_rad, robust=robust))
+        elif weighting == 'uniform':
+            wb = np.asarray(imaging.briggs_weights(
+                jnp.asarray(us), jnp.asarray(vs), jnp.asarray(w0), imsize,
+                cell_rad, robust=-2.0))
+        elif weighting == 'natural':
+            wb = w0
+        else:
+            raise ValueError(f"unknown weighting {weighting!r}")
         dirty, psf = imaging.grid_and_image(
             jnp.asarray(us), jnp.asarray(vs), jnp.asarray(vv),
             jnp.asarray(wb), imsize, cell_rad)

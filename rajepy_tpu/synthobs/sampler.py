@@ -89,6 +89,20 @@ def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
     return re + 1j * im
 
 
+def primary_beam(n_y: int, n_x: int, cell_rad: float, freq_hz: float,
+                 dish_diameter_m: float) -> np.ndarray:
+    """Gaussian primary-beam attenuation pattern over the sky-model grid:
+    FWHM = 1.2 lambda / D (the Gaussian-PB model the reference registers
+    with CASA's vpmanager for e-MERLIN, casa/_interface.py:17-27 /
+    tasks.py:479-502)."""
+    lam = 299792458.0 / freq_hz
+    fwhm = 1.2 * lam / dish_diameter_m
+    yy, xx = np.mgrid[0:n_y, 0:n_x]
+    r2 = (((xx - n_x // 2) * cell_rad) ** 2 +
+          ((yy - n_y // 2) * cell_rad) ** 2)
+    return np.exp(-4.0 * np.log(2.0) * r2 / fwhm ** 2)
+
+
 def thermal_noise_sigma(sefd: float, chan_width: float, t_int: float,
                         eta: float = 0.88) -> float:
     """Per-visibility per-polarisation noise RMS [Jy] from the radiometer

@@ -1,0 +1,104 @@
+"""Smoke tests: every plotting function renders and writes a file."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from rajepy_tpu import JetModel, Pipeline
+from rajepy_tpu.plotting import functions as pfunc
+
+
+@pytest.fixture(scope='module')
+def jm(request):
+    params = {
+        "target": {"name": "plot", "ra": "04:31:34.0",
+                   "dec": "+18:08:04.9", "epoch": "J2000", "dist": 120.,
+                   "v_lsr": 6.2, "M_star": 0.55, "R_1": .25, "R_2": 2.5},
+        "grid": {"n_x": 16, "n_y": 40, "n_z": 16, "l_z": None,
+                 "c_size": 0.5},
+        "geometry": {"epsilon": 7. / 9., "opang": 25., "w_0": 1.,
+                     "r_0": 1., "inc": 90., "pa": 0., "rotation": "CCW"},
+        "power_laws": {"q_v": 0., "q_T": 0., "q_x": 0., "q^d_n": 0.,
+                       "q^d_T": 0., "q^d_v": 0., "q^d_x": 0.},
+        "properties": {"v_0": 150., "x_0": 0.1, "T_0": 1E4, "mu": 1.3,
+                       "mlr_bj": 1e-7, "mlr_rj": 5e-8},
+        "ejection": {"t_0": np.array([0.5]), "hl": np.array([0.15]),
+                     "chi": np.array([5.]), "which": np.array(["B"])},
+    }
+    return JetModel(params)
+
+
+def _check(path):
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 1000
+
+
+def test_model_plot(jm, tmp_path):
+    f = str(tmp_path / 'model.pdf')
+    pfunc.model_plot(jm, savefig=f)
+    _check(f)
+
+
+def test_rt_plot(jm, tmp_path):
+    f = str(tmp_path / 'rt.pdf')
+    pfunc.rt_plot(jm, 6e9, savefig=f)
+    _check(f)
+
+
+def test_geometry_plot(jm, tmp_path):
+    f = str(tmp_path / 'geom.pdf')
+    pfunc.geometry_plot(jm, savefig=f)
+    _check(f)
+
+
+def test_jml_profile_plot(jm, tmp_path):
+    f = str(tmp_path / 'jml.pdf')
+    pfunc.jml_profile_plot(jm, savefig=f)
+    _check(f)
+
+
+def test_diagnostic_plot(jm, tmp_path):
+    f = str(tmp_path / 'diag.pdf')
+    pfunc.diagnostic_plot(jm, savefig=f)
+    _check(f)
+
+
+def test_mass_volume_slices(jm, tmp_path):
+    f = str(tmp_path / 'mv.pdf')
+    pfunc.plot_mass_volume_slices(jm, savefig=f)
+    _check(f)
+
+
+def test_pipeline_plots_and_timelapse(jm, tmp_path):
+    pparams = {
+        'min_el': 20.,
+        'dcys': {'model_dcy': str(tmp_path / 'out')},
+        'continuum': {'times': np.array([0., 0.5]),
+                      'freqs': np.array([6e9]),
+                      't_obs': None, 'tscps': None, 't_ints': None,
+                      'bws': None, 'chanws': None},
+        'rrls': {'times': np.array([]), 'lines': None, 't_obs': None,
+                 'tscps': None, 't_ints': None, 'bws': None,
+                 'chanws': None},
+    }
+    pline = Pipeline(jm, pparams)
+    pline.execute(simobserve=False, verbose=False, dryrun=False,
+                  resume=False, clobber=True, plot=True)
+    _check(os.path.join(pline.dcy, 'GridPlot.pdf'))
+    _check(os.path.join(pline.dcy, 'JMLPlot.pdf'))
+
+    # radio_plot from the run products
+    f = str(tmp_path / 'radio.pdf')
+    pline.radio_plot(pline.runs[0], savefig=f)
+    _check(f)
+
+    # SED plot over completed runs
+    f = str(tmp_path / 'sed.png')
+    pfunc.sed_plot(pline, 0.0, savefig=f)
+    _check(f)
+
+    # timelapse over model fluxes (gif writer via pillow)
+    f = str(tmp_path / 'movie.gif')
+    pfunc.timelapse_animation(pline, savefig=f)
+    assert os.path.exists(f) or os.path.isdir(str(tmp_path / 'movie'))

@@ -82,3 +82,17 @@ class TestShardedRT:
 
     def test_shard_runs_round_robin(self, eight_devices):
         assert sharding.shard_runs(10, 4) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+
+    def test_light_curve_sharded_matches_single_device(self, eight_devices,
+                                                       model_params):
+        from rajepy_tpu import JetModel
+        from rajepy_tpu.models import analysis
+        import copy
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=32, n_z=16, l_z=None)
+        jm = JetModel(p)
+        times = np.linspace(0.0, 1.2, 11)  # 11 epochs over 8 devices (pad)
+        freqs = np.array([6e9, 1e10])
+        lc_ref = analysis.light_curve(jm, times, freqs)
+        lc_sh = sharding.light_curve_sharded(jm, times, freqs)
+        np.testing.assert_allclose(lc_sh, lc_ref, rtol=1e-12)

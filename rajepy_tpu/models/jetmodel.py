@@ -656,21 +656,37 @@ class JetModel:
             self._save_rt_fits(fluxes, savefits, 'flux', freq, scalar, True)
         return fluxes[0] if scalar else fluxes
 
+    def _use_fused_rrl(self) -> bool:
+        """The fused Pallas RRL kernel (8.9x the XLA channel map on v5e)
+        is the float32-on-TPU production path; float64/CPU keep the exact
+        XLA formulation."""
+        import jax as _jax
+        return (self._dtype == jnp.float32 and
+                _jax.default_backend() == 'tpu')
+
     def _rrl_kernel(self, line: str, kind: str, collapse: bool = True):
         """Jitted (fields, t, freqs) -> RRL tau/intensity product."""
         t_0, reyn, csize, dist = self._rt_constants()
         coeffs = rt.RRLCoeffs(line)
+        fused = self._use_fused_rrl()
+
+        def tau_maps(f, n_es, ds, freqs):
+            if fused:
+                return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp, n_es,
+                                             f.vy, ds, f.inside)
+            return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy, ds,
+                                   f.inside)
 
         def build():
             def kernel(f, t, freqs):
                 n_es = self._nd_chi(f, t) * f.xi
                 ds = rt.path_length_cm(f.ff, f.area, csize)
                 if kind == 'tau':
-                    fn = rt.tau_rrl_maps if collapse else rt.tau_rrl_cube
-                    return fn(coeffs, freqs, f.temp, n_es, f.vy, ds,
-                              f.inside)
-                tau_l = rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
-                                        ds, f.inside)
+                    if not collapse:
+                        return rt.tau_rrl_cube(coeffs, freqs, f.temp, n_es,
+                                               f.vy, ds, f.inside)
+                    return tau_maps(f, n_es, ds, freqs)
+                tau_l = tau_maps(f, n_es, ds, freqs)
                 tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
                                        t_0, reyn)
                 tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
@@ -678,7 +694,7 @@ class JetModel:
                                              any_in)
             return kernel
 
-        return self._jitted(('rrl', line, kind, collapse), build)
+        return self._jitted(('rrl', line, kind, collapse, fused), build)
 
     def optical_depth_rrl(self, rrl: str, freq, lte: bool = True,
                           savefits: Union[bool, str] = False,

@@ -183,6 +183,50 @@ def tau_rrl_maps(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside):
     return lax.map(one_channel, jnp.asarray(freqs))
 
 
+def tau_rrl_precompute(coeffs: RRLCoeffs, temp, n_es, vy, ds_cm, inside):
+    """Channel-independent per-cell factors of the RRL opacity, feeding the
+    fused Pallas cube kernel (ops.pallas_kernels.rrl_cube_pallas):
+    returns (amp, rest, scale, y_voigt, hkT) — see that kernel's docstring.
+    """
+    safe_t = jnp.where(inside, temp, 1.0)
+    safe_ne = jnp.where(inside, n_es, 0.0)
+    rest = phys.doppler_shift(coeffs.nu0, vy)
+    fwhm_g = mrrl.deltanu_g(rest, safe_t, coeffs.element)
+    fwhm_l = mrrl.deltanu_l(safe_ne, coeffs.n, coeffs.dn)
+    n_i = mrrl.ni_from_ne(safe_ne, coeffs.element)
+
+    sigma = fwhm_g / (2.0 * jnp.sqrt(2.0 * jnp.log(2.0)))
+    sigma = jnp.where(inside, sigma, 1.0)
+    scale = 1.0 / (sigma * jnp.sqrt(2.0))
+    y_voigt = 0.5 * fwhm_l * scale
+
+    amp = (mrrl._KAPPA_L_P0 * coeffs.n ** 2.0 * coeffs.fn1n2 *
+           safe_ne * n_i / safe_t ** 1.5 *
+           jnp.exp((coeffs.z ** 2.0 * coeffs.energy_n) /
+                   (cnsts.K_CGS * safe_t)) *
+           ds_cm / (sigma * jnp.sqrt(2.0 * jnp.pi)))
+    amp = jnp.where(inside, amp, 0.0)
+    hkT = cnsts.H_CGS / (cnsts.K_CGS * safe_t)
+    return amp, rest, scale, y_voigt, hkT
+
+
+def tau_rrl_maps_fused(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm,
+                       inside, interpret: bool = False):
+    """Collapsed RRL optical-depth maps through the fused Pallas kernel —
+    per-cell inputs read from HBM once for the whole channel axis instead
+    of once per channel.  float32 path (Weideman N=32)."""
+    from .pallas_kernels import rrl_cube_pallas
+    amp, rest, scale, y_voigt, hkT = tau_rrl_precompute(
+        coeffs, temp, n_es, vy, ds_cm, inside)
+    f32 = jnp.float32
+    nu0 = float(coeffs.nu0)
+    freqs_off = (jnp.asarray(freqs) - nu0).astype(f32)
+    rest_off = (rest - nu0).astype(f32)
+    return rrl_cube_pallas(freqs_off, amp.astype(f32), rest_off,
+                           scale.astype(f32), y_voigt.astype(f32),
+                           hkT.astype(f32), nu0=nu0, interpret=interpret)
+
+
 def tau_rrl_cube(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside):
     """Uncollapsed RRL optical depths (n_chan, nx, ny, nz) — collapse=False
     parity path."""

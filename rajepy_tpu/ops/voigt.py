@@ -54,12 +54,17 @@ def wofz(x, y):
     """Faddeeva function ``w(x + iy)`` for ``y >= 0``.
 
     Returns ``(re, im)``.  Branch-free mix of the Weideman rational
-    approximation (interior) and the Humlicek region-I asymptote (far wings).
+    approximation (interior) and the Laplace continued fraction (wings).
+    The rational degree follows the input dtype: N=64 for float64
+    (~2e-7 worst-case vs scipy) and N=32 for float32 (~1.6e-4 worst /
+    5e-6 p99 — at the f32 resolution limit, at half the cost), so
+    float32 production models automatically take the fast path.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     dtype = jnp.result_type(x, y)
-    ell, a_np = _weideman_coeffs()
+    n_weideman = 32 if dtype == jnp.float32 else _N_WEIDEMAN
+    ell, a_np = _weideman_coeffs(n_weideman)
     a = jnp.asarray(a_np, dtype)
 
     # ---- Weideman: Z = (L + iz)/(L - iz) with z = x + iy ------------------

@@ -54,38 +54,67 @@ def briggs_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float,
     return weights / (1.0 + w_k * f2)
 
 
-@partial(jax.jit, static_argnames=('n_pix',))
-def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float):
+_GRID_SIGMA = 0.65  # gridding-kernel width in uv cells
+
+
+@partial(jax.jit, static_argnames=('n_pix', 'support'))
+def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float,
+                   support: int = 2):
     """Grid weighted visibilities and FFT to the sky plane.
 
-    Returns (dirty_image, dirty_beam), both (n_pix, n_pix), beam peak
-    normalised to 1 and the image in Jy/dirty-beam.
+    Convolutional gridding with a Gaussian kernel of ``support`` cells
+    half-width (5x5 footprint by default; 2.5e-4 off-centre amplitude
+    error vs 2.4e-2 at 3x3) followed by grid correction
+    (division by the kernel's image-plane transform) — the standard
+    anti-aliasing treatment (CASA uses a prolate spheroidal; a Gaussian
+    keeps the correction closed-form).  Returns (dirty_image, dirty_beam),
+    both (n_pix, n_pix), beam peak normalised to 1 and the image in
+    Jy/dirty-beam.
     """
     du = 1.0 / (n_pix * cell_rad)
-    gu = jnp.round(u_wav / du).astype(jnp.int32) + n_pix // 2
-    gv = jnp.round(v_wav / du).astype(jnp.int32) + n_pix // 2
-    ok = ((gu >= 0) & (gu < n_pix) & (gv >= 0) & (gv < n_pix))
+    fu = u_wav / du + n_pix // 2
+    fv = v_wav / du + n_pix // 2
+    iu = jnp.round(fu).astype(jnp.int32)
+    iv = jnp.round(fv).astype(jnp.int32)
+    ok = ((iu >= support) & (iu < n_pix - support) &
+          (iv >= support) & (iv < n_pix - support))
     w = jnp.where(ok, weights, 0.0)
-    wv = w * vis
+    iu_s = jnp.where(ok, iu, n_pix // 2)
+    iv_s = jnp.where(ok, iv, n_pix // 2)
 
     vis_grid = jnp.zeros((n_pix, n_pix), dtype=jnp.complex128)
     wgt_grid = jnp.zeros((n_pix, n_pix))
-    gu_s = jnp.where(ok, gu, 0)
-    gv_s = jnp.where(ok, gv, 0)
-    vis_grid = vis_grid.at[gv_s, gu_s].add(wv)
-    wgt_grid = wgt_grid.at[gv_s, gu_s].add(w)
-    # Hermitian conjugates
-    gu2 = jnp.clip(n_pix - gu, 0, n_pix - 1)
-    gv2 = jnp.clip(n_pix - gv, 0, n_pix - 1)
-    vis_grid = vis_grid.at[gv2, gu2].add(jnp.conj(wv))
-    wgt_grid = wgt_grid.at[gv2, gu2].add(w)
+    inv2s2 = 1.0 / (2.0 * _GRID_SIGMA ** 2)
+    for dj in range(-support, support + 1):
+        for di in range(-support, support + 1):
+            gw = w * jnp.exp(-((iu_s + di - fu) ** 2 +
+                               (iv_s + dj - fv) ** 2) * inv2s2)
+            gwv = gw * vis
+            vis_grid = vis_grid.at[iv_s + dj, iu_s + di].add(gwv)
+            wgt_grid = wgt_grid.at[iv_s + dj, iu_s + di].add(gw)
+            # Hermitian conjugate points
+            cu = n_pix - (iu_s + di)
+            cv = n_pix - (iv_s + dj)
+            okc = (cu >= 0) & (cu < n_pix) & (cv >= 0) & (cv < n_pix)
+            vis_grid = vis_grid.at[jnp.where(okc, cv, 0),
+                                   jnp.where(okc, cu, 0)].add(
+                jnp.where(okc, jnp.conj(gwv), 0.0))
+            wgt_grid = wgt_grid.at[jnp.where(okc, cv, 0),
+                                   jnp.where(okc, cu, 0)].add(
+                jnp.where(okc, gw, 0.0))
 
     norm = jnp.maximum(jnp.sum(wgt_grid), 1e-30)
     img = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(vis_grid))).real
     psf = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(
         wgt_grid.astype(jnp.complex128)))).real
+
+    # grid correction: FT of the (cell-sampled) Gaussian kernel
+    p = jnp.arange(n_pix) - n_pix // 2
+    corr_1d = jnp.exp(-2.0 * jnp.pi ** 2 * _GRID_SIGMA ** 2 *
+                      (p / n_pix) ** 2)
+    corr = jnp.outer(corr_1d, corr_1d)
     scale = n_pix * n_pix / norm
-    return img * scale, psf * scale
+    return img * scale / corr, psf * scale / corr
 
 
 @partial(jax.jit, static_argnames=('niter',))

@@ -1,0 +1,127 @@
+"""RRL physics beyond the hot path: band-integrated profiles, channel-
+averaged opacity, non-LTE coefficient scaffolding — vs the reference."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rajepy_tpu.ops import rrls as mrrl
+
+from .reference_oracle import get_reference
+
+
+def _ref_rrls():
+    if get_reference() is None:
+        pytest.skip("reference tree unavailable")
+    import RaJePy.maths.rrls as rrrl
+    return rrrl
+
+
+class TestIntegratedProfiles:
+    def test_thermal_integrated_parity(self):
+        rrrl = _ref_rrls()
+        nu0, fwhm, bw = 1.4716e10, 1e6, 2e5
+        for off in (-3e6, -5e5, 0.0, 7e5, 4e6):
+            ours = float(mrrl.phi_thermal_nu_integrated(nu0 + off, nu0,
+                                                        fwhm, bw))
+            ref = float(rrrl.phi_thermal_nu_integrated(nu0 + off, nu0,
+                                                       fwhm, bw))
+            assert ours == pytest.approx(ref, rel=1e-9, abs=1e-300)
+
+    def test_stark_integrated_parity(self):
+        rrrl = _ref_rrls()
+        nu0, fwhm, bw = 1.4716e10, 5e5, 2e5
+        for off in (-3e6, 0.0, 7e5):
+            ours = float(mrrl.phi_stark_nu_integrated(nu0 + off, nu0, fwhm,
+                                                      bw))
+            ref = float(rrrl.phi_stark_nu_integrated(nu0 + off, nu0, fwhm,
+                                                     bw))
+            assert ours == pytest.approx(ref, rel=1e-9)
+
+    def test_voigt_integrated_vs_quadrature(self):
+        """Our GL-quadrature channel average vs scipy fine integration of
+        the wofz Voigt profile (the reference's QA13 series is the same
+        integral; see PARITY.md deviation 6)."""
+        from scipy.special import wofz
+        from scipy.integrate import quad
+        nu0, fg, fl, bw = 1.4716e10, 1e6, 2e5, 3e5
+        sigma = fg / 2 / np.sqrt(2 * np.log(2))
+
+        def phi(nu):
+            return np.real(wofz(((nu - nu0) + 1j * fl / 2) /
+                                sigma / np.sqrt(2))) / sigma / \
+                np.sqrt(2 * np.pi)
+
+        for off in (-2e6, -3e5, 0.0, 5e5, 3e6):
+            f = nu0 + off
+            ref, _ = quad(phi, f - bw / 2, f + bw / 2, epsrel=1e-12)
+            ours = float(mrrl.phi_voigt_nu_integrated(f, nu0, fg, fl, bw,
+                                                      average=False))
+            assert ours == pytest.approx(ref, rel=1e-6)
+
+    def test_kappa_l_average_parity(self):
+        rrrl = _ref_rrls()
+        args = dict(freq=1.4716e10, n=58, oscillator_strength=11.3,
+                    av_line_profile=3e-7, n_e=1e7, n_i=9e6, temp=1e4, z=1,
+                    energy_n1=-6.5e-15, bw=2e5)
+        ours = float(mrrl.kappa_l_average(**args))
+        ref = float(rrrl.kappa_l_average(
+            args['freq'], args['n'], args['oscillator_strength'],
+            args['av_line_profile'], args['n_e'], args['n_i'],
+            args['temp'], args['z'], args['energy_n1'], args['bw']))
+        assert ours == pytest.approx(ref, rel=1e-9)
+
+
+class TestNonLTECoefficients:
+    def test_parity(self):
+        rrrl = _ref_rrls()
+        freq, temp = 1.4716e10, 9000.0
+        b_n1, b_n2 = 0.92, 0.95
+        tau_c, tau_l_star = 0.3, 0.05
+        kappa_c, kappa_l_star = 1e-18, 3e-19
+
+        beta_o = float(mrrl.beta_coeff(freq, temp, b_n1, b_n2))
+        beta_r = float(rrrl.beta_coeff(freq, temp, b_n1, b_n2))
+        assert beta_o == pytest.approx(beta_r, rel=1e-9)
+
+        tau_o = float(mrrl.tau_nu_coeff(beta_o, tau_c, tau_l_star, b_n1))
+        tau_r = float(rrrl.tau_nu_coeff(beta_r, tau_c, tau_l_star, b_n1))
+        assert tau_o == pytest.approx(tau_r, rel=1e-12)
+
+        eta_o = float(mrrl.eta_coeff(b_n1, b_n2, kappa_c, kappa_l_star,
+                                     beta_o))
+        eta_r = float(rrrl.eta_coeff(b_n1, b_n2, kappa_c, kappa_l_star,
+                                     beta_r))
+        assert eta_o == pytest.approx(eta_r, rel=1e-9)
+
+        r_o = float(mrrl.line_continuum_ratio_nonlte(eta_o, tau_o, tau_c))
+        r_r = float(rrrl.line_continuum_ratio_nonlte(eta_r, tau_r, tau_c))
+        assert r_o == pytest.approx(r_r, rel=1e-9)
+
+    def test_lte_ratio_parity(self):
+        rrrl = _ref_rrls()
+        ours = float(mrrl.line_continuum_ratio_lte(0.4, 0.07))
+        ref = float(rrrl.line_continuum_ratio_lte(0.4, 0.07))
+        assert ours == pytest.approx(ref, rel=1e-12)
+
+
+class TestLineConstants:
+    def test_rest_freq_and_widths_parity(self):
+        rrrl = _ref_rrls()
+        for line in ('H58a', 'He42b', 'H109a', 'C76g'):
+            el, n, dn = mrrl.rrl_parser(line)
+            assert (el, n, dn) == rrrl.rrl_parser(line)
+            assert float(mrrl.rrl_nu_0(el, n, dn)) == pytest.approx(
+                float(rrrl.rrl_nu_0(el, n, dn)), rel=1e-11)
+            assert mrrl.f_n1n2(n, dn) == pytest.approx(
+                rrrl.f_n1n2(n, dn), rel=1e-12)
+            assert mrrl.energy_n(n, el) == pytest.approx(
+                rrrl.energy_n(n, el), rel=1e-12)
+        assert float(mrrl.ni_from_ne(1e7, 'H')) == pytest.approx(
+            float(rrrl.ni_from_ne(1e7, 'H')), rel=1e-9)
+        assert float(mrrl.deltanu_l(1e7, 58, 1)) == pytest.approx(
+            float(rrrl.deltanu_l(1e7, 58, 1)), rel=1e-12)
+        assert float(mrrl.deltanu_g(1.47e10, 9000.0, 'H')) == \
+            pytest.approx(float(rrrl.deltanu_g(1.47e10, 9000.0, 'H')),
+                          rel=1e-9)
+        assert float(mrrl.deltanu_v(1e6, 2e5)) == pytest.approx(
+            float(rrrl.deltanu_v(1e6, 2e5)), rel=1e-12)

@@ -2,6 +2,10 @@
 """Production single-chip run: 512^3 float32 model, multi-frequency SED,
 spectral-index/turnover maps, RRL cube, multi-epoch light curve.
 
+NB first execution of each distinct kernel shape compiles (tens of
+seconds to minutes through remote-device tunnels); steady-state times
+are seconds.
+
 All heavy work runs as cached jitted kernels on the default device
 (TPU when available).  Float32 selects the fast Faddeeva path and the
 fused Pallas RRL kernel automatically.

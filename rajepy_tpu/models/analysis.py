@@ -72,7 +72,7 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
 
     @jax.jit
     def per_epoch(t):
-        chi = ej.chi_field(f.rr, t - f.ts, spec_r, spec_b)
+        chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
         n_es = f.nd * chi * f.xi
         taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
         fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize, dist)

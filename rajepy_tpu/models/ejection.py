@@ -18,6 +18,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 YEAR = 31536000.0
 
@@ -72,9 +73,39 @@ def build_ejection_specs(params: Dict, ss_jml_bj: float,
     return specs['R'], specs['B']
 
 
-def chi_field(rr, launch_time, spec_r: EjectionSpec, spec_b: EjectionSpec):
-    """Burst factor per cell: the red spec where r < 0, blue elsewhere
-    (classes.py:861-870).  ``launch_time`` [s] is model time minus the
-    cell's travel time (classes.py:844-845)."""
-    return jnp.where(rr < 0, spec_r.chi(launch_time),
-                     spec_b.chi(launch_time))
+def chi_field(red, launch_time, spec_r: EjectionSpec, spec_b: EjectionSpec):
+    """Burst factor per cell: the red spec on the red-jet side (r < 0,
+    passed as a boolean mask), blue elsewhere (classes.py:861-870).
+    ``launch_time`` [s] is model time minus the cell's travel time
+    (classes.py:844-845).
+
+    Implemented as a `lax.scan` over the stacked bursts of both jets: an
+    unrolled python loop leaves XLA free to keep every burst's full-grid
+    gaussian live simultaneously (observed ~20 x N^3 temporaries at 512^3,
+    an HBM OOM); the scan pins the accumulation to two live grids.
+    """
+    launch_time = jnp.asarray(launch_time)
+    n_r, n_b = len(spec_r.t_0), len(spec_b.t_0)
+    if n_r + n_b == 0:
+        return jnp.ones_like(launch_time)
+
+    t0 = np.concatenate([spec_r.t_0, spec_b.t_0])
+    sigma = np.concatenate([spec_r.sigma, spec_b.sigma])
+    rel_amp = np.concatenate([
+        (spec_r.peak_jml - spec_r.ss_jml) / spec_r.ss_jml,
+        (spec_b.peak_jml - spec_b.ss_jml) / spec_b.ss_jml])
+    is_red = np.concatenate([np.ones(n_r), np.zeros(n_b)])
+
+    dtype = launch_time.dtype
+    bursts = (jnp.asarray(t0, dtype), jnp.asarray(sigma, dtype),
+              jnp.asarray(rel_amp, dtype), jnp.asarray(is_red, jnp.bool_))
+
+    def body(chi, burst):
+        t0_i, sig_i, amp_i, red_i = burst
+        g = amp_i * jnp.exp(-(launch_time - t0_i) ** 2 /
+                            (2.0 * sig_i ** 2))
+        chi = chi + jnp.where(red == red_i, g, 0.0)
+        return chi, None
+
+    chi, _ = lax.scan(body, jnp.ones_like(launch_time), bursts)
+    return chi

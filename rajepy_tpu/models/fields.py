@@ -103,9 +103,12 @@ def fill_factor_area(gm: Geometry, xx, yy, zz) -> Tuple[jnp.ndarray,
                 corner_in = (wrv >= wv) & (jnp.abs(rv) >= gm.r_0)
                 n_inside = corner_in.astype(jnp.int32) if n_inside is None \
                     else n_inside + corner_in
-    ff = jnp.where(n_inside == 8, 1.0,
+    # anchor the literal-valued outputs to the coordinate dtype (all-weak
+    # jnp.where(.., 1.0, 0.0) would promote to float64 under x64)
+    dt = jnp.result_type(xx, yy, zz)
+    ff = jnp.where(n_inside == 8, jnp.asarray(1.0, dt),
                    jnp.where(n_inside > 0, 0.5, 0.0))
-    area = jnp.where(n_inside > 0, 1.0, 0.0)
+    area = jnp.where(n_inside > 0, jnp.asarray(1.0, dt), 0.0)
     inside = n_inside > 0
     return ff, area, inside
 
@@ -188,18 +191,25 @@ def travel_time_years(gm: Geometry, params: Dict, rr, ww):
 
 
 class StaticFields(NamedTuple):
-    """All time-independent grids, computed in one fused pass."""
+    """Time-independent grids cached on device (the RT working set).
+
+    Memory note: only what the RT chain consumes is retained — the LOS
+    velocity component, and a red-jet boolean instead of the full
+    jet-frame r cube (the burst factor only needs sign(r),
+    classes.py:866-868).  Full 3-D velocities and coordinates are
+    recomputed on demand by the JetModel properties; at 512^3 this keeps
+    the resident set ~2 cubes smaller so the RRL chain fits single-chip
+    HBM.
+    """
     ff: jnp.ndarray        # fill factors (0 outside)
     area: jnp.ndarray      # projected areas (0 outside)
     inside: jnp.ndarray    # bool jet-membership mask
     nd: jnp.ndarray        # number density without burst factor [cm^-3]
     xi: jnp.ndarray        # ionisation fraction
     temp: jnp.ndarray      # temperature [K]
-    vx: jnp.ndarray        # velocity components [km/s]
-    vy: jnp.ndarray
-    vz: jnp.ndarray
+    vy: jnp.ndarray        # LOS velocity component [km/s]
     ts: jnp.ndarray        # travel time since launch [s]
-    rr: jnp.ndarray        # jet-frame r of cell centres [au]
+    red: jnp.ndarray       # bool: red-jet side (r < 0)
 
 
 def compute_static_fields(params: Dict, xx, yy, zz, rb_frac: float,
@@ -220,7 +230,7 @@ def compute_static_fields(params: Dict, xx, yy, zz, rb_frac: float,
     nd = number_density(gm, params, rr, reff, inside, rb_frac)
     xi = ion_fraction(gm, params, rr, reff, inside)
     temp = temperature(gm, params, rr, reff, inside)
-    vx, vy, vz = velocity(gm, params, rr, pp, reff, inside)
+    _, vy, _ = velocity(gm, params, rr, pp, reff, inside)
     if with_time:
         # NB: unmasked — the reference evaluates travel time for every cell
         # (classes.py:838-855) and the burst factor field samples it
@@ -235,6 +245,5 @@ def compute_static_fields(params: Dict, xx, yy, zz, rb_frac: float,
         inside=jnp.broadcast_to(inside, shape),
         nd=jnp.broadcast_to(nd, shape), xi=jnp.broadcast_to(xi, shape),
         temp=jnp.broadcast_to(temp, shape),
-        vx=jnp.broadcast_to(vx, shape), vy=jnp.broadcast_to(vy, shape),
-        vz=jnp.broadcast_to(vz, shape), ts=jnp.broadcast_to(ts, shape),
-        rr=jnp.broadcast_to(rr, shape))
+        vy=jnp.broadcast_to(vy, shape), ts=jnp.broadcast_to(ts, shape),
+        red=jnp.broadcast_to(rr < 0, shape))

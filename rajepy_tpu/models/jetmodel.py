@@ -483,7 +483,7 @@ class JetModel:
     def chi_xyz(self) -> np.ndarray:
         """Burst factor per cell (classes.py:861-870)."""
         f = self._ensure_fields()
-        chi = ej.chi_field(f.rr, self.time - f.ts, self._spec_r,
+        chi = ej.chi_field(f.red, self.time - f.ts, self._spec_r,
                            self._spec_b)
         return np.asarray(chi)
 
@@ -539,10 +539,27 @@ class JetModel:
 
     @property
     def vel(self):
-        """(vx, vy, vz) [km/s] (classes.py:1009-1099)."""
+        """(vx, vy, vz) [km/s] (classes.py:1009-1099).  The full 3-D
+        velocity is recomputed on demand (only the LOS component is part
+        of the cached RT working set)."""
         f = self._ensure_fields()
-        return (self._nan_view(f.vx), self._nan_view(f.vy),
-                self._nan_view(f.vz))
+        sp = self._static_params()
+        gm = Geometry.from_params(sp)
+        half = self.csize / 2.0
+
+        def build():
+            def kernel(xx, yy, zz, inside):
+                from .fields import centre_rwp, effective_radius, velocity
+                rr, ww, pp = centre_rwp(gm, xx + half, yy + half,
+                                        zz + half)
+                reff = effective_radius(gm, rr, ww)
+                return velocity(gm, sp, rr, pp, reff, inside)
+            return kernel
+
+        xx, yy, zz = self._grid_coords
+        vx, vy, vz = self._jitted('vel', build)(xx, yy, zz, f.inside)
+        return (self._nan_view(vx), self._nan_view(vy),
+                self._nan_view(vz))
 
     # ------------------------------------------------------------------ #
     # Radiative transfer — device-side products.
@@ -567,7 +584,7 @@ class JetModel:
     def _nd_chi(self, f, t):
         """Traced: time-modulated number density (masked zeros)."""
         if self._has_bursts:
-            return f.nd * ej.chi_field(f.rr, t - f.ts, self._spec_r,
+            return f.nd * ej.chi_field(f.red, t - f.ts, self._spec_r,
                                        self._spec_b)
         return f.nd
 

@@ -171,4 +171,6 @@ def t_rw(r_au, w_au, *, w_0, r_0, v_0, mr0, eps, r_1, r_2, q_v, q_vd,
         p34 = jnp.where(w_m == 0.0, p34_w0, p34)
         return const * p1 * p2 * p34
 
-    return (indef_m(r_m) - indef_m(jnp.broadcast_to(r0_m, r_m.shape))) / YEAR
+    # full_like keeps the coordinate dtype (a broadcast python float would
+    # promote the launch-surface term to float64 under x64)
+    return (indef_m(r_m) - indef_m(jnp.full_like(r_m, r0_m))) / YEAR

@@ -160,7 +160,7 @@ def light_curve_sharded(model, times_yr, freqs,
              out_shardings=NamedSharding(t_mesh, P('t')))
     def fan_out(ts_shard):
         def per_epoch(t):
-            chi = ej.chi_field(f.rr, t - f.ts, spec_r, spec_b)
+            chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
             n_es = f.nd * chi * f.xi
             taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0,
                                   reyn)

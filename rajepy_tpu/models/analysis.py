@@ -78,7 +78,10 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
         fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize, dist)
         return jnp.sum(fluxes, axis=(1, 2))
 
-    return np.asarray(jax.lax.map(per_epoch, times))
+    # one compiled kernel called per epoch: each call returns only a
+    # (n_chan,) vector, so dispatch is cheap, and the single-epoch body
+    # compiles far faster than a lax.map/scan over epochs at 512^3
+    return np.stack([np.asarray(per_epoch(t)) for t in times])
 
 
 def turnover_map(model, freqs, tau_unity: float = 1.0) -> np.ndarray:

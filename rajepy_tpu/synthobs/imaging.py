@@ -82,8 +82,11 @@ def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float,
     iu_s = jnp.where(ok, iu, n_pix // 2)
     iv_s = jnp.where(ok, iv, n_pix // 2)
 
-    vis_grid = jnp.zeros((n_pix, n_pix), dtype=jnp.complex128)
-    wgt_grid = jnp.zeros((n_pix, n_pix))
+    cdtype = (jnp.complex64 if jnp.result_type(vis) == jnp.complex64
+              else jnp.complex128)
+    rdtype = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+    vis_grid = jnp.zeros((n_pix, n_pix), dtype=cdtype)
+    wgt_grid = jnp.zeros((n_pix, n_pix), dtype=rdtype)
     inv2s2 = 1.0 / (2.0 * _GRID_SIGMA ** 2)
     for dj in range(-support, support + 1):
         for di in range(-support, support + 1):
@@ -106,7 +109,7 @@ def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float,
     norm = jnp.maximum(jnp.sum(wgt_grid), 1e-30)
     img = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(vis_grid))).real
     psf = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(
-        wgt_grid.astype(jnp.complex128)))).real
+        wgt_grid.astype(cdtype)))).real
 
     # grid correction: FT of the (cell-sampled) Gaussian kernel
     p = jnp.arange(n_pix) - n_pix // 2

@@ -84,6 +84,32 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
     return np.stack([np.asarray(per_epoch(t)) for t in times])
 
 
+def moment_maps(cube, freqs, rest_freq: float) -> dict:
+    """Velocity moment maps of an RRL cube.
+
+    ``cube`` is (n_chan, nx, nz) — flux or optical depth; channel
+    velocities come from the Doppler relation v = c (1 - nu/nu0).
+    Returns {'mom0', 'mom1', 'mom2'}: integrated intensity
+    [cube-units * km/s], intensity-weighted velocity [km/s] and velocity
+    dispersion [km/s].
+    """
+    cube = np.asarray(cube, dtype=float)
+    freqs = np.asarray(freqs, dtype=float)
+    v = 299792.458 * (1.0 - freqs / rest_freq)   # km/s
+    dv = np.gradient(v)
+    w = cube * np.abs(dv)[:, None, None]
+    mom0 = w.sum(axis=0)
+    safe = np.where(mom0 > 0, mom0, 1.0)
+    mom1 = (w * v[:, None, None]).sum(axis=0) / safe
+    mom2 = np.sqrt(np.maximum(
+        (w * (v[:, None, None] - mom1[None]) ** 2).sum(axis=0) / safe,
+        0.0))
+    nanmask = mom0 <= 0
+    mom1 = np.where(nanmask, np.nan, mom1)
+    mom2 = np.where(nanmask, np.nan, mom2)
+    return {'mom0': mom0, 'mom1': mom1, 'mom2': mom2}
+
+
 def turnover_map(model, freqs, tau_unity: float = 1.0) -> np.ndarray:
     """Turnover-frequency map: the frequency at which the line-of-sight
     free-free optical depth crosses ``tau_unity`` per pixel.

@@ -191,7 +191,6 @@ class JetModel:
 
         self._time = 0.0
         self._fields: Optional[StaticFields] = None
-        self._ts_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
         # points run through these: eager jnp dispatch costs one host

@@ -82,7 +82,8 @@ def tau_ff_channel_scale(freqs, t_0: float, reynolds_gaunt: bool):
     freqs = jnp.asarray(freqs)
     if reynolds_gaunt:
         return freqs ** -2.1
-    return freqs ** -2.0 * _gaunt.gff(freqs, t_0)
+    # keep the caller's dtype: the gaunt table is float64
+    return freqs ** -2.0 * _gaunt.gff(freqs, t_0).astype(freqs.dtype)
 
 
 def tau_ff_maps(freqs, temp, n_es, ds_cm, inside, t_0: float,

@@ -83,3 +83,24 @@ class TestFluxIntWrapped:
         for z, x, y in pts:
             assert ours(z, x, y) == pytest.approx(
                 float(theirs(z, x, y)), rel=1e-9, abs=1e-300)
+
+
+class TestMomentMaps:
+    def test_rotating_jet_moments(self, jm):
+        """mom1 of an RRL cube traces the Keplerian rotation: opposite
+        velocity signs on either side of the jet axis at pa=0/inc=90."""
+        from rajepy_tpu.ops.radtrans import RRLCoeffs
+        from rajepy_tpu.ops.physics import doppler_shift
+        nu0 = RRLCoeffs('H58a').nu0
+        # centre the window on the systemic-velocity-shifted line to avoid
+        # clipping the (broad) thermal wings asymmetrically
+        nu_c = float(doppler_shift(nu0, 6.2))
+        chans = np.linspace(nu_c - 4e6, nu_c + 4e6, 41)
+        cube = jm.optical_depth_rrl('H58a', chans)
+        m = analysis.moment_maps(cube, chans, nu0)
+        assert m['mom0'].shape == cube.shape[1:]
+        assert np.nanmax(m['mom0']) > 0
+        # systemic velocity ~ v_lsr = 6.2 km/s in the line centroid
+        centre = np.nanmedian(m['mom1'])
+        assert abs(centre - 6.2) < 3.0  # ~3.1 km/s channels
+        assert np.nanmax(m['mom2']) > 0

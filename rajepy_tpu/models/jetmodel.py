@@ -772,6 +772,7 @@ class JetModel:
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
         t_0, reyn, csize, _ = self._rt_constants()
+        use_pallas = self._use_fused_rrl()  # same rule: f32 on TPU
 
         def build():
             def kernel(f, t, freqs):
@@ -783,13 +784,18 @@ class JetModel:
                     freqs[:, None, None, None],
                     jnp.where(f.inside, f.temp, 1.0)[None])
                 src = jnp.where(f.inside[None], src, 0.0)
-                # transfer_scan reduces the 3-D LOS axis; vmap the channel
-                # axis across it
+                if use_pallas:
+                    # streaming Pallas scan (one VMEM pass per tile)
+                    from ..ops.pallas_kernels import transfer_scan_pallas
+                    outs = [transfer_scan_pallas(src[c], dtau[c])[0]
+                            for c in range(src.shape[0])]
+                    return jnp.stack(outs) * 1e-7 * 1e4
+                # XLA formulation: channel axis vmapped over the 3-D scan
                 scan = jax.vmap(rt.transfer_scan)
                 return scan(src, dtau) * 1e-7 * 1e4
             return kernel
 
-        ints = np.asarray(self._jitted('emergent_ff', build)(
+        ints = np.asarray(self._jitted(('emergent_ff', use_pallas), build)(
             f, self.time, freqs))
         return ints[0] if scalar else ints
 

@@ -30,6 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .voigt import _weideman_coeffs, _SQRT_PI
 
 
+def _one_minus_exp_neg(d):
+    """Numerically stable 1 - exp(-d) for d >= 0 inside Mosaic kernels
+    (expm1 has no Pallas TPU lowering): 3-term Taylor for small d where
+    exp(-d) - 1 would cancel, exact form elsewhere."""
+    small = d < 1e-3
+    d_safe = jnp.where(small, 0.0, d)
+    taylor = d * (1.0 - d * (0.5 - d * (1.0 / 6.0)))
+    return jnp.where(small, taylor, 1.0 - jnp.exp(-d_safe))
+
+
 def _scan_kernel(src_ref, dtau_ref, i_ref, tau_ref, *, ny: int):
     bx = src_ref.shape[0]
     bz = src_ref.shape[2]
@@ -40,7 +50,7 @@ def _scan_kernel(src_ref, dtau_ref, i_ref, tau_ref, *, ny: int):
         tau_acc, inten = carry
         d = dtau_ref[:, j, :]
         s = src_ref[:, j, :]
-        inten = inten + s * jnp.exp(-tau_acc) * (1.0 - jnp.exp(-d))
+        inten = inten + s * jnp.exp(-tau_acc) * _one_minus_exp_neg(d)
         tau_acc = tau_acc + d
         return tau_acc, inten
 
@@ -173,7 +183,7 @@ def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
         asym_re = den_i / (dd * _SQRT_PI)
 
         re = jnp.where(far, asym_re, w_re)
-        stim = 1.0 - jnp.exp(-(freq_off + nu0) * hkt)
+        stim = _one_minus_exp_neg((freq_off + nu0) * hkt)
         contrib = amp * re * stim
         out_ref[c, :, :] += jnp.sum(contrib, axis=1)
         return 0

@@ -289,11 +289,23 @@ def doppler_shift(nu_0, v_lsr):
     return nu_0 * (1.0 - v_lsr * 1e3 / cnsts.C)
 
 
+_LOG_BB_PREFACTOR = float(np.log(2.0) + np.log(cnsts.H_CGS) -
+                          2.0 * np.log(cnsts.C_CGS))
+
+
 def blackbody_nu(freq, temp):
     """Planck spectral radiance B_nu in cgs (erg s^-1 cm^-2 Hz^-1 sr^-1)
-    (physics.py:561-574)."""
-    p1 = 2.0 * cnsts.H_CGS * freq ** 3.0 / cnsts.C_CGS ** 2.0
-    p2 = jnp.exp(cnsts.H_CGS * freq / (cnsts.K_CGS * temp)) - 1.0
+    (physics.py:561-574).
+
+    Float32-safe formulation: the prefactor 2h/c^2 = 1.5e-47 underflows
+    float32 — and XLA's algebraic simplifier reassociates any grouping of
+    the constants back into that product — so the numerator is evaluated
+    in log space, exp(ln(2h/c^2) + 3 ln nu), which nothing can collapse.
+    expm1 keeps the Rayleigh-Jeans limit accurate where h nu / k T ~ 1e-5
+    would cancel in exp(x) - 1.
+    """
+    p1 = jnp.exp(_LOG_BB_PREFACTOR + 3.0 * jnp.log(freq))
+    p2 = jnp.expm1(cnsts.H_CGS * freq / (cnsts.K_CGS * temp))
     return p1 / p2
 
 

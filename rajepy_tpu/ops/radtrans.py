@@ -119,7 +119,7 @@ def intensity_ff_maps(freqs, tau_maps, tbar_map, any_inside):
     (classes.py:1449-1496).  Outside the jet silhouette the map is exactly 0
     (reference yields NaN there)."""
     freqs = jnp.asarray(freqs)
-    t_b = tbar_map[None] * (1.0 - jnp.exp(-tau_maps))
+    t_b = tbar_map[None] * (-jnp.expm1(-tau_maps))
     ints = 2.0 * freqs[:, None, None] ** 2 * cnsts.K_B * t_b / cnsts.C ** 2
     return jnp.where(any_inside[None], ints, 0.0)
 
@@ -281,7 +281,7 @@ def transfer_scan(source_fn_cgs, dtau, observer_near_y0: bool = False):
         dtau_o = jnp.flip(dtau, axis=LOS_AXIS)
         src_o = jnp.flip(source_fn_cgs, axis=LOS_AXIS)
     tau_acc = jnp.cumsum(dtau_o, axis=LOS_AXIS) - dtau_o  # exclusive prefix
-    contrib = src_o * jnp.exp(-tau_acc) * (1.0 - jnp.exp(-dtau_o))
+    contrib = src_o * jnp.exp(-tau_acc) * (-jnp.expm1(-dtau_o))
     return jnp.sum(contrib, axis=LOS_AXIS)
 
 

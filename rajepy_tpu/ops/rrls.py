@@ -169,7 +169,7 @@ def kappa_l(freq, n, oscillator_strength, line_profile, n_e, n_i, temp, z,
     p1 = n ** 2.0 * oscillator_strength * line_profile
     p2 = n_e * n_i / temp ** 1.5
     p3 = jnp.exp((z ** 2.0 * energy_n1) / (cnsts.K_CGS * temp))
-    p4 = 1.0 - jnp.exp(-cnsts.H_CGS * freq / (cnsts.K_CGS * temp))
+    p4 = -jnp.expm1(-cnsts.H_CGS * freq / (cnsts.K_CGS * temp))
     return _KAPPA_L_P0 * p1 * p2 * p3 * p4
 
 
@@ -194,13 +194,15 @@ def line_intensity_lte(freq, temp, tau_c, tau_l):
     (rrls.py:428-449)."""
     from .physics import blackbody_nu
     b_nu = blackbody_nu(freq, temp)
-    i_l_cgs = b_nu * jnp.exp(-tau_c) * (1.0 - jnp.exp(-tau_l))
+    # -expm1(-tau) keeps optically thin lines (tau << f32 eps) from
+    # cancelling to zero in exp(-tau) - 1 arithmetic
+    i_l_cgs = b_nu * jnp.exp(-tau_c) * (-jnp.expm1(-tau_l))
     return i_l_cgs * 1e-7 * 1e4
 
 
 def line_continuum_ratio_lte(tau_c, tau_l):
     """LTE line-to-continuum ratio (rrls.py:452-464)."""
-    return (1.0 - jnp.exp(-tau_l)) / (jnp.exp(tau_c) - 1.0)
+    return (-jnp.expm1(-tau_l)) / jnp.expm1(tau_c)
 
 
 # --------------------------------------------------------------------------- #

@@ -64,7 +64,7 @@ class TestEmergentIntensity:
         tau = jm.optical_depth_ff(freq)
         t0 = jm.params['properties']['T_0']
         slab = float(mphys.blackbody_nu(freq, t0)) * \
-            (1.0 - np.exp(-tau)) * 1e-7 * 1e4
+            (-np.expm1(-tau)) * 1e-7 * 1e4
         np.testing.assert_allclose(ints, slab, rtol=1e-9, atol=1e-30)
 
 

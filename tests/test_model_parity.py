@@ -213,6 +213,53 @@ class TestRTParity:
         np.testing.assert_allclose(fl_o, fl_r, rtol=2e-6, atol=1e-30)
 
 
+class TestDiscWindParity:
+    """Non-trivial cross-section power laws (q^d_* != 0, q_v != 0) and an
+    off-axis geometry — the disc-wind prescription the reference adds on
+    top of Reynolds (1986).  q_T stays 0 (the reference's temperature
+    field is dimensionally broken otherwise, SURVEY §2.1)."""
+
+    @pytest.fixture
+    def dw_pair(self, disc_wind_params):
+        _need_reference()
+        p = small_grid(disc_wind_params)
+        p['power_laws'] = dict(p['power_laws'])
+        p['power_laws']['q_T'] = 0.0
+        p['power_laws']['q^d_T'] = 0.0
+        ours = JetModel(copy.deepcopy(p))
+        ref = reference_jetmodel(p)
+        return ours, ref
+
+    def test_fields(self, dw_pair):
+        ours, ref = dw_pair
+        _nan_allclose(ours.fill_factor, ref.fill_factor)
+        _nan_allclose(ours.number_density, ref.number_density, rtol=1e-9)
+        _nan_allclose(ours.ion_fraction, ref.ion_fraction, rtol=1e-9)
+        for o, r in zip(ours.vel, ref.vel):
+            _nan_allclose(o, r, rtol=1e-9, atol=1e-12)
+
+    def test_continuum_rt(self, dw_pair):
+        ours, ref = dw_pair
+        # q_T = 0 -> van Hoof gaunt branch
+        tau_o = ours.optical_depth_ff(np.array([6e9]))[0]
+        tau_r = np.nan_to_num(ref.optical_depth_ff(6e9), nan=0.0)
+        np.testing.assert_allclose(tau_o, tau_r, rtol=1e-9, atol=1e-20)
+        fl_o = ours.flux_ff(np.array([6e9]))[0]
+        fl_r = np.nan_to_num(ref.flux_ff(6e9), nan=0.0)
+        np.testing.assert_allclose(fl_o, fl_r, rtol=1e-9, atol=1e-25)
+
+    def test_travel_time(self, disc_wind_params):
+        # q_v != 0 and q^d_v != 0 exercise the full 2F1 family
+        _need_reference()
+        p = small_grid(disc_wind_params, n=(10, 20, 10))
+        p['power_laws'] = dict(p['power_laws'])
+        p['power_laws']['q_T'] = 0.0
+        ours = JetModel(copy.deepcopy(p))
+        ref = reference_jetmodel(p)
+        np.testing.assert_allclose(
+            ours.ts, np.asarray(ref.ts, dtype=float), rtol=1e-8)
+
+
 class TestSaveLoad:
     def test_roundtrip(self, model_params, tmp_path):
         p = small_grid(model_params)

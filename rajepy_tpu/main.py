@@ -43,7 +43,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    from rajepy_tpu import JetModel, Pipeline, logger
+    from rajepy_tpu import JetModel, Pipeline, cfg, logger
+
+    if argv is None and len(sys.argv) == 1:
+        # No arguments: run the bundled example parameter files as a
+        # dry-run smoke test (the reference's no-args path, main.py:69-77)
+        jet_param_file = os.path.join(cfg.dcys['files'],
+                                      'example-model-params.py')
+        pline_param_file = os.path.join(cfg.dcys['files'],
+                                        'example-pipeline-params.py')
+        pline = Pipeline(JetModel(jet_param_file), pline_param_file)
+        pline.execute(resume=False, clobber=False, simobserve=False,
+                      dryrun=True)
+        return pline
 
     args = build_parser().parse_args(argv)
     jet_param_file = os.path.abspath(args.model_param_file)

@@ -294,7 +294,7 @@ class Pipeline:
                         timestamp=False)
                     os.makedirs(run.rt_dcy)
 
-                if plot:
+                if plot and run.rt_dcy:
                     from .plotting import functions as pfunc
                     model_plotfile = os.sep.join(
                         [os.path.dirname(run.rt_dcy), "ModelPlot.pdf"])

@@ -25,8 +25,6 @@ cleanly over a device mesh with a trailing psum (see rajepy_tpu.parallel).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

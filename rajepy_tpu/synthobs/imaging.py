@@ -10,7 +10,7 @@ restoring beam fitted to the PSF core.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

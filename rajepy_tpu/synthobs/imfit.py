@@ -10,7 +10,7 @@ parser) read it unchanged.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 from scipy.optimize import least_squares

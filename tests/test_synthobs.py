@@ -229,3 +229,37 @@ class TestEndToEnd:
         # imfit produced a parseable result
         assert run.results.get('imfit') is not None
         assert run.results['imfit']['Peak']['val'] > 0
+
+
+class TestNoiseStatistics:
+    def test_image_rms_matches_radiometer_prediction(self):
+        """Natural-weighted dirty-image noise must follow
+        sigma_img = sigma_vis / sqrt(N_vis) (each visibility contributes
+        its conjugate too, which is what makes the image real — the
+        prediction already accounts for it)."""
+        import jax
+        rng = np.random.default_rng(7)
+        n_vis, n_pix = 5000, 128
+        u = rng.uniform(-4e4, 4e4, n_vis)
+        v = rng.uniform(-4e4, 4e4, n_vis)
+        cell = 1.0 / (8e4 * 8)
+        sigma_vis = 0.5
+        vis = np.zeros(n_vis, dtype=complex)
+        noisy = np.asarray(sampler.add_noise(jax.random.PRNGKey(3),
+                                             jnp.asarray(vis), sigma_vis))
+        w = np.ones(n_vis)
+        dirty, _ = imaging.grid_and_image(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(noisy),
+            jnp.asarray(w), n_pix, cell)
+        dirty = np.asarray(dirty)
+        # exclude the grid-correction-amplified edges
+        core = dirty[n_pix // 4:-n_pix // 4, n_pix // 4:-n_pix // 4]
+        measured = float(np.std(core))
+        predicted = sigma_vis / np.sqrt(n_vis)
+        assert measured == pytest.approx(predicted, rel=0.3)
+
+    def test_thermal_noise_sigma_formula(self):
+        # SEFD 350 Jy, 128 MHz, 60 s -> sigma ~ 3.2 mJy per vis pol
+        s = sampler.thermal_noise_sigma(350.0, 1.28e8, 60.0, eta=1.0)
+        assert s == pytest.approx(350.0 / np.sqrt(2 * 1.28e8 * 60.0),
+                                  rel=1e-12)

@@ -61,13 +61,17 @@ class TestGridParity:
     def test_lz_to_grid_dims(self, model_params):
         ref = _need_reference()
         import RaJePy.maths.geometry as rgeom
-        for lz, dist, opang, w0, r0 in [(0.5, 100., 25., 1., 1.),
-                                        (0.5, 140., 20., 2.5, 2.5),
-                                        (2.0, 120., 25., 1., 1.)]:
+        for lz, dist, opang, w0, r0, inc, pa in [
+                (0.5, 100., 25., 1., 1., 90., 0.),
+                (0.5, 140., 20., 2.5, 2.5, 90., 0.),
+                (2.0, 120., 25., 1., 1., 90., 0.),
+                (1.0, 120., 25., 1., 1., 60., 30.),
+                (1.0, 120., 25., 1., 1., 35., -70.)]:
             p = copy.deepcopy(model_params)
             p['grid']['l_z'] = lz
             p['target']['dist'] = dist
-            p['geometry'].update(opang=opang, w_0=w0, r_0=r0)
+            p['geometry'].update(opang=opang, w_0=w0, r_0=r0, inc=inc,
+                                 pa=pa)
             p['geometry']['mod_r_0'] = float(rgeom.mod_r_0(
                 opang, p['geometry']['epsilon'], w0))
             assert JetModel.lz_to_grid_dims(p) == \

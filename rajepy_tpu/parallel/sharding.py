@@ -114,6 +114,73 @@ def sharded_rt_products(mesh: Mesh, t_0: float, reynolds_gaunt: bool,
     return step
 
 
+def sharded_rrl_tau_maps(mesh: Mesh, coeffs, freqs, temp, n_es, vy, ds_cm,
+                         inside):
+    """Collapsed RRL optical-depth maps on a ('chan', 'los') mesh.
+
+    The most expensive product (the RRL cube, classes.py:1130-1229) sharded
+    both ways: channels split over the 'chan' mesh axis with zero
+    communication; the voxel grid split along the LOS (y) axis, each shard
+    computing its local masked sum, combined with one `psum` over 'los'
+    (SURVEY §5.7's context-parallel analogue).  Returns (n_chan, nx, nz)
+    with the channel axis sharded.
+    """
+    from ..ops import radtrans as rt
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P('chan'), P(None, 'los', None), P(None, 'los', None),
+                       P(None, 'los', None), P(None, 'los', None),
+                       P(None, 'los', None)),
+             out_specs=P('chan', None, None))
+    def step(freqs_l, temp_l, n_es_l, vy_l, ds_l, inside_l):
+        partial_maps = rt.tau_rrl_maps(coeffs, freqs_l, temp_l, n_es_l,
+                                       vy_l, ds_l, inside_l)
+        return jax.lax.psum(partial_maps, 'los')
+
+    return jax.jit(step)(freqs, temp, n_es, vy, ds_cm, inside)
+
+
+def sharded_transfer_scan(mesh: Mesh, source, dtau,
+                          observer_near_y0: bool = False):
+    """Ordered LOS transfer integral sharded along the LOS axis.
+
+    Each LOS shard runs the local ordered scan, producing its shard's
+    emergent intensity I_s and total opacity tau_s; shards compose through
+    the (attenuation, accumulated-intensity) monoid
+
+        I = sum_s I_s * exp(-sum_{t in front of s} tau_t)
+
+    with a single small all_gather of the (nx, nz) shard opacities over
+    'los' — the one genuinely non-trivial collective this workload owns
+    (the LOS analogue of ring/context parallelism for attention).
+
+    Returns (intensity, tau_total), both (nx, nz), replicated; equal to
+    ops.radtrans.transfer_scan / summed dtau on one device.
+    """
+    from ..ops import radtrans as rt
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, 'los', None), P(None, 'los', None)),
+             out_specs=(P(None, None), P(None, None)))
+    def step(src_l, dtau_l):
+        i_loc = rt.transfer_scan(src_l, dtau_l,
+                                 observer_near_y0=observer_near_y0)
+        tau_loc = jnp.sum(dtau_l, axis=LOS_AXIS)
+        idx = jax.lax.axis_index('los')
+        taus = jax.lax.all_gather(tau_loc, 'los')       # (n_shards, nx, nz)
+        n_shards = taus.shape[0]
+        shard_ids = jnp.arange(n_shards)[:, None, None]
+        # shards in front of this one (between it and the observer)
+        in_front = (shard_ids < idx) if observer_near_y0 \
+            else (shard_ids > idx)
+        tau_front = jnp.sum(jnp.where(in_front, taus, 0.0), axis=0)
+        total_i = jax.lax.psum(i_loc * jnp.exp(-tau_front), 'los')
+        total_tau = jax.lax.psum(tau_loc, 'los')
+        return total_i, total_tau
+
+    return jax.jit(step)(source, dtau)
+
+
 def shard_runs(n_runs: int, n_devices: Optional[int] = None):
     """Round-robin assignment of pipeline runs to devices for
     embarrassingly-parallel epoch x frequency fan-out."""

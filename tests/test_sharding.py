@@ -80,6 +80,55 @@ class TestShardedRT:
         np.testing.assert_allclose(
             fluxes, jm.flux_ff(np.asarray(freqs)), rtol=1e-12)
 
+    def test_rrl_tau_sharded_matches_single_device(self, eight_devices,
+                                                   model_params):
+        from rajepy_tpu.ops import radtrans as rt
+        jm = _small_model(model_params)
+        f, n_es, ds = jm._rt_inputs()
+        coeffs = rt.RRLCoeffs('H58a')
+        freqs = jnp.linspace(coeffs.nu0 * 0.9999, coeffs.nu0 * 1.0001, 4)
+        expected = np.asarray(rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es,
+                                              f.vy, ds, f.inside))
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        with mesh:
+            fs = sharding.shard_fields(f, mesh)
+            got = sharding.sharded_rrl_tau_maps(
+                mesh, coeffs,
+                jax.device_put(freqs, sharding.chan_sharding(mesh)),
+                fs.temp,
+                jax.device_put(n_es, sharding.grid_sharding(mesh)),
+                fs.vy,
+                jax.device_put(ds, sharding.grid_sharding(mesh)),
+                fs.inside)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-12)
+
+    @pytest.mark.parametrize('observer_near_y0', [False, True])
+    def test_transfer_scan_sharded_monoid(self, eight_devices, model_params,
+                                          observer_near_y0):
+        """The cross-shard (attenuation, intensity) monoid combine must
+        reproduce the single-device ordered scan exactly."""
+        from rajepy_tpu.ops import radtrans as rt
+        jm = _small_model(model_params)
+        f, n_es, ds = jm._rt_inputs()
+        t_0 = jm.params['properties']['T_0']
+        dtau = rt.tau_ff_cube(jnp.asarray([1e10]), f.temp, n_es, ds,
+                              f.inside, t_0, False)[0]
+        src = jnp.where(f.inside, f.temp, 0.0)
+        expected_i = np.asarray(rt.transfer_scan(
+            src, dtau, observer_near_y0=observer_near_y0))
+        expected_tau = np.asarray(jnp.sum(dtau, axis=1))
+
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        sh = sharding.grid_sharding(mesh)
+        with mesh:
+            inten, tau_tot = sharding.sharded_transfer_scan(
+                mesh, jax.device_put(src, sh), jax.device_put(dtau, sh),
+                observer_near_y0=observer_near_y0)
+        np.testing.assert_allclose(np.asarray(inten), expected_i,
+                                   rtol=1e-10, atol=0.0)
+        np.testing.assert_allclose(np.asarray(tau_tot), expected_tau,
+                                   rtol=1e-12)
+
     def test_shard_runs_round_robin(self, eight_devices):
         assert sharding.shard_runs(10, 4) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
 

@@ -1,24 +1,43 @@
 #!/usr/bin/env python3
-"""Headline benchmark: free-free radiative-transfer throughput at 512^3.
+"""Headline benchmark: the REAL model chain at 512^3 on the default device.
 
-Measures the fused continuum RT step (per-cell opacity + masked LOS
-reduction + brightness-temperature flux maps, all channels) on the default
-JAX device and reports RT cells/sec, compared against a float64 numpy
-oracle implementing the reference's per-channel full-grid algorithm
-(classes.py:1384-1400 + 1449-1541) on this host's CPU.
+Headline metric (the JSON line): per-epoch radiative-transfer throughput of
+the flagship model — burst factor -> electron density -> free-free opacity
+(van Hoof gaunt branch) -> flux maps, 16 channels, on the bundled example
+jet scaled to 512^3 — i.e. the path a user of the reference actually runs
+(classes.py:1353-1541 driven by Pipeline.execute), not synthetic fields.
+
+Secondary numbers (stderr '#' lines): grid-fill wall time, the fused H58a
+RRL cube, and the fused multi-channel emergent ordered scan.
+
+Before any timing, ``pallas_check`` validates every Pallas kernel against
+its XLA formulation ON THE REAL DEVICE at small shapes (interpret-mode CI
+cannot catch Mosaic lowering gaps or f32 constant-folding underflows); a
+kernel regression fails the benchmark loudly.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
+import runpy
 import sys
 import time
 
 import numpy as np
 
+YEAR = 31536000.0
 
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr)
+
+
+# --------------------------------------------------------------------------- #
+# Reference-style numpy baseline (the algorithm being replaced)
+# --------------------------------------------------------------------------- #
 def numpy_baseline_cells_per_sec(n=128, nchan=4):
-    """Reference-style numpy float64 continuum RT (per-channel full-grid
-    elementwise algebra + nansum), cells/sec."""
+    """Reference continuum RT (per-channel full-grid float64 elementwise
+    algebra + nansum, classes.py:1384-1400 + 1449-1541), cells/sec."""
     rng = np.random.default_rng(0)
     shape = (n, n, n)
     inside = rng.random(shape) < 0.1
@@ -41,78 +60,207 @@ def numpy_baseline_cells_per_sec(n=128, nchan=4):
     return n ** 3 * nchan / dt
 
 
-def jax_cells_per_sec(n=512, nchan=8, dtype_name="float32"):
+def _sync(x):
+    """Host transfer: the only reliable barrier through remote device
+    tunnels (block_until_ready can return early through axon)."""
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
+# --------------------------------------------------------------------------- #
+# On-device Pallas kernel validation (must pass before any timing)
+# --------------------------------------------------------------------------- #
+def pallas_check():
     import jax
     import jax.numpy as jnp
+    from rajepy_tpu import constants as cnsts
+    from rajepy_tpu.ops import physics as mphys
+    from rajepy_tpu.ops import radtrans as rt
+    from rajepy_tpu.ops.pallas_kernels import (emergent_ff_pallas,
+                                               transfer_scan_pallas)
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    nx, ny, nz = 16, 48, 128
+    inside = rng.random((nx, ny, nz)) < 0.3
+    temp = np.where(inside, 1e4 * (0.5 + rng.random((nx, ny, nz))),
+                    1.0).astype(np.float32)
+    n_es = np.where(inside, 1e7 * rng.random((nx, ny, nz)),
+                    0.0).astype(np.float32)
+    ds = np.where(inside, 7.5e12, 0.0).astype(np.float32)
+    temp_j, n_es_j, ds_j = map(jnp.asarray, (temp, n_es, ds))
+    inside_j = jnp.asarray(inside)
+    checks = {}
+
+    # 1. ordered LOS scan
+    src = jnp.asarray(rng.random((nx, ny, nz)), f32)
+    dtau = jnp.asarray(0.2 * rng.random((nx, ny, nz)), f32)
+    i_p, t_p = transfer_scan_pallas(src, dtau)
+    i_x = rt.transfer_scan(src, dtau)
+    err = float(jnp.max(jnp.abs(i_p - i_x)) / jnp.max(jnp.abs(i_x)))
+    checks['transfer_scan'] = err
+    assert err < 2e-4, f"transfer_scan_pallas vs XLA: rel err {err:.2e}"
+
+    # 2. fused RRL cube
+    coeffs = rt.RRLCoeffs('H58a')
+    freqs = jnp.linspace(coeffs.nu0 * 0.99995, coeffs.nu0 * 1.00005, 8,
+                         dtype=f32)
+    vy = jnp.asarray(np.where(inside, 2e4 * (rng.random((nx, ny, nz)) - .5),
+                              0.0), f32)
+    t_f = rt.tau_rrl_maps_fused(coeffs, freqs, temp_j, n_es_j, vy, ds_j,
+                                inside_j)
+    t_x = rt.tau_rrl_maps(coeffs, freqs, temp_j, n_es_j, vy, ds_j, inside_j)
+    err = float(jnp.max(jnp.abs(t_f - t_x)) / jnp.max(jnp.abs(t_x)))
+    checks['rrl_cube'] = err
+    assert err < 1e-3, f"rrl_cube_pallas vs XLA: rel err {err:.2e}"
+
+    # 3. fused multi-channel emergent scan
+    cfreqs = np.linspace(1e9, 5e10, 6)
+    base = rt.tau_ff_base(temp_j, n_es_j, ds_j, inside_j, True)
+    scale = rt.tau_ff_channel_scale(jnp.asarray(cfreqs, f32), 1e4, True)
+    cnu = 2.0 * cnsts.H_CGS * cfreqs ** 3 / cnsts.C_CGS ** 2
+    hnuk = cnsts.H_CGS * cfreqs / cnsts.K_CGS
+    i_e, tau_e = emergent_ff_pallas(jnp.asarray(cnu, f32),
+                                    jnp.asarray(hnuk, f32), scale,
+                                    temp_j, base)
+    dtau_c = rt.tau_ff_cube(jnp.asarray(cfreqs, f32), temp_j, n_es_j, ds_j,
+                            inside_j, 1e4, True)
+    src_c = mphys.blackbody_nu(jnp.asarray(cfreqs, f32)[:, None, None, None],
+                               temp_j[None])
+    src_c = jnp.where(inside_j[None], src_c, 0.0)
+    i_ref = jax.jit(jax.vmap(rt.transfer_scan))(src_c, dtau_c)
+    err = float(jnp.max(jnp.abs(i_e - i_ref)) / jnp.max(jnp.abs(i_ref)))
+    checks['emergent_ff'] = err
+    assert err < 5e-4, f"emergent_ff_pallas vs XLA: rel err {err:.2e}"
+
+    log("pallas_check: ok " +
+        " ".join(f"{k}={v:.1e}" for k, v in checks.items()))
+
+
+# --------------------------------------------------------------------------- #
+# The flagship model
+# --------------------------------------------------------------------------- #
+def flagship_model(n):
+    import jax.numpy as jnp
+    from rajepy_tpu import JetModel
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'rajepy_tpu', 'data', 'example-model-params.py')
+    params = runpy.run_path(path)['params']
+    params['grid'].update(n_x=n, n_y=n, n_z=n, l_z=None)
+    return JetModel(params, dtype=jnp.float32)
+
+
+def model_path_bench(jm, nchan=16, n_rep=20):
+    """Per-epoch model chain: chi(t) -> n_e -> tau (van Hoof branch) ->
+    flux maps, all channels, amortised over n_rep epochs on device."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
     from rajepy_tpu.ops import radtrans as rt
 
-    dtype = jnp.dtype(dtype_name)
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    shape = (n, n, n)
-    inside = jax.random.uniform(k1, shape, dtype) < 0.1
-    temp = jnp.where(inside, jnp.asarray(1e4, dtype), 1.0)
-    n_es = jnp.where(inside,
-                     1e7 * jax.random.uniform(k2, shape, dtype), 0.0)
-    ds = jnp.where(inside, jnp.asarray(7.5e12, dtype), 0.0)
-    freqs = jnp.linspace(1e9, 5e10, nchan, dtype=dtype)
-
-    def one_step(freqs, temp, n_es, ds, inside):
-        taus = rt.tau_ff_maps(freqs, temp, n_es, ds, inside, 1e4,
-                              reynolds_gaunt=True)
-        tbar, any_in = rt.mean_temperature_map(temp, inside)
-        return rt.flux_ff_maps(freqs, taus, tbar, any_in, 0.5, 120.0)
-
-    n_rep = 20
+    f = jm._ensure_fields()
+    t_0, reyn, csize, dist = jm._rt_constants()
+    freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
+    dt_epoch = jnp.asarray(0.1 * YEAR, jm._dtype)
 
     @jax.jit
-    def bench_loop(freqs, temp, n_es, ds, inside):
-        # Repeat the full step on device, perturbing the input each
-        # iteration so XLA cannot hoist or CSE the work out of the loop.
-        # Amortises the host<->device sync latency (a ~30 ms floor through
-        # remote device tunnels) over n_rep real executions.
+    def bench_loop(f, freqs, t_start):
         def body(i, acc):
-            scale = 1.0 + 1e-9 * i.astype(dtype)
-            fluxes = one_step(freqs, temp, n_es * scale, ds, inside)
+            t = t_start + i.astype(jm._dtype) * dt_epoch
+            n_es = jm._nd_chi(f, t) * f.xi
+            ds = rt.path_length_cm(f.ff, f.area, csize)
+            taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0,
+                                  reyn)
+            tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+            fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize, dist)
             return acc + jnp.sum(fluxes)
-        return jax.lax.fori_loop(0, n_rep, body,
-                                 jnp.asarray(0.0, dtype))
+        return lax.fori_loop(0, n_rep, body, jnp.asarray(0.0, jm._dtype))
 
-    def sync(x):
-        # host transfer: the only reliable barrier through remote tunnels
-        return float(x)
-
-    sync(bench_loop(freqs, temp, n_es, ds, inside))   # compile + warm-up
+    t_start = jnp.asarray(2.0 * YEAR, jm._dtype)
+    _sync(bench_loop(f, freqs, t_start))  # compile + warm-up
     t0 = time.perf_counter()
-    sync(bench_loop(freqs, temp, n_es, ds, inside))
+    _sync(bench_loop(f, freqs, t_start))
     dt = (time.perf_counter() - t0) / n_rep
-    return n ** 3 * nchan / dt, dt
+    n_cells = jm.nx * jm.ny * jm.nz
+    return n_cells * nchan / dt, dt
+
+
+def rrl_cube_bench(jm, nchan=16):
+    """Fused H58a RRL optical-depth cube through the model's own kernel."""
+    import jax.numpy as jnp
+    from rajepy_tpu.ops import radtrans as rt
+    coeffs = rt.RRLCoeffs('H58a')
+    f = jm._ensure_fields()
+    freqs = jnp.linspace(coeffs.nu0 * 0.9999, coeffs.nu0 * 1.0001, nchan,
+                         dtype=jm._dtype)
+    kern = jm._rrl_kernel('H58a', 'tau')
+    _sync(kern(f, jm.time, freqs))  # compile + warm-up
+    t0 = time.perf_counter()
+    _sync(kern(f, jm.time, freqs))
+    dt = time.perf_counter() - t0
+    return jm.nx * jm.ny * jm.nz * nchan / dt, dt
+
+
+def emergent_bench(jm, nchan=16):
+    """Fused multi-channel emergent ordered scan (beyond-reference mode)."""
+    import jax.numpy as jnp
+    jm.emergent_intensity_ff(np.geomspace(3e8, 3e11, nchan))  # warm-up
+    freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
+    fn = jm._jit_cache[('emergent_ff', jm._use_fused_rrl())]
+    f = jm._ensure_fields()
+    t0 = time.perf_counter()
+    _sync(fn(f, jm.time, freqs))
+    dt = time.perf_counter() - t0
+    return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 
 
 def main():
     import rajepy_tpu  # noqa: F401 — x64 config etc.
     import jax
 
+    log(f"device={jax.devices()[0].device_kind}")
+    pallas_check() if jax.default_backend() == 'tpu' else \
+        log("pallas_check: skipped (non-TPU backend)")
+
     n = 512
-    nchan = 8
+    nchan = 16
     try:
-        ours, dt = jax_cells_per_sec(n=n, nchan=nchan)
+        jm = flagship_model(n)
+        t0 = time.perf_counter()
+        jm._ensure_fields()
+        fill_dt = time.perf_counter() - t0
+        ours, dt = model_path_bench(jm, nchan=nchan)
     except Exception as exc:  # OOM etc. — fall back to a smaller cube
-        print(f"# 512^3 failed ({type(exc).__name__}); retrying at 256^3",
-              file=sys.stderr)
+        log(f"512^3 failed ({type(exc).__name__}: {exc}); retrying at 256^3")
         n = 256
-        ours, dt = jax_cells_per_sec(n=n, nchan=nchan)
+        jm = flagship_model(n)
+        t0 = time.perf_counter()
+        jm._ensure_fields()
+        fill_dt = time.perf_counter() - t0
+        ours, dt = model_path_bench(jm, nchan=nchan)
+    log(f"grid_fill_{n}cube={fill_dt:.2f}s (once per model, cached)")
+    log(f"model_path wall_per_epoch_{nchan}chan={dt * 1e3:.2f}ms")
+
+    try:
+        rrl_rate, rrl_dt = rrl_cube_bench(jm, nchan=nchan)
+        log(f"rrl_cube_H58a_{n}cube_{nchan}chan={rrl_dt * 1e3:.1f}ms "
+            f"({rrl_rate:.3e} cells/s)")
+    except Exception as exc:
+        log(f"rrl_cube bench failed: {type(exc).__name__}: {exc}")
+    try:
+        em_rate, em_dt = emergent_bench(jm, nchan=nchan)
+        log(f"emergent_scan_{n}cube_{nchan}chan={em_dt * 1e3:.1f}ms "
+            f"({em_rate:.3e} cells/s)")
+    except Exception as exc:
+        log(f"emergent bench failed: {type(exc).__name__}: {exc}")
 
     baseline = numpy_baseline_cells_per_sec()
+    log(f"numpy_baseline={baseline:.3e} cells/s")
     print(json.dumps({
-        "metric": f"freefree_rt_cells_per_sec_{n}cube_{nchan}chan",
+        "metric": f"model_path_rt_cells_per_sec_{n}cube_{nchan}chan",
         "value": round(ours, 1),
         "unit": "cells/s",
         "vs_baseline": round(ours / baseline, 2),
     }))
-    print(f"# device={jax.devices()[0].device_kind} "
-          f"wall_per_{nchan}chan_image={dt:.4f}s "
-          f"numpy_baseline={baseline:.3e} cells/s", file=sys.stderr)
 
 
 if __name__ == "__main__":

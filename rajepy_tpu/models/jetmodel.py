@@ -778,19 +778,31 @@ class JetModel:
             def kernel(f, t, freqs):
                 n_es = self._nd_chi(f, t) * f.xi
                 ds = rt.path_length_cm(f.ff, f.area, csize)
+                if use_pallas:
+                    # fused multi-channel streaming scan: exploits the
+                    # continuum factorisation dtau = scale(nu) * base(cell)
+                    # so no (n_chan, nx, ny, nz) cube is ever materialised
+                    from ..ops.pallas_kernels import emergent_ff_pallas
+                    f32 = jnp.float32
+                    base = rt.tau_ff_base(f.temp, n_es, ds, f.inside, reyn)
+                    scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+                    freqs64 = freqs.astype(jnp.float64)
+                    cnu = (2.0 * cnsts.H_CGS * freqs64 ** 3 /
+                           cnsts.C_CGS ** 2)
+                    hnuk = cnsts.H_CGS * freqs64 / cnsts.K_CGS
+                    safe_t = jnp.where(f.inside, f.temp, 1.0)
+                    inten, _ = emergent_ff_pallas(
+                        cnu.astype(f32), hnuk.astype(f32),
+                        scale.astype(f32), safe_t.astype(f32),
+                        base.astype(f32))
+                    return inten * 1e-7 * 1e4
+                # XLA formulation: channel axis vmapped over the 3-D scan
                 dtau = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside,
                                       t_0, reyn)
                 src = mphys.blackbody_nu(
                     freqs[:, None, None, None],
                     jnp.where(f.inside, f.temp, 1.0)[None])
                 src = jnp.where(f.inside[None], src, 0.0)
-                if use_pallas:
-                    # streaming Pallas scan (one VMEM pass per tile)
-                    from ..ops.pallas_kernels import transfer_scan_pallas
-                    outs = [transfer_scan_pallas(src[c], dtau[c])[0]
-                            for c in range(src.shape[0])]
-                    return jnp.stack(outs) * 1e-7 * 1e4
-                # XLA formulation: channel axis vmapped over the 3-D scan
                 scan = jax.vmap(rt.transfer_scan)
                 return scan(src, dtau) * 1e-7 * 1e4
             return kernel

@@ -118,6 +118,121 @@ def transfer_scan_pallas(source, dtau, observer_near_y0: bool = False,
     return inten[:nx, :nz], tau[:nx, :nz]
 
 
+def _expm1_pos(x):
+    """Numerically stable exp(x) - 1 for x >= 0 inside Mosaic kernels
+    (no expm1 lowering): 3-term Taylor below the cancellation threshold."""
+    small = x < 1e-3
+    x_safe = jnp.where(small, 0.0, x)
+    taylor = x * (1.0 + x * (0.5 + x * (1.0 / 6.0)))
+    return jnp.where(small, taylor, jnp.exp(x_safe) - 1.0)
+
+
+def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
+                     i_ref, tau_ref, tau_acc, *, n_chan: int, yc: int):
+    """Grid = (x tiles, z tiles, y chunks), y fastest.  The per-channel
+    output block (n_chan, bx, bz) and the tau_acc scratch carry the ordered
+    scan state across y chunks; the (bx, yc, bz) temperature and
+    frequency-independent opacity slabs stream through VMEM once for the
+    WHOLE channel axis.  The blackbody source function is evaluated
+    in-register per (cell, channel) from the SMEM per-channel constants
+    cnu = 2 h nu^3 / c^2 [cgs] and hnuk = h nu / k_B, so no
+    (n_chan, nx, ny, nz) source or opacity cube ever exists in HBM."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        i_ref[...] = jnp.zeros_like(i_ref)
+        tau_acc[...] = jnp.zeros_like(tau_acc)
+
+    def channel(c, _):
+        scale = tscale_ref[c]
+        cnu = cnu_ref[c]
+        hnuk = hnuk_ref[c]
+
+        def body(j, carry):
+            tau_a, inten = carry
+            d = dtau_ref[:, j, :] * scale
+            src = cnu / _expm1_pos(hnuk / temp_ref[:, j, :])
+            inten = inten + src * jnp.exp(-tau_a) * _one_minus_exp_neg(d)
+            return tau_a + d, inten
+
+        tau_a, inten = lax.fori_loop(jnp.int32(0), jnp.int32(yc), body,
+                                     (tau_acc[c], i_ref[c]))
+        tau_acc[c] = tau_a
+        i_ref[c] = inten
+        tau_ref[c] = tau_a
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('observer_near_y0', 'block_x',
+                                    'block_z', 'y_chunk', 'interpret'))
+def emergent_ff_pallas(cnu, hnuk, tau_scale, temp, dtau_base,
+                       observer_near_y0: bool = False,
+                       block_x: int = 8, block_z: int = 128,
+                       y_chunk: int = 128, interpret: bool = False):
+    """Multi-channel emergent free-free intensity + total optical depth.
+
+    Exploits the continuum factorisation dtau(nu) = tau_scale[nu] *
+    dtau_base[cell] (ops.radtrans.tau_ff_cube) so the whole channel axis is
+    produced in ONE kernel pass over the grid — O(N^3) HBM traffic instead
+    of the O(n_chan N^3) cube the per-channel formulation
+    (models/jetmodel.py emergent_intensity_ff) would materialise.
+
+    Args:
+      cnu:       (n_chan,) blackbody prefactor 2 h nu^3 / c^2 [cgs]
+      hnuk:      (n_chan,) h nu / k_B [K]
+      tau_scale: (n_chan,) per-channel opacity multiplier
+      temp:      (nx, ny, nz) temperature, safe (>0) outside the jet
+      dtau_base: (nx, ny, nz) frequency-independent opacity, 0 outside
+
+    Returns (intensity, tau_total): (n_chan, nx, nz) cgs intensity and
+    optical-depth maps.
+    """
+    n_chan = int(cnu.shape[0])
+    nx, ny, nz = temp.shape
+    if not observer_near_y0:
+        temp = jnp.flip(temp, axis=1)
+        dtau_base = jnp.flip(dtau_base, axis=1)
+    bx = min(block_x, nx)
+    bz = min(block_z, nz)
+    yc = min(y_chunk, ny)
+    pad_x = (-nx) % bx
+    pad_z = (-nz) % bz
+    pad_y = (-ny) % yc
+    if pad_x or pad_z or pad_y:
+        pads = ((0, pad_x), (0, pad_y), (0, pad_z))
+        temp = jnp.pad(temp, pads, constant_values=1.0)
+        dtau_base = jnp.pad(dtau_base, pads)  # zero dtau: no contribution
+    nxp, nyp, nzp = temp.shape
+
+    kernel = functools.partial(_emergent_kernel, n_chan=n_chan, yc=yc)
+    grid = (nxp // bx, nzp // bz, nyp // yc)
+    cell_spec = pl.BlockSpec((bx, yc, bz), lambda i, j, k: (i, k, j),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    chan_spec = pl.BlockSpec(memory_space=pl.ANY if interpret
+                             else pltpu.SMEM)
+    out_spec = pl.BlockSpec((n_chan, bx, bz), lambda i, j, k: (0, i, j),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_chan, nxp, nzp), temp.dtype),
+                 jax.ShapeDtypeStruct((n_chan, nxp, nzp), temp.dtype)]
+    with jax.enable_x64(False):
+        inten, tau = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=[chan_spec] * 3 + [cell_spec] * 2,
+            out_specs=[out_spec, out_spec],
+            scratch_shapes=[pltpu.VMEM((n_chan, bx, bz), temp.dtype)],
+            interpret=interpret,
+        )(cnu, hnuk, tau_scale, temp, dtau_base)
+    return inten[:, :nx, :nz], tau[:, :nx, :nz]
+
+
 # --------------------------------------------------------------------------- #
 # Fused RRL opacity cube
 # --------------------------------------------------------------------------- #

@@ -26,6 +26,50 @@ def test_matches_xla(shape, observer_near_y0):
                                rtol=2e-5)
 
 
+@pytest.mark.parametrize("reynolds_gaunt", [True, False])
+def test_emergent_ff_multichannel_matches_xla(reynolds_gaunt):
+    """The fused multi-channel emergent kernel (one grid pass for the whole
+    channel axis) vs the f64 XLA cube formulation."""
+    import jax
+    from rajepy_tpu import constants as cnsts
+    from rajepy_tpu.ops import physics as mphys
+    from rajepy_tpu.ops.pallas_kernels import emergent_ff_pallas
+
+    rng = np.random.default_rng(1)
+    nx, ny, nz = 12, 40, 130
+    inside = rng.random((nx, ny, nz)) < 0.3
+    temp = np.where(inside, 1e4 * (0.5 + rng.random((nx, ny, nz))), 1.0)
+    n_es = np.where(inside, 1e7 * rng.random((nx, ny, nz)), 0.0)
+    ds = np.where(inside, 7.5e12, 0.0)
+    freqs = np.linspace(1e9, 5e10, 5)
+    t_0 = 1e4
+
+    base = rt.tau_ff_base(jnp.asarray(temp), jnp.asarray(n_es),
+                          jnp.asarray(ds), jnp.asarray(inside),
+                          reynolds_gaunt)
+    scale = rt.tau_ff_channel_scale(jnp.asarray(freqs), t_0, reynolds_gaunt)
+    cnu = 2.0 * cnsts.H_CGS * freqs ** 3 / cnsts.C_CGS ** 2
+    hnuk = cnsts.H_CGS * freqs / cnsts.K_CGS
+    f32 = jnp.float32
+    inten, tau = emergent_ff_pallas(
+        jnp.asarray(cnu, f32), jnp.asarray(hnuk, f32), scale.astype(f32),
+        jnp.asarray(temp, f32), base.astype(f32), interpret=True)
+
+    dtau = rt.tau_ff_cube(jnp.asarray(freqs), jnp.asarray(temp),
+                          jnp.asarray(n_es), jnp.asarray(ds),
+                          jnp.asarray(inside), t_0, reynolds_gaunt)
+    src = mphys.blackbody_nu(jnp.asarray(freqs)[:, None, None, None],
+                             jnp.asarray(temp)[None])
+    src = jnp.where(jnp.asarray(inside)[None], src, 0.0)
+    ref_i = np.asarray(jax.vmap(rt.transfer_scan)(src, dtau))
+    ref_tau = np.asarray(jnp.sum(dtau, axis=2))
+    assert ref_i.max() > 0
+    np.testing.assert_allclose(np.asarray(inten), ref_i,
+                               atol=5e-5 * ref_i.max(), rtol=0)
+    np.testing.assert_allclose(np.asarray(tau), ref_tau,
+                               atol=5e-6 * ref_tau.max(), rtol=0)
+
+
 def test_opaque_limit():
     # an opaque cell near the observer hides everything behind it
     shape = (8, 16, 128)

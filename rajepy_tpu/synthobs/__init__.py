@@ -143,35 +143,31 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     t_int_eff = run.t_int * max(n_int_true / max(n_samp, 1), 1.0)
     sigma = sampler.thermal_noise_sigma(sefd_val, run.chanwidth, t_int_eff)
 
-    vis_clean = np.empty((n_chan, uvw.shape[0]), dtype=complex)
-    vis_noisy = np.empty_like(vis_clean)
+    # all channels batched on device: FFT each channel's sky plane, apply
+    # its own Gaussian primary beam (the role of CASA's vpmanager PB,
+    # casa/_interface.py:17-27) and sample at its own uv wavelengths
     mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
-    for c in range(n_chan):
-        u_wav = uvw[:, 0] / lam[c]
-        v_wav = uvw[:, 1] / lam[c]
-        img = sky[c]
-        if apply_pb:
-            # Gaussian primary-beam attenuation of the sky model (the role
-            # of CASA's vpmanager PB, casa/_interface.py:17-27)
-            img = img * sampler.primary_beam(
-                img.shape[0], img.shape[1], cell_model_rad, freqs[c],
-                mean_dish)
-        v = sampler.sample_vis(jnp.asarray(img), cell_model_rad,
-                               jnp.asarray(u_wav), jnp.asarray(v_wav))
-        key, sub = jax.random.split(key)
-        vn = sampler.add_noise(sub, v, sigma)
-        vis_clean[c] = np.asarray(v)
-        vis_noisy[c] = np.asarray(vn)
+    vis_clean_j = sampler.sample_vis_cube(
+        jnp.asarray(sky), cell_model_rad, jnp.asarray(uvw),
+        jnp.asarray(freqs), apply_pb=apply_pb,
+        dish_diameter_m=mean_dish)
+    key, sub = jax.random.split(key)
+    vis_noisy_j = sampler.add_noise(sub, vis_clean_j, sigma)
+    vis_clean = np.asarray(vis_clean_j)
+    vis_noisy = np.asarray(vis_noisy_j)
 
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
     # per-channel cube (RRL)
     cube_mode = run.obs_type != 'continuum'
 
+    if weighting not in ('briggs', 'uniform', 'natural'):
+        raise ValueError(f"unknown weighting {weighting!r}")
+
     def image_channels(chan_idx):
-        us = np.concatenate([uvw[:, 0] / lam[c] for c in chan_idx])
-        vs = np.concatenate([uvw[:, 1] / lam[c] for c in chan_idx])
-        vv = np.concatenate([vis_noisy[c] for c in chan_idx])
+        us = (uvw[None, :, 0] / lam[chan_idx, None]).ravel()
+        vs = (uvw[None, :, 1] / lam[chan_idx, None]).ravel()
+        vv = vis_noisy[chan_idx].ravel()
         w0 = np.ones_like(us)
         if weighting == 'briggs':
             wb = np.asarray(imaging.briggs_weights(
@@ -181,10 +177,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             wb = np.asarray(imaging.briggs_weights(
                 jnp.asarray(us), jnp.asarray(vs), jnp.asarray(w0), imsize,
                 cell_rad, robust=-2.0))
-        elif weighting == 'natural':
-            wb = w0
         else:
-            raise ValueError(f"unknown weighting {weighting!r}")
+            wb = w0
         dirty, psf = imaging.grid_and_image(
             jnp.asarray(us), jnp.asarray(vs), jnp.asarray(vv),
             jnp.asarray(wb), imsize, cell_rad)
@@ -201,25 +195,34 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     mask[max(c0 - half_y, 0):c0 + half_y,
          max(c0 - half_x, 0):c0 + half_x] = 1.0
 
-    groups = [[c] for c in range(n_chan)] if cube_mode \
-        else [list(range(n_chan))]
-    restored_cube = []
-    beam = None
-    for grp in groups:
-        dirty, psf = image_channels(grp)
-        # nsigma threshold from the dirty image's masked-out region
+    if cube_mode:
+        # common restoring beam fitted to the central channel's PSF
+        # (tclean 'commonbeam' behaviour), then every channel — weighting,
+        # gridding, FFT, CLEAN, restoration — in ONE device-side program
+        _, psf0 = image_channels(np.asarray([n_chan // 2]))
+        beam = imaging.fit_psf_beam(psf0, cell_rad)
+        beam_kernel = imaging.gaussian_beam_kernel(
+            imsize, cell_rad, beam[0], beam[1], beam[2])
+        restored_j, _dirty_j = imaging.clean_cube(
+            jnp.asarray(uvw[:, :2]), jnp.asarray(freqs),
+            jnp.asarray(vis_noisy), jnp.ones(uvw.shape[0]), imsize,
+            cell_rad, jnp.asarray(mask), jnp.asarray(beam_kernel),
+            weighting=weighting, robust=robust, gain=0.1, niter=niter,
+            nsigma=nsigma)
+        restored_cube = np.asarray(restored_j)
+    else:
+        # multi-frequency synthesis: all channels on one grid
+        dirty, psf = image_channels(np.arange(n_chan))
         outside = dirty[mask == 0]
         rms = float(np.std(outside)) if outside.size else 0.0
         mdl, resid, its = imaging.hogbom_clean(
             jnp.asarray(dirty), jnp.asarray(psf), jnp.asarray(mask),
             gain=0.1, niter=niter, threshold=nsigma * rms)
-        if beam is None:
-            beam = imaging.fit_psf_beam(psf, cell_rad)
-            beam_kernel = imaging.gaussian_beam_kernel(
-                imsize, cell_rad, beam[0], beam[1], beam[2])
-        restored = np.asarray(imaging.restore(mdl, resid, beam_kernel))
-        restored_cube.append(restored)
-    restored_cube = np.stack(restored_cube)
+        beam = imaging.fit_psf_beam(psf, cell_rad)
+        beam_kernel = imaging.gaussian_beam_kernel(
+            imsize, cell_rad, beam[0], beam[1], beam[2])
+        restored_cube = np.asarray(
+            imaging.restore(mdl, resid, beam_kernel))[None]
     bmaj_rad, bmin_rad, bpa_deg = beam
 
     # --- products -------------------------------------------------------- #

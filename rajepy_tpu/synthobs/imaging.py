@@ -159,6 +159,64 @@ def hogbom_clean(dirty, psf, mask, gain: float = 0.1, niter: int = 500,
     return model, residual, its
 
 
+@partial(jax.jit, static_argnames=('n_pix', 'weighting', 'niter'))
+def clean_cube(uvw_m, freqs, vis, weights, n_pix: int, cell_rad: float,
+               mask, beam_kernel, weighting: str = 'briggs',
+               robust: float = 0.5, gain: float = 0.1, niter: int = 500,
+               nsigma: float = 3.0):
+    """Per-channel imaging of a visibility cube as ONE compiled program.
+
+    The scalable replacement for tclean's ``specmode='cube'``
+    (classes.py:2771-2782): for every channel — weighting, convolutional
+    gridding, FFT dirty image/PSF, an nsigma threshold from the dirty
+    image's out-of-mask RMS, Hogbom CLEAN and Gaussian restoration — runs
+    inside a device-side ``lax.map`` over the channel axis, so a
+    1,000-channel RRL cube is one dispatch, not 1,000 host iterations.
+    The per-channel uv wavelengths are derived in-device from the shared
+    uvw metres (no (n_chan, n_vis) coordinate cube in host memory).
+
+    Args:
+      uvw_m:  (n_vis, >=2) baseline coordinates [m]
+      freqs:  (n_chan,) channel frequencies [Hz]
+      vis:    (n_chan, n_vis) complex visibilities [Jy]
+      weights:(n_vis,) base (natural) visibility weights
+      mask:   (n_pix, n_pix) CLEAN box
+      beam_kernel: (n_pix, n_pix) unit-peak restoring beam (common beam)
+
+    Returns (restored, dirty): both (n_chan, n_pix, n_pix) [Jy/beam].
+    """
+    c = 299792458.0
+    inv_mask = 1.0 - mask
+    n_out = jnp.maximum(jnp.sum(inv_mask), 1.0)
+    fkern = jnp.fft.rfft2(jnp.fft.ifftshift(jnp.asarray(beam_kernel)))
+
+    def one_channel(args):
+        freq, vv = args
+        lam = c / freq
+        u_wav = uvw_m[:, 0] / lam
+        v_wav = uvw_m[:, 1] / lam
+        if weighting == 'briggs':
+            wb = briggs_weights(u_wav, v_wav, weights, n_pix, cell_rad,
+                                robust=robust)
+        elif weighting == 'uniform':
+            wb = briggs_weights(u_wav, v_wav, weights, n_pix, cell_rad,
+                                robust=-2.0)
+        else:  # natural
+            wb = weights
+        dirty, psf = grid_and_image(u_wav, v_wav, vv, wb, n_pix, cell_rad)
+        mean_out = jnp.sum(dirty * inv_mask) / n_out
+        rms = jnp.sqrt(jnp.sum(((dirty - mean_out) * inv_mask) ** 2) /
+                       n_out)
+        mdl, resid, _ = hogbom_clean(dirty, psf, mask, gain=gain,
+                                     niter=niter,
+                                     threshold=nsigma * rms)
+        conv = jnp.fft.irfft2(jnp.fft.rfft2(mdl) * fkern,
+                              s=(n_pix, n_pix))
+        return conv + resid, dirty
+
+    return jax.lax.map(one_channel, (jnp.asarray(freqs), jnp.asarray(vis)))
+
+
 def fit_psf_beam(psf, cell_rad: float) -> Tuple[float, float, float]:
     """Fit an elliptical Gaussian to the PSF main lobe.
 

@@ -89,6 +89,45 @@ def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
     return re + 1j * im
 
 
+@partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size'))
+def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
+                    dish_diameter_m: float = 25.0, pad: int = _PAD,
+                    batch_size: int = 4):
+    """Channel-batched visibility sampling: (n_chan, n_vis) complex.
+
+    The scalable replacement for looping :func:`sample_vis` per channel in
+    host Python (one compiled program, channels iterated on device — the
+    1,000-channel RRL default of data/example-pipeline-params.py runs
+    without 1,000 dispatches).  Each channel FFTs ITS OWN sky plane,
+    applies the Gaussian primary beam at its own frequency in-device, and
+    samples at uvw metres scaled to its own wavelength; ``batch_size``
+    channels are vmapped per step to fill the chip.
+
+    Args:
+      sky:   (n_chan, ny, nx) sky cube [Jy/pixel]
+      uvw:   (n_vis, >=2) baseline coordinates [m]
+      freqs: (n_chan,) channel frequencies [Hz]
+    """
+    sky = jnp.asarray(sky)
+    ny, nx = sky.shape[-2:]
+    c = 299792458.0
+    yy = (jnp.arange(ny) - ny // 2) * cell_rad
+    xx = (jnp.arange(nx) - nx // 2) * cell_rad
+    r2 = yy[:, None] ** 2 + xx[None, :] ** 2
+
+    def one_channel(args):
+        img, freq = args
+        lam = c / freq
+        if apply_pb:
+            fwhm = 1.2 * lam / dish_diameter_m
+            img = img * jnp.exp(-4.0 * jnp.log(2.0) * r2 / fwhm ** 2)
+        return sample_vis(img, cell_rad, uvw[:, 0] / lam, uvw[:, 1] / lam,
+                          pad=pad)
+
+    return jax.lax.map(one_channel, (sky, jnp.asarray(freqs)),
+                       batch_size=min(batch_size, sky.shape[0]))
+
+
 def primary_beam(n_y: int, n_x: int, cell_rad: float, freq_hz: float,
                  dish_diameter_m: float) -> np.ndarray:
     """Gaussian primary-beam attenuation pattern over the sky-model grid:

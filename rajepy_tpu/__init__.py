@@ -34,10 +34,10 @@ from .utils.logger import Log               # noqa: E402
 from .utils import logger                   # noqa: E402  (Log export fix,
 #                                                  SURVEY §1 L8)
 from .models.jetmodel import JetModel       # noqa: E402
-from .models.runs import ContinuumRun, RRLRun  # noqa: E402
+from .models.runs import ContinuumRun, Pointing, RRLRun  # noqa: E402
 from .pipeline import Pipeline              # noqa: E402
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["JetModel", "Pipeline", "ContinuumRun", "RRLRun", "Log",
-           "logger", "cnsts", "cfg", "__version__"]
+__all__ = ["JetModel", "Pipeline", "ContinuumRun", "RRLRun", "Pointing",
+           "Log", "logger", "cnsts", "cfg", "__version__"]

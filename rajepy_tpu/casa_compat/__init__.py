@@ -10,10 +10,12 @@ calls omitting defaulted parameters, and a :class:`Script` collector
 when a ``casa`` binary is on PATH, runs it with the reference's exact
 invocation flags.
 """
-from .tasks import (AddGaussPBresponse, Chdir, Concat, Exportfits, Imfit,
+from .tasks import (AddGaussPBresponse, Chdir, Concat, Exportfits, IaClose,
+                    IaMaskhandler, IaOpen, IaPad, IaRestoringbeam, Imfit,
                     Immath, Mkdir, Rmdir, Simobserve, Tclean)
 from .script import Script
 
 __all__ = ['Script', 'Simobserve', 'Tclean', 'Exportfits', 'Concat',
-           'Imfit', 'Immath', 'Chdir', 'Mkdir', 'Rmdir',
+           'Imfit', 'Immath', 'Chdir', 'Mkdir', 'Rmdir', 'IaClose',
+           'IaMaskhandler', 'IaOpen', 'IaPad', 'IaRestoringbeam',
            'AddGaussPBresponse']

@@ -164,6 +164,43 @@ class Immath(CasaTask):
     }
 
 
+class IaClose(CasaTask):
+    """Close CASA's image-analysis (ia) tool (tasks.py:413-421)."""
+    NAME = 'ia.close'
+    PARAMS: Dict = {}
+
+
+class IaMaskhandler(CasaTask):
+    """Set/delete/copy masks of an ia-attached image (tasks.py:424-430)."""
+    NAME = 'ia.maskhandler'
+    PARAMS = {'op': (str, 'default'), 'name': ((str, list), [])}
+
+
+class IaOpen(CasaTask):
+    """Attach the ia tool to an image (tasks.py:433-442)."""
+    NAME = 'ia.open'
+    PARAMS = {'infile': (str, ''), 'cache': (bool, True)}
+
+
+class IaPad(CasaTask):
+    """Pad an ia-attached image by npixels per side (tasks.py:445-463)."""
+    NAME = 'ia.pad'
+    PARAMS = {
+        'outfile': (str, ''), 'npixels': (int, 1), 'value': (int, 0),
+        'padmask': (bool, False), 'overwrite': (bool, False),
+        'region': (str, ''), 'box': (str, ''), 'chans': (str, ''),
+        'stokes': (str, ''), 'mask': (str, ''), 'stretch': (bool, False),
+        'wantreturn': (bool, True),
+    }
+
+
+class IaRestoringbeam(CasaTask):
+    """Get the restoring beam(s) of an ia-attached image
+    (tasks.py:466-477)."""
+    NAME = 'ia.restoringbeam'
+    PARAMS = {'channel': (int, -1), 'polarization': (int, -1)}
+
+
 class Chdir(CasaTask):
     """os.chdir emitted into the script (tasks.py:320-331)."""
     NAME = 'os.chdir'
@@ -191,4 +228,12 @@ class AddGaussPBresponse(CasaTask):
         'telescope': (str, 'OTHER'), 'othertelescope': (str, ''),
         'halfwidth': (str, '0.5deg'), 'maxrad': (str, '1.0deg'),
         'reffreq': (str, '1.0GHz'), 'dopb': (bool, True),
+        'isthispb': (str, 'PB'),
+        'squintdir': (dict, {'m0': {'unit': 'rad', 'value': 0.0},
+                             'm1': {'unit': 'rad', 'value': 0.0},
+                             'refer': 'J2000', 'type': 'direction'}),
+        'squintreffreq': (dict, {'unit': 'GHz', 'value': 1.0}),
+        'dosquint': (bool, False),
+        'paincrement': (dict, {'unit': 'deg', 'value': 720.0}),
+        'usesymmetricbeam': (bool, False),
     }

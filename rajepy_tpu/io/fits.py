@@ -33,8 +33,25 @@ def _format_value(value) -> str:
         v = float(value)
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
-        return repr(v).upper().replace('E', 'E')
+        # fixed-width scientific, 17 significant digits: round-trips any
+        # float64 exactly and never overflows the card
+        return f"{v:.16E}"
     raise TypeError(f"unsupported FITS header value type: {type(value)}")
+
+
+def _chunk_string(value: str, limit: int = 66) -> List[str]:
+    """Split so each chunk's quote-escaped form fits a CONTINUE card."""
+    chunks: List[str] = []
+    cur, cur_len = '', 0
+    for ch in value:
+        el = 2 if ch == "'" else 1
+        if cur_len + el > limit:
+            chunks.append(cur)
+            cur, cur_len = '', 0
+        cur += ch
+        cur_len += el
+    chunks.append(cur)
+    return chunks
 
 
 def _card(key: str, value=None, comment: str = '') -> str:
@@ -50,6 +67,28 @@ def _card(key: str, value=None, comment: str = '') -> str:
     if comment:
         body += f" / {comment}"
     return body[:CARD].ljust(CARD)
+
+
+def _render_card(key: str, value=None, comment: str = '') -> List[str]:
+    """One or more 80-char cards for (key, value): long string values use
+    the CONTINUE convention ('&'-terminated chunks) instead of being
+    silently truncated."""
+    if (isinstance(value, str) and key.upper() not in
+            ('COMMENT', 'HISTORY', 'END', '') and
+            len(value.replace("'", "''")) > 67):
+        chunks = _chunk_string(value)
+        cards = []
+        for i, chunk in enumerate(chunks):
+            esc = chunk.replace("'", "''")
+            amp = '&' if i + 1 < len(chunks) else ''
+            text = "'" + esc + amp + "'"
+            if i == 0:
+                cards.append(f"{key.upper()[:8]:<8}= {text}"
+                             [:CARD].ljust(CARD))
+            else:
+                cards.append(f"CONTINUE  {text}"[:CARD].ljust(CARD))
+        return cards
+    return [_card(key, value, comment)]
 
 
 class Header:
@@ -143,7 +182,7 @@ def write_fits(filename: str, data: np.ndarray,
             if key in ('COMMENT', 'HISTORY'):
                 cards.append(_card(key, value))
             else:
-                cards.append(_card(key, value, comment))
+                cards.extend(_render_card(key, value, comment))
     cards.append(_card('END'))
 
     header_bytes = ''.join(cards).encode('ascii')
@@ -160,7 +199,7 @@ def write_fits(filename: str, data: np.ndarray,
 def _parse_value(raw: str):
     raw = raw.strip()
     if raw.startswith("'"):
-        return raw[1:raw.rindex("'")].rstrip()
+        return raw[1:raw.rindex("'")].rstrip().replace("''", "'")
     if raw == 'T':
         return True
     if raw == 'F':
@@ -198,6 +237,17 @@ def read_fits(filename: str) -> Tuple[np.ndarray, Header]:
                 continue
             if key in ('COMMENT', 'HISTORY'):
                 header._cards.append((key, card[8:].rstrip(), ''))
+                continue
+            if key == 'CONTINUE':
+                # long-string continuation: append to the preceding
+                # '&'-terminated string value
+                rest = card[8:].strip()
+                if rest.startswith("'") and header._cards:
+                    chunk = _parse_value(rest)
+                    pk, pv, pc = header._cards[-1]
+                    if isinstance(pv, str) and pv.endswith('&'):
+                        joined = pv[:-1] + chunk
+                        header._cards[-1] = (pk, joined, pc)
                 continue
             if card[8:10] != '= ':
                 continue

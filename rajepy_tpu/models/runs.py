@@ -237,3 +237,70 @@ class RRLRun(ContinuumRun):
     def _fits_path(self, prefix: str) -> str:
         return self.rt_dcy + os.sep + '_'.join(
             [prefix, 'Day' + str(self.day), self.line]) + '.fits'
+
+
+class Pointing:
+    """A single telescope pointing: time, coordinates, duration
+    (classes.py:3185-3233).  Vestigial in the reference's own pipeline but
+    part of its public API; rebuilt astropy-free on ops.astronomy's
+    sexagesimal parsers.
+    """
+
+    def __init__(self, time_, ra, dec, duration, epoch: str = 'J2000'):
+        from ..ops import astronomy as astro
+        self._time = time_
+        self._duration = duration
+        if epoch not in ('J2000', 'B1950'):
+            raise ValueError("epoch, {}, is unsupported. Must be J2000 or "
+                             "B1950".format(epoch))
+        self._epoch = epoch
+        self._ra_deg = astro.parse_ra(ra)
+        self._dec_deg = astro.parse_dec(dec)
+
+    @property
+    def time(self):
+        return self._time
+
+    @property
+    def ra(self) -> str:
+        """'hhhmmss.ssss'-style right ascension (classes.py:3209-3214)."""
+        hours = self._ra_deg / 15.0
+        h = int(hours)
+        m = int((hours - h) * 60.0)
+        s = (hours - h - m / 60.0) * 3600.0
+        if s >= 59.99995:  # carry rounding like the reference's hms floats
+            s = 0.0
+            m += 1
+        if m == 60:
+            m = 0
+            h += 1
+        return '{:02.0f}h{:02.0f}m{:07.4f}'.format(h, m, s)
+
+    @property
+    def dec(self) -> str:
+        """'+ddmmss.sss'-style declination (classes.py:3216-3221)."""
+        sign = '-' if self._dec_deg < 0 else '+'
+        adeg = abs(self._dec_deg)
+        d = int(adeg)
+        m = int((adeg - d) * 60.0)
+        s = (adeg - d - m / 60.0) * 3600.0
+        if s >= 59.9995:
+            s = 0.0
+            m += 1
+        if m == 60:
+            m = 0
+            d += 1
+        return '{}{:02.0f}d{:02.0f}m{:06.3f}'.format(sign, d, m, s)
+
+    @property
+    def duration(self):
+        return self._duration
+
+    @property
+    def epoch(self) -> str:
+        return self._epoch
+
+    @property
+    def coord(self):
+        """(ra_deg, dec_deg) — in place of the reference's SkyCoord."""
+        return (self._ra_deg, self._dec_deg)

@@ -102,13 +102,44 @@ def model_plot(jm, show_plot: bool = False,
     _finish(fig, show_plot, savefig)
 
 
+def _load_run_map(path):
+    """A 2-D map from a pipeline-product FITS file (central channel of a
+    cube)."""
+    from ..io import fits as fitsio
+    data, hdr = fitsio.read_fits(path)
+    while data.ndim > 2:
+        data = data[data.shape[0] // 2]
+    # FITS layout is [dec, ra]; the plotting body below expects [ra, dec]
+    # (model-grid layout) and transposes before imshow
+    return data.T, hdr
+
+
 def rt_plot(jm, freq: float = None, percentile: float = 5.0,
             show_plot: bool = False, savefig: Union[bool, str] = False):
     """3 panels: flux, optical depth, emission measure at ``freq``
-    (functions.py:695-861).  Also accepts a run object in place of
-    (jm, freq) for plotting from pipeline products."""
-    if freq is None and hasattr(jm, 'freq'):  # a run object
-        raise TypeError("rt_plot requires (JetModel, freq)")
+    (functions.py:695-861).
+
+    Accepts either ``(JetModel, freq)`` — products computed on the fly —
+    or a run object: ``rt_plot(run)`` loads the run's saved
+    ``fits_flux``/``fits_tau``/``fits_em`` products, and
+    ``rt_plot(jm, run)`` reads the frequency off the run.
+    """
+    if freq is not None and hasattr(freq, 'freq'):  # (jm, run)
+        freq = freq.freq
+    if freq is None and hasattr(jm, 'fits_flux'):   # a run object alone
+        run = jm
+        flux, hdr = _load_run_map(run.fits_flux)
+        tau, _ = _load_run_map(run.fits_tau)
+        em, _ = _load_run_map(run.fits_em)
+        arcsec_pp = abs(float(hdr['CDELT2'])) * 3600.0
+        half_x = flux.shape[0] / 2 * arcsec_pp
+        half_z = flux.shape[1] / 2 * arcsec_pp
+        extent = (-half_x, half_x, -half_z, half_z)
+        return _rt_plot_body(flux, tau, em, extent, percentile, show_plot,
+                             savefig)
+    if freq is None:
+        raise TypeError("rt_plot requires (JetModel, freq) or a run "
+                        "object with saved RT products")
     flux = jm.flux_ff(freq)
     tau = jm.optical_depth_ff(freq)
     em = jm.emission_measure()
@@ -119,6 +150,11 @@ def rt_plot(jm, freq: float = None, percentile: float = 5.0,
     half_x = jm.nx / 2 * arcsec_pp
     half_z = jm.nz / 2 * arcsec_pp
     extent = (-half_x, half_x, -half_z, half_z)
+    return _rt_plot_body(flux, tau, em, extent, percentile, show_plot,
+                         savefig)
+
+
+def _rt_plot_body(flux, tau, em, extent, percentile, show_plot, savefig):
 
     fig, axes = plt.subplots(1, 3, figsize=(6.65, 6.65 / 2.4),
                              sharey=True, constrained_layout=True)

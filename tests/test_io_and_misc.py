@@ -45,6 +45,75 @@ class TestFits:
         fitsio.write_fits(f, np.ones((3, 3)))
         assert os.path.getsize(f) % 2880 == 0
 
+    def test_long_string_value_continue_cards(self, tmp_path):
+        """String values >68 chars use the CONTINUE convention instead of
+        silent truncation (a long model_dcy is a realistic case)."""
+        long_path = '/some/deeply/nested/output/directory/' + 'x' * 90 + \
+            "/with_quo'tes/and_more_" + 'y' * 40
+        hdr = fitsio.Header()
+        hdr['MODELDIR'] = long_path
+        hdr['OBJECT'] = 'short'
+        f = str(tmp_path / 'long.fits')
+        fitsio.write_fits(f, np.zeros((2, 2)), hdr)
+        with open(f, 'rb') as fh:
+            raw = fh.read(2880).decode('ascii')
+        assert 'CONTINUE' in raw
+        _, hdr2 = fitsio.read_fits(f)
+        assert hdr2['MODELDIR'] == long_path
+        assert hdr2['OBJECT'] == 'short'
+
+    def test_float_formatting_roundtrips_exactly(self, tmp_path):
+        """Extreme float64 values survive write->read bit-exactly (the old
+        repr() formatting could overflow its fixed field)."""
+        vals = {'V1': 1.2345678901234567e-123, 'V2': -9.87654321098765e+250,
+                'V3': 2.0, 'V4': -1.7976931348623157e+308,
+                'V5': 5e-324, 'V6': 0.1}
+        hdr = fitsio.Header()
+        for k, v in vals.items():
+            hdr[k] = v
+        f = str(tmp_path / 'floats.fits')
+        fitsio.write_fits(f, np.zeros((2, 2)), hdr)
+        _, hdr2 = fitsio.read_fits(f)
+        for k, v in vals.items():
+            assert hdr2[k] == v, (k, hdr2[k], v)
+
+    def test_astropy_roundtrip(self, tmp_path, model_params):
+        """Cross-validate the hand-rolled codec against astropy: our files
+        must read back identically through astropy.io.fits, including the
+        save_fits headers, and astropy-written files must read through our
+        reader.  Skipped when astropy is absent from the environment."""
+        apfits = pytest.importorskip('astropy.io.fits')
+        if not hasattr(apfits, 'PrimaryHDU'):
+            # the reference-parity oracle stubs astropy into sys.modules
+            pytest.skip("astropy is stubbed by the reference oracle shim")
+        from rajepy_tpu import JetModel
+        jm = JetModel(copy.deepcopy(model_params))
+        f = str(tmp_path / 'flux.fits')
+        jm.flux_ff(6e9, savefits=f)
+
+        ours, our_hdr = fitsio.read_fits(f)
+        with apfits.open(f) as hdul:
+            theirs = hdul[0].data
+            ap_hdr = hdul[0].header
+        np.testing.assert_array_equal(np.asarray(ours),
+                                      np.asarray(theirs, dtype=ours.dtype))
+        for key in ('OBJECT', 'CRVAL1', 'CRVAL2', 'CDELT1', 'CDELT2',
+                    'BUNIT', 'CTYPE1', 'CTYPE2'):
+            if key in our_hdr:
+                assert ap_hdr[key] == our_hdr[key], key
+
+        # astropy-written file through our reader
+        g = str(tmp_path / 'ap.fits')
+        data = np.arange(12.0).reshape(3, 4)
+        hdu = apfits.PrimaryHDU(data)
+        hdu.header['LONGKEY'] = 'z' * 100  # astropy emits CONTINUE cards
+        hdu.header['TESTVAL'] = 3.14159265358979
+        hdu.writeto(g)
+        back, hdr2 = fitsio.read_fits(g)
+        np.testing.assert_array_equal(back, data)
+        assert hdr2['LONGKEY'] == 'z' * 100
+        assert hdr2['TESTVAL'] == pytest.approx(3.14159265358979, rel=0)
+
 
 class TestCheckpoint:
     def test_model_roundtrip(self, model_params, tmp_path):
@@ -204,6 +273,39 @@ class TestCasaCompat:
         from rajepy_tpu.casa_compat import Chdir, Rmdir
         assert str(Chdir('/tmp/x')) == "os.chdir('/tmp/x')"
         assert str(Rmdir(path='/tmp/y')) == "shutil.rmtree(path='/tmp/y')"
+
+    def test_ia_tool_wrappers(self):
+        """The 5 ia-tool wrappers (reference casa/tasks.py:413-477)."""
+        from rajepy_tpu.casa_compat import (IaClose, IaMaskhandler, IaOpen,
+                                            IaPad, IaRestoringbeam)
+        assert str(IaClose()) == 'ia.close()'
+        assert str(IaOpen(infile='a.image')) == "ia.open(infile='a.image')"
+        assert str(IaOpen(infile='a', cache=False)) in (
+            "ia.open(infile='a', cache=False)",
+            "ia.open(cache=False, infile='a')")
+        assert str(IaPad(outfile='b', npixels=2)) == \
+            "ia.pad(outfile='b', npixels=2)"
+        assert str(IaRestoringbeam()) == 'ia.restoringbeam()'
+        assert str(IaMaskhandler(op='copy', name=['m0', 'm1'])) == \
+            "ia.maskhandler(op='copy', name=['m0', 'm1'])"
+        with pytest.raises(TypeError):
+            IaPad(npixels='two')
+
+    def test_pointing(self):
+        """Pointing value object (reference classes.py:3185-3233)."""
+        from rajepy_tpu import Pointing
+        p = Pointing(1000.0, '04:31:34.07736', '+18:08:04.9020', 300.0)
+        assert p.ra == '04h31m34.0774'
+        assert p.dec == '+18d08m04.902'
+        assert p.time == 1000.0 and p.duration == 300.0
+        assert p.epoch == 'J2000'
+        ra_deg, dec_deg = p.coord
+        assert abs(ra_deg - (4 + 31 / 60 + 34.07736 / 3600) * 15) < 1e-9
+        n = Pointing(0.0, '12:00:00', '-05:30:00', 60.0, epoch='B1950')
+        assert n.dec == '-05d30m00.000'
+        assert n.epoch == 'B1950'
+        with pytest.raises(ValueError):
+            Pointing(0.0, '0:0:0', '0:0:0', 1.0, epoch='J1900')
 
     def test_script_render_and_dryrun(self, tmp_path, capsys):
         from rajepy_tpu.casa_compat import Script, Simobserve, Tclean

@@ -46,6 +46,31 @@ def test_rt_plot(jm, tmp_path):
     _check(f)
 
 
+def test_rt_plot_run_object(jm, tmp_path):
+    """rt_plot accepts a run object (plots from saved FITS products) and
+    (jm, run) (frequency read off the run)."""
+    class FakeRun:
+        freq = 6e9
+
+    flux_f = str(tmp_path / 'Flux.fits')
+    tau_f = str(tmp_path / 'Tau.fits')
+    em_f = str(tmp_path / 'EM.fits')
+    jm.flux_ff(6e9, savefits=flux_f)
+    jm.optical_depth_ff(6e9, savefits=tau_f)
+    jm.emission_measure(savefits=em_f)
+    run = FakeRun()
+    run.fits_flux, run.fits_tau, run.fits_em = flux_f, tau_f, em_f
+
+    f1 = str(tmp_path / 'rt_run.pdf')
+    pfunc.rt_plot(run, savefig=f1)
+    _check(f1)
+    f2 = str(tmp_path / 'rt_jm_run.pdf')
+    pfunc.rt_plot(jm, run, savefig=f2)
+    _check(f2)
+    with pytest.raises(TypeError):
+        pfunc.rt_plot(jm)  # no freq, no products
+
+
 def test_geometry_plot(jm, tmp_path):
     f = str(tmp_path / 'geom.pdf')
     pfunc.geometry_plot(jm, savefig=f)

@@ -132,19 +132,85 @@ def phi_stark_nu_integrated(freq, nu_0, fwhm_stark, bw=1.0):
     return indef(freq + bw / 2.0) - indef(freq - bw / 2.0)
 
 
-def phi_voigt_nu_integrated(freq, nu_0, fwhm_thermal, fwhm_stark, bw,
-                            average: bool = True):
-    """Voigt profile integrated across the channel.
+_SQRT_PI = float(np.sqrt(np.pi))
 
-    The reference implements the Quine & Abrarov (2013) series for the
-    indefinite integral of the Voigt function (rrls.py:191-272), switching
-    between three expansion regions per scalar query.  Here the indefinite
-    integral of w is obtained from the same Fourier pieces but evaluated
-    branch-free; in practice the channel average is what the RT uses, so we
-    integrate the (already ~1e-7-accurate) point profile with fixed-order
-    Gauss-Legendre quadrature across the channel — exact to the quadrature
-    order for the smooth Voigt kernel and fully vectorised.
+
+def _voigt_indef_integral_qa13(x, y, n_sum: int = 30, tau_m: float = 12.0):
+    """Indefinite integral I(x, y) of the Voigt function per Quine &
+    Abrarov (2013), eqs. 11/15/17 with the paper's three expansion regions
+    (their Figure 7) — the closed form behind the reference's
+    rrls.py:191-272/546-602, evaluated branch-free over whole arrays.
+
+    NB the reference's eq.-11 sum writes ``-1. ** n`` where the paper has
+    ``(-1)^n``; Python precedence makes that always -1, which biases the
+    central region by up to ~3% (PARITY.md deviations).  This
+    implementation uses the paper's alternating sign and is ~1e-13 of
+    numerical quadrature there.
     """
+    ns = jnp.arange(1, n_sum + 1, dtype=jnp.result_type(x, float))
+    pm = jnp.pi / tau_m
+    xe = x[..., None]
+
+    in_central = jnp.abs(x + y * 4.0) <= 4.5
+    in_external = jnp.abs(x + y / 1.54545) > 11.0
+
+    # eq. 11 (central): Fourier expansion with erf coefficients
+    ty = tau_m * jnp.maximum(y, 0.0)
+    small = ty < 1e-8
+    ty_safe = jnp.where(small, 1.0, ty)
+    decay = jnp.where(small, 0.5 - ty / 4.0,
+                      -jnp.expm1(-ty_safe) / (2.0 * ty_safe))
+    exp_ty = jnp.exp(-ty)
+    p2a = 2.0 * erf(x) * decay
+    bn = erf(ns * pm + xe) - erf(ns * pm - xe)
+    sign = jnp.where(ns % 2 == 0, 1.0, -1.0)
+    p2b = jnp.sum(bn * (sign * exp_ty[..., None] - 1.0) /
+                  (ns ** 2 * jnp.pi ** 2 + ty[..., None] ** 2),
+                  axis=-1) * ty
+    central = (_SQRT_PI / 2.0) * (p2a - p2b)
+
+    # eq. 15 (mid): arctan series; arctan2 keeps the y -> 0 limit finite
+    an = (2.0 * _SQRT_PI / tau_m) * jnp.exp(-(ns * jnp.pi / tau_m) ** 2)
+    mid = (jnp.arctan2(x, y) / tau_m +
+           jnp.sum((jnp.arctan2(xe + ns * pm, y[..., None]) +
+                    jnp.arctan2(xe - ns * pm, y[..., None])) * an,
+                   axis=-1) / (2.0 * _SQRT_PI))
+
+    # eq. 17 (external): asymptotic form
+    ext = (jnp.arctan2(x, y) / _SQRT_PI -
+           x * y / (2.0 * _SQRT_PI * (x ** 2 + y ** 2) ** 2))
+
+    out = jnp.where(in_central, central,
+                    jnp.where(in_external, ext, mid))
+    return out / _SQRT_PI
+
+
+def phi_voigt_nu_integrated(freq, nu_0, fwhm_thermal, fwhm_stark, bw,
+                            average: bool = True, method: str = 'qa13'):
+    """Voigt profile integrated across the channel (rrls.py:191-272).
+
+    ``method='qa13'`` (default) evaluates the Quine & Abrarov (2013)
+    indefinite-integral series at the channel edges — the reference's
+    closed form, with its ``-1.**n`` sign defect fixed (see
+    :func:`_voigt_indef_integral_qa13`).  ``method='quad'`` integrates the
+    point profile with 16-point Gauss-Legendre quadrature instead (the
+    independent cross-check used by the tests).
+    """
+    freq = jnp.asarray(freq, dtype=jnp.result_type(float))
+    if method == 'qa13':
+        y = jnp.broadcast_to(
+            jnp.asarray(0.8325546111576977 * fwhm_stark / fwhm_thermal),
+            freq.shape)
+        c = 1.6651092223153954  # 2 sqrt(ln 2): fwhm -> 1/e half width
+
+        def indef(nu):
+            x = c * (nu - nu_0) / fwhm_thermal
+            return _voigt_indef_integral_qa13(x, y)
+
+        area = indef(freq + bw / 2.0) - indef(freq - bw / 2.0)
+        return area / bw if average else area
+    if method != 'quad':
+        raise ValueError(f"unknown method {method!r}")
     # 16-point Gauss-Legendre on [freq - bw/2, freq + bw/2]
     xs, ws = np.polynomial.legendre.leggauss(16)
     xs = jnp.asarray(xs)

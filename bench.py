@@ -132,6 +132,34 @@ def pallas_check():
     checks['emergent_ff'] = err
     assert err < 5e-4, f"emergent_ff_pallas vs XLA: rel err {err:.2e}"
 
+    # 4. fused epoch base map (burst factor in-register)
+    from rajepy_tpu.models import ejection as ej
+    from rajepy_tpu.ops.pallas_kernels import (epoch_base_map_pallas,
+                                               pack_launch_time)
+    ts = jnp.asarray(np.where(inside, 3e7 * rng.random((nx, ny, nz)),
+                              0.0), f32)
+    red = jnp.asarray(rng.random((nx, ny, nz)) < 0.5)
+    a_base = rt.tau_ff_base(temp_j, n_es_j, ds_j, inside_j, True)
+    spec_r = ej.EjectionSpec(1e-7, np.array([0.5 * 3.15e7]),
+                             np.array([5e-7]), np.array([4.7e6]))
+    spec_b = ej.EjectionSpec(2e-7, np.array([0.8 * 3.15e7]),
+                             np.array([6e-7]), np.array([4.7e6]))
+    bursts = []
+    for spec, is_red in ((spec_r, True), (spec_b, False)):
+        for t0, peak, sig in zip(spec.t_0, spec.peak_jml, spec.sigma):
+            bursts.append((float(t0), float(1.0 / (2.0 * sig ** 2)),
+                           float((peak - spec.ss_jml) / spec.ss_jml),
+                           is_red))
+    t_now = 1.0 * 3.15e7
+    got = epoch_base_map_pallas(a_base.astype(f32),
+                                pack_launch_time(ts, red), t_now,
+                                tuple(bursts))
+    chi = ej.chi_field(red, t_now - ts, spec_r, spec_b)
+    want = jnp.sum(a_base * chi * chi, axis=1)
+    err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+    checks['epoch_base'] = err
+    assert err < 2e-4, f"epoch_base_map_pallas vs XLA: rel err {err:.2e}"
+
     log("pallas_check: ok " +
         " ".join(f"{k}={v:.1e}" for k, v in checks.items()))
 
@@ -150,35 +178,31 @@ def flagship_model(n):
 
 
 def model_path_bench(jm, nchan=16, n_rep=20):
-    """Per-epoch model chain: chi(t) -> n_e -> tau (van Hoof branch) ->
-    flux maps, all channels, amortised over n_rep epochs on device."""
+    """Per-epoch model chain through the model's own flux kernel: burst
+    factor -> opacity (van Hoof branch) -> flux maps, all channels,
+    amortised over n_rep epochs on device."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from rajepy_tpu.ops import radtrans as rt
 
     f = jm._ensure_fields()
-    t_0, reyn, csize, dist = jm._rt_constants()
+    flux_kernel = jm._continuum_kernel('flux')  # the public path
+    inner, statics = flux_kernel.inner, flux_kernel.statics
     freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
     dt_epoch = jnp.asarray(0.1 * YEAR, jm._dtype)
 
     @jax.jit
-    def bench_loop(f, freqs, t_start):
+    def bench_loop(f, a, tbar, any_in, red_f, freqs, t_start):
         def body(i, acc):
             t = t_start + i.astype(jm._dtype) * dt_epoch
-            n_es = jm._nd_chi(f, t) * f.xi
-            ds = rt.path_length_cm(f.ff, f.area, csize)
-            taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0,
-                                  reyn)
-            tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
-            fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize, dist)
-            return acc + jnp.sum(fluxes)
+            return acc + jnp.sum(inner(f, a, tbar, any_in, red_f, t,
+                                       freqs))
         return lax.fori_loop(0, n_rep, body, jnp.asarray(0.0, jm._dtype))
 
     t_start = jnp.asarray(2.0 * YEAR, jm._dtype)
-    _sync(bench_loop(f, freqs, t_start))  # compile + warm-up
+    _sync(bench_loop(f, *statics, freqs, t_start))  # compile + warm-up
     t0 = time.perf_counter()
-    _sync(bench_loop(f, freqs, t_start))
+    _sync(bench_loop(f, *statics, freqs, t_start))
     dt = (time.perf_counter() - t0) / n_rep
     n_cells = jm.nx * jm.ny * jm.nz
     return n_cells * nchan / dt, dt
@@ -207,8 +231,9 @@ def emergent_bench(jm, nchan=16):
     freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
     fn = jm._jit_cache[('emergent_ff', jm._use_fused_rrl())]
     f = jm._ensure_fields()
+    a = jm._rt_static()[0]
     t0 = time.perf_counter()
-    _sync(fn(f, jm.time, freqs))
+    _sync(fn(f, a, jm.time, freqs))
     dt = time.perf_counter() - t0
     return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 
@@ -253,8 +278,9 @@ def main():
     except Exception as exc:
         log(f"emergent bench failed: {type(exc).__name__}: {exc}")
 
-    baseline = numpy_baseline_cells_per_sec()
-    log(f"numpy_baseline={baseline:.3e} cells/s")
+    # best-of-3: the bench host's CPU is shared, single runs jitter 10x
+    baseline = max(numpy_baseline_cells_per_sec() for _ in range(3))
+    log(f"numpy_baseline={baseline:.3e} cells/s (best of 3)")
     print(json.dumps({
         "metric": f"model_path_rt_cells_per_sec_{n}cube_{nchan}chan",
         "value": round(ours, 1),

@@ -191,6 +191,7 @@ class JetModel:
 
         self._time = 0.0
         self._fields: Optional[StaticFields] = None
+        self._rt_static_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
         # points run through these: eager jnp dispatch costs one host
@@ -255,6 +256,7 @@ class JetModel:
             ff=jnp.asarray(ffs, self._dtype),
             area=jnp.asarray(areas, self._dtype),
             inside=jnp.asarray(areas > 0))
+        self._rt_static_cache = None  # derived from ff/area: recompute
 
     # ------------------------------------------------------------------ #
     # Simple properties (classes.py:363-381, 1654-1702)
@@ -587,53 +589,127 @@ class JetModel:
                                        self._spec_b)
         return f.nd
 
+    def _chi2(self, f, t):
+        """Traced: squared burst factor — the only way epoch time enters
+        the free-free/EM products (n_e is chi-modulated then squared,
+        classes.py:872-899 + 1395)."""
+        if self._has_bursts:
+            chi = ej.chi_field(f.red, t - f.ts, self._spec_r, self._spec_b)
+            return chi * chi
+        return jnp.asarray(1.0, self._dtype)
+
     def _rt_constants(self):
         return (self.params['properties']['T_0'],
                 self._use_reynolds_gaunt(), self.csize,
                 self.params['target']['dist'])
 
+    def _rt_static(self):
+        """Cached epoch-independent RT precomputations, one jitted pass:
+
+        - ``A``: free-free base-opacity cube tau_ff_base(nd * xi) — per
+          epoch, tau = scale(nu) * sum_los A * chi^2
+        - ``em_base``: per-cell EM contribution (nd * xi)^2 ds_pc
+        - ``tbar``/``any_in``: LOS-mean temperature and jet silhouette
+        - ``ts_signed``: launch time + jet side packed into one cube
+          (for the fused epoch kernel)
+
+        Computed once per model instance; the per-epoch chain then streams
+        only (A, ts_signed) — 2 cube reads instead of ~8.
+        """
+        if self._rt_static_cache is None:
+            f = self._ensure_fields()
+            t_0, reyn, csize, _ = self._rt_constants()
+
+            @jax.jit
+            def fn(f):
+                from ..ops.pallas_kernels import pack_launch_time
+                n_es0 = f.nd * f.xi
+                ds = rt.path_length_cm(f.ff, f.area, csize)
+                a = rt.tau_ff_base(f.temp, n_es0, ds, f.inside, reyn)
+                em_base = rt.emission_measure_base(f.nd, f.xi, f.ff,
+                                                   f.area, csize)
+                tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+                ts_signed = pack_launch_time(f.ts, f.red, self._dtype)
+                return a, em_base, tbar, any_in, ts_signed
+
+            self._rt_static_cache = fn(f)
+        return self._rt_static_cache
+
+    def _burst_tuple(self):
+        """Static, hashable burst parameters for the fused epoch kernel:
+        (t0 [s], 1/(2 sigma^2), relative amplitude, is_red) per burst —
+        the data behind models/ejection.chi_field."""
+        out = []
+        for spec, is_red in ((self._spec_r, True), (self._spec_b, False)):
+            for t0, peak, sig in zip(spec.t_0, spec.peak_jml, spec.sigma):
+                out.append((float(t0), float(1.0 / (2.0 * sig ** 2)),
+                            float((peak - spec.ss_jml) / spec.ss_jml),
+                            is_red))
+        return tuple(out)
+
+    def _epoch_base_map(self, base, f, ts_signed, t):
+        """Traced: LOS-collapsed sum_y base * chi(t)^2 — the fused Pallas
+        single-pass on the f32 TPU path, the XLA burst scan elsewhere."""
+        if self._has_bursts and self._use_fused_rrl():
+            from ..ops.pallas_kernels import epoch_base_map_pallas
+            return epoch_base_map_pallas(base, ts_signed, t,
+                                         self._burst_tuple())
+        return jnp.sum(base * self._chi2(f, t), axis=rt.LOS_AXIS)
+
     def emission_measure(self, savefits: Union[bool, str] = False
                          ) -> np.ndarray:
         """EM map [pc cm^-6] (classes.py:1101-1128)."""
         f = self._ensure_fields()
-        csize = self.csize
+        _, em_base, _, _, ts_signed = self._rt_static()
 
         def build():
-            def kernel(f, t):
-                nd = self._nd_chi(f, t)
-                return rt.emission_measure_map(nd, f.xi, f.ff, f.area,
-                                               csize)
+            def kernel(f, em_base, ts_signed, t):
+                return self._epoch_base_map(em_base, f, ts_signed, t)
             return kernel
 
-        em = np.asarray(self._jitted('em', build)(f, self.time))
+        em = np.asarray(self._jitted(('em', self._use_fused_rrl()), build)(
+            f, em_base, ts_signed, self.time))
         if savefits:
             self.save_fits(miscf.reorder_axes(em, ra_axis=0, dec_axis=1),
                            savefits, 'em')
         return em
 
     def _continuum_kernel(self, kind: str, collapse: bool = True):
-        """Jitted (fields, t, freqs) -> tau/intensity/flux product."""
+        """Jitted (fields, A, tbar, any_in, t, freqs) -> tau/intensity/
+        flux product, fed from the cached static base cube."""
         t_0, reyn, csize, dist = self._rt_constants()
 
         def build():
-            def kernel(f, t, freqs):
-                n_es = self._nd_chi(f, t) * f.xi
-                ds = rt.path_length_cm(f.ff, f.area, csize)
+            def kernel(f, a, tbar, any_in, ts_signed, t, freqs):
                 if kind == 'tau' and not collapse:
-                    return rt.tau_ff_cube(freqs, f.temp, n_es, ds,
-                                          f.inside, t_0, reyn)
-                taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
-                                      t_0, reyn)
+                    scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+                    return scale[:, None, None, None] * \
+                        (a * self._chi2(f, t))[None]
+                base_map = self._epoch_base_map(a, f, ts_signed, t)
+                scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+                taus = scale[:, None, None] * base_map[None]
                 if kind == 'tau':
                     return taus
-                tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
                 if kind == 'intensity':
                     return rt.intensity_ff_maps(freqs, taus, tbar, any_in)
                 return rt.flux_ff_maps(freqs, taus, tbar, any_in, csize,
                                        dist)
             return kernel
 
-        return self._jitted(('ff', kind, collapse), build)
+        inner = self._jitted(('ff', kind, collapse,
+                              self._use_fused_rrl()), build)
+        a, _, tbar, any_in, ts_signed = self._rt_static()
+
+        def call(f, t, freqs):
+            return inner(f, a, tbar, any_in, ts_signed, t, freqs)
+
+        # callers composing their own jit (bench loops) must pass the
+        # static arrays as runtime arguments — a closure would embed the
+        # O(N^3) cube as an HLO constant (remote compile services reject
+        # the oversized program)
+        call.inner = inner
+        call.statics = (a, tbar, any_in, ts_signed)
+        return call
 
     def optical_depth_ff(self, freq, savefits: Union[bool, str] = False,
                          collapse: bool = True) -> np.ndarray:
@@ -775,16 +851,14 @@ class JetModel:
         use_pallas = self._use_fused_rrl()  # same rule: f32 on TPU
 
         def build():
-            def kernel(f, t, freqs):
-                n_es = self._nd_chi(f, t) * f.xi
-                ds = rt.path_length_cm(f.ff, f.area, csize)
+            def kernel(f, a, t, freqs):
+                base = a * self._chi2(f, t)
                 if use_pallas:
                     # fused multi-channel streaming scan: exploits the
                     # continuum factorisation dtau = scale(nu) * base(cell)
                     # so no (n_chan, nx, ny, nz) cube is ever materialised
                     from ..ops.pallas_kernels import emergent_ff_pallas
                     f32 = jnp.float32
-                    base = rt.tau_ff_base(f.temp, n_es, ds, f.inside, reyn)
                     scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
                     freqs64 = freqs.astype(jnp.float64)
                     cnu = (2.0 * cnsts.H_CGS * freqs64 ** 3 /
@@ -797,8 +871,8 @@ class JetModel:
                         base.astype(f32))
                     return inten * 1e-7 * 1e4
                 # XLA formulation: channel axis vmapped over the 3-D scan
-                dtau = rt.tau_ff_cube(freqs, f.temp, n_es, ds, f.inside,
-                                      t_0, reyn)
+                scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+                dtau = scale[:, None, None, None] * base[None]
                 src = mphys.blackbody_nu(
                     freqs[:, None, None, None],
                     jnp.where(f.inside, f.temp, 1.0)[None])
@@ -807,8 +881,9 @@ class JetModel:
                 return scan(src, dtau) * 1e-7 * 1e4
             return kernel
 
+        a = self._rt_static()[0]
         ints = np.asarray(self._jitted(('emergent_ff', use_pallas), build)(
-            f, self.time, freqs))
+            f, a, self.time, freqs))
         return ints[0] if scalar else ints
 
     # ------------------------------------------------------------------ #

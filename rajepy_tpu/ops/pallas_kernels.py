@@ -118,6 +118,98 @@ def transfer_scan_pallas(source, dtau, observer_near_y0: bool = False,
     return inten[:nx, :nz], tau[:nx, :nz]
 
 
+def _epoch_base_kernel(t_ref, a_ref, tss_ref, out_ref, *, yc: int,
+                       bursts: tuple):
+    """Grid = (x tiles, z tiles, y chunks), y fastest; the (bx, bz) output
+    block accumulates across y chunks.  Burst parameters are compile-time
+    scalars evaluated in-register on the whole (bx, yc, bz) block at once
+    (no per-row loop — the VPU sweeps the block).  Launch time and jet
+    side arrive packed in ONE cube (sign(tss) = side, |tss| - 1 = ts), so
+    each epoch streams exactly two cubes of HBM."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tss = tss_ref[...]
+    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    red = tss < 0.0
+    chi = jnp.ones_like(lt)
+    for t0, inv2s2, amp, is_red in bursts:
+        g = amp * jnp.exp(-(lt - t0) ** 2 * inv2s2)
+        sel = red if is_red else jnp.logical_not(red)
+        chi = chi + jnp.where(sel, g, 0.0)
+    out_ref[...] += jnp.sum(a_ref[...] * chi * chi, axis=1)
+
+
+def pack_launch_time(ts, red, dtype=jnp.float32):
+    """Pack launch time + jet side into one cube for the epoch kernel:
+    +(ts + 1) on the blue side, -(ts + 1) on the red side (the +1 offset
+    keeps the sign meaningful at ts = 0)."""
+    ts1 = jnp.asarray(ts, dtype) + jnp.asarray(1.0, dtype)
+    return jnp.where(red, -ts1, ts1)
+
+
+@functools.partial(jax.jit, static_argnames=('bursts', 'block_x', 'block_z',
+                                             'y_chunk', 'interpret'))
+def epoch_base_map_pallas(a, ts_signed, t, bursts: tuple,
+                          block_x: int = 8, block_z: int = 128,
+                          y_chunk: int = 128, interpret: bool = False):
+    """LOS-collapsed sum_y A * chi(t - ts)^2 in one streaming pass.
+
+    The per-epoch half of the free-free/EM products: ``a`` is any
+    epoch-independent per-cell base (opacity tau_ff_base or EM base), and
+    chi is the burst factor (models/ejection.chi_field; classes.py:861-870)
+    evaluated in-register from the static ``bursts`` tuple of
+    (t0, 1/(2 sigma^2), rel_amp, is_red) scalars.  The XLA formulation
+    scans bursts through HBM (~1.7 GB/burst at 512^3); this kernel reads
+    exactly two cubes per epoch regardless of burst count.
+
+    Args:
+      a:         (nx, ny, nz) epoch-independent base, 0 outside the jet
+      ts_signed: (nx, ny, nz) launch time + side from
+                 :func:`pack_launch_time`
+      t:         scalar model time [s] (traced — epochs don't recompile)
+
+    Returns the (nx, nz) collapsed map.
+    """
+    nx, ny, nz = a.shape
+    bx = min(block_x, nx)
+    bz = min(block_z, nz)
+    yc = min(y_chunk, ny)
+    pad_x = (-nx) % bx
+    pad_z = (-nz) % bz
+    pad_y = (-ny) % yc
+    if pad_x or pad_z or pad_y:
+        pads = ((0, pad_x), (0, pad_y), (0, pad_z))
+        a = jnp.pad(a, pads)      # zero base kills padded contributions
+        ts_signed = jnp.pad(ts_signed, pads, constant_values=1.0)
+    nxp, nyp, nzp = a.shape
+
+    kernel = functools.partial(_epoch_base_kernel, yc=yc, bursts=bursts)
+    grid = (nxp // bx, nzp // bz, nyp // yc)
+    cell_spec = pl.BlockSpec((bx, yc, bz), lambda i, j, k: (i, k, j),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    t_spec = pl.BlockSpec(memory_space=pl.ANY if interpret
+                          else pltpu.SMEM)
+    out_spec = pl.BlockSpec((bx, bz), lambda i, j, k: (i, j),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+    t_arr = jnp.asarray(t, a.dtype).reshape(1)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((nxp, nzp), a.dtype),
+            in_specs=[t_spec] + [cell_spec] * 2,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(t_arr, a, ts_signed)
+    return out[:nx, :nz]
+
+
 def _expm1_pos(x):
     """Numerically stable exp(x) - 1 for x >= 0 inside Mosaic kernels
     (no expm1 lowering): 3-term Taylor below the cancellation threshold."""

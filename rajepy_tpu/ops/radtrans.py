@@ -51,10 +51,18 @@ def path_length_cm(ff, area, csize_au):
 
 def emission_measure_map(n_e, x_i, ff, area, csize_au):
     """EM = sum_los (n_e x)^2 ds [pc cm^-6] (classes.py:1101-1128)."""
+    return jnp.sum(emission_measure_base(n_e, x_i, ff, area, csize_au),
+                   axis=LOS_AXIS)
+
+
+def emission_measure_base(n_e, x_i, ff, area, csize_au):
+    """Per-cell EM contribution (n_e x)^2 ds [pc cm^-6]; the LOS sum of
+    this, optionally re-weighted by the burst factor squared, gives the EM
+    map — the epoch-independent half of the time-dependent product."""
     safe_area = jnp.where(area > 0, area, 1.0)
     ds_pc = jnp.where(area > 0, csize_au * cnsts.AU / cnsts.PARSEC *
                       ff / safe_area, 0.0)
-    return jnp.sum((n_e * x_i) ** 2 * ds_pc, axis=LOS_AXIS)
+    return (n_e * x_i) ** 2 * ds_pc
 
 
 # --------------------------------------------------------------------------- #
@@ -91,6 +99,22 @@ def tau_ff_maps(freqs, temp, n_es, ds_cm, inside, t_0: float,
     recomputed per channel in the reference)."""
     base_map = jnp.sum(tau_ff_base(temp, n_es, ds_cm, inside,
                                    reynolds_gaunt), axis=LOS_AXIS)
+    scale = tau_ff_channel_scale(freqs, t_0, reynolds_gaunt)
+    return scale[:, None, None] * base_map[None, :, :]
+
+
+def tau_ff_maps_from_static(freqs, base_static, chi2, t_0: float,
+                            reynolds_gaunt: bool):
+    """Collapsed tau maps from the epoch-independent base-opacity cube.
+
+    Since the burst factor enters the opacity only through n_e^2
+    (classes.py:872-899: number_density is chi-modulated, then squared at
+    classes.py:1395), tau(t) = scale(nu) * sum_los A * chi(t)^2 with
+    A = tau_ff_base(nd * xi).  The per-epoch chain then reads 3 cubes
+    (A, ts, red) instead of ~8 — the time-dependent hot path at its HBM
+    speed-of-light.  ``chi2`` may be a cube or the scalar 1 (no bursts).
+    """
+    base_map = jnp.sum(base_static * chi2, axis=LOS_AXIS)
     scale = tau_ff_channel_scale(freqs, t_0, reynolds_gaunt)
     return scale[:, None, None] * base_map[None, :, :]
 

@@ -70,6 +70,44 @@ def test_emergent_ff_multichannel_matches_xla(reynolds_gaunt):
                                atol=5e-6 * ref_tau.max(), rtol=0)
 
 
+def test_epoch_base_map_matches_xla_chi_scan():
+    """The fused epoch kernel (burst factor in-register, one pass over
+    A/ts/red) vs the XLA chi_field scan + masked LOS sum."""
+    from rajepy_tpu.models import ejection as ej
+    from rajepy_tpu.ops.pallas_kernels import (epoch_base_map_pallas,
+                                               pack_launch_time)
+
+    rng = np.random.default_rng(2)
+    nx, ny, nz = 12, 40, 130
+    inside = rng.random((nx, ny, nz)) < 0.4
+    a = np.where(inside, rng.random((nx, ny, nz)), 0.0)
+    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)), 0.0)
+    red = rng.random((nx, ny, nz)) < 0.5
+
+    spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7, 1.1 * 3.15e7]),
+                             np.array([5e-7, 3e-7]),
+                             np.array([4.7e6, 2.4e6]))
+    spec_b = ej.EjectionSpec(2e-7, np.array([0.8 * 3.15e7]),
+                             np.array([6e-7]), np.array([4.7e6]))
+    bursts = []
+    for spec, is_red in ((spec_r, True), (spec_b, False)):
+        for t0, peak, sig in zip(spec.t_0, spec.peak_jml, spec.sigma):
+            bursts.append((float(t0), float(1.0 / (2.0 * sig ** 2)),
+                           float((peak - spec.ss_jml) / spec.ss_jml),
+                           is_red))
+    f32 = jnp.float32
+    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32)
+    for t_now in (0.0, 0.5 * 3.15e7, 1.2 * 3.15e7):
+        got = np.asarray(epoch_base_map_pallas(
+            jnp.asarray(a, f32), tss, t_now, tuple(bursts),
+            interpret=True))
+        chi = ej.chi_field(jnp.asarray(red), t_now - jnp.asarray(ts),
+                           spec_r, spec_b)
+        want = np.asarray(jnp.sum(jnp.asarray(a) * chi * chi, axis=1))
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=5e-6 * want.max())
+
+
 def test_opaque_limit():
     # an opaque cell near the observer hides everything behind it
     shape = (8, 16, 128)

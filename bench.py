@@ -82,6 +82,8 @@ def pallas_check():
     rng = np.random.default_rng(0)
     nx, ny, nz = 16, 48, 128
     inside = rng.random((nx, ny, nz)) < 0.3
+    inside[nx // 2:] = False  # fully-empty blocks: exercise the
+    #                           data-dependent block-skip branches
     temp = np.where(inside, 1e4 * (0.5 + rng.random((nx, ny, nz))),
                     1.0).astype(np.float32)
     n_es = np.where(inside, 1e7 * rng.random((nx, ny, nz)),

@@ -234,6 +234,7 @@ def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
     @pl.when(k == 0)
     def _init():
         i_ref[...] = jnp.zeros_like(i_ref)
+        tau_ref[...] = jnp.zeros_like(tau_ref)
         tau_acc[...] = jnp.zeros_like(tau_acc)
 
     def channel(c, _):
@@ -255,7 +256,12 @@ def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
         tau_ref[c] = tau_a
         return 0
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
+    # skip the whole scan for y-chunks with no opacity: contribution and
+    # attenuation are both exactly 0 there (outputs/carry already hold
+    # the running state from previous chunks)
+    @pl.when(jnp.max(dtau_ref[...]) > 0.0)
+    def _compute():
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
 
 
 @functools.partial(jax.jit,
@@ -395,7 +401,12 @@ def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
         out_ref[c, :, :] += jnp.sum(contrib, axis=1)
         return 0
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
+    # the jet silhouette covers a small fraction of the cube: skip the
+    # whole (compute-bound) Voigt channel loop for blocks with no jet
+    # cells — amp is exactly 0 outside, so skipped blocks contribute 0
+    @pl.when(jnp.max(amp) > 0.0)
+    def _compute():
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
 
 
 @functools.partial(jax.jit,

@@ -143,18 +143,22 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     t_int_eff = run.t_int * max(n_int_true / max(n_samp, 1), 1.0)
     sigma = sampler.thermal_noise_sigma(sefd_val, run.chanwidth, t_int_eff)
 
+    # compute precision: complex128 is unsupported on TPU, so the TPU
+    # backend runs the whole uv/imaging chain in f32/c64 (ample dynamic
+    # range for noise-dominated synthetic observations); CPU keeps f64
+    rdt = jnp.float32 if jax.default_backend() == 'tpu' else jnp.float64
+
     # all channels batched on device: FFT each channel's sky plane, apply
     # its own Gaussian primary beam (the role of CASA's vpmanager PB,
     # casa/_interface.py:17-27) and sample at its own uv wavelengths
     mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
-    vis_clean_j = sampler.sample_vis_cube(
-        jnp.asarray(sky), cell_model_rad, jnp.asarray(uvw),
-        jnp.asarray(freqs), apply_pb=apply_pb,
-        dish_diameter_m=mean_dish)
     key, sub = jax.random.split(key)
-    vis_noisy_j = sampler.add_noise(sub, vis_clean_j, sigma)
-    vis_clean = np.asarray(vis_clean_j)
-    vis_noisy = np.asarray(vis_noisy_j)
+    re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
+        jnp.asarray(sky, rdt), cell_model_rad, jnp.asarray(uvw, rdt),
+        jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
+        dish_diameter_m=mean_dish)
+    vis_clean = np.asarray(re_c) + 1j * np.asarray(im_c)
+    vis_noisy = np.asarray(re_n) + 1j * np.asarray(im_n)
 
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
@@ -171,17 +175,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         w0 = np.ones_like(us)
         if weighting == 'briggs':
             wb = np.asarray(imaging.briggs_weights(
-                jnp.asarray(us), jnp.asarray(vs), jnp.asarray(w0), imsize,
-                cell_rad, robust=robust))
+                jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
+                jnp.asarray(w0, rdt), imsize, cell_rad, robust=robust))
         elif weighting == 'uniform':
             wb = np.asarray(imaging.briggs_weights(
-                jnp.asarray(us), jnp.asarray(vs), jnp.asarray(w0), imsize,
-                cell_rad, robust=-2.0))
+                jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
+                jnp.asarray(w0, rdt), imsize, cell_rad, robust=-2.0))
         else:
             wb = w0
-        dirty, psf = imaging.grid_and_image(
-            jnp.asarray(us), jnp.asarray(vs), jnp.asarray(vv),
-            jnp.asarray(wb), imsize, cell_rad)
+        dirty, psf = imaging.grid_and_image_parts(
+            jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
+            jnp.asarray(vv.real, rdt), jnp.asarray(vv.imag, rdt),
+            jnp.asarray(wb, rdt), imsize, cell_rad)
         return np.asarray(dirty), np.asarray(psf)
 
     # CLEAN mask: the model's bounding box mapped into the new image
@@ -204,9 +209,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         beam_kernel = imaging.gaussian_beam_kernel(
             imsize, cell_rad, beam[0], beam[1], beam[2])
         restored_j, _dirty_j = imaging.clean_cube(
-            jnp.asarray(uvw[:, :2]), jnp.asarray(freqs),
-            jnp.asarray(vis_noisy), jnp.ones(uvw.shape[0]), imsize,
-            cell_rad, jnp.asarray(mask), jnp.asarray(beam_kernel),
+            jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
+            jnp.asarray(vis_noisy.real, rdt),
+            jnp.asarray(vis_noisy.imag, rdt),
+            jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
+            jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
             weighting=weighting, robust=robust, gain=0.1, niter=niter,
             nsigma=nsigma)
         restored_cube = np.asarray(restored_j)
@@ -216,13 +223,14 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         outside = dirty[mask == 0]
         rms = float(np.std(outside)) if outside.size else 0.0
         mdl, resid, its = imaging.hogbom_clean(
-            jnp.asarray(dirty), jnp.asarray(psf), jnp.asarray(mask),
-            gain=0.1, niter=niter, threshold=nsigma * rms)
+            jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+            jnp.asarray(mask, rdt), gain=0.1, niter=niter,
+            threshold=nsigma * rms)
         beam = imaging.fit_psf_beam(psf, cell_rad)
         beam_kernel = imaging.gaussian_beam_kernel(
             imsize, cell_rad, beam[0], beam[1], beam[2])
         restored_cube = np.asarray(
-            imaging.restore(mdl, resid, beam_kernel))[None]
+            imaging.restore(mdl, resid, beam_kernel.astype(rdt)))[None]
     bmaj_rad, bmin_rad, bpa_deg = beam
 
     # --- products -------------------------------------------------------- #

@@ -21,12 +21,13 @@ import numpy as np
 def grid_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float):
     """Scatter weights onto the uv grid (conjugate-symmetrised); returns the
     (n_pix, n_pix) weight-density grid used for uniform/briggs weighting."""
+    cell_rad = jnp.asarray(cell_rad, weights.dtype)  # no x64 promotion
     du = 1.0 / (n_pix * cell_rad)
     gu = jnp.round(u_wav / du).astype(jnp.int32) + n_pix // 2
     gv = jnp.round(v_wav / du).astype(jnp.int32) + n_pix // 2
     ok = ((gu >= 0) & (gu < n_pix) & (gv >= 0) & (gv < n_pix))
     w = jnp.where(ok, weights, 0.0)
-    grid = jnp.zeros((n_pix, n_pix))
+    grid = jnp.zeros((n_pix, n_pix), dtype=weights.dtype)
     grid = grid.at[gv, gu].add(w)
     # conjugate points
     gu2 = n_pix - gu
@@ -43,6 +44,7 @@ def briggs_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float,
     f^2 = (5 * 10^-robust)^2 / (sum W_k^2 / sum w_i).  robust=+2 ~ natural,
     -2 ~ uniform; tclean's default robust=0.5 (casa/tasks.py:242)."""
     dens = grid_weights(u_wav, v_wav, weights, n_pix, cell_rad)
+    cell_rad = jnp.asarray(cell_rad, weights.dtype)
     du = 1.0 / (n_pix * cell_rad)
     gu = jnp.round(u_wav / du).astype(jnp.int32) + n_pix // 2
     gv = jnp.round(v_wav / du).astype(jnp.int32) + n_pix // 2
@@ -71,6 +73,10 @@ def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float,
     both (n_pix, n_pix), beam peak normalised to 1 and the image in
     Jy/dirty-beam.
     """
+    cell_rad = jnp.asarray(cell_rad, jnp.real(vis).dtype)
+    u_wav = jnp.asarray(u_wav, cell_rad.dtype)
+    v_wav = jnp.asarray(v_wav, cell_rad.dtype)
+    weights = jnp.asarray(weights, cell_rad.dtype)
     du = 1.0 / (n_pix * cell_rad)
     fu = u_wav / du + n_pix // 2
     fv = v_wav / du + n_pix // 2
@@ -112,7 +118,7 @@ def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float,
         wgt_grid.astype(cdtype)))).real
 
     # grid correction: FT of the (cell-sampled) Gaussian kernel
-    p = jnp.arange(n_pix) - n_pix // 2
+    p = jnp.arange(n_pix, dtype=rdtype) - n_pix // 2
     corr_1d = jnp.exp(-2.0 * jnp.pi ** 2 * _GRID_SIGMA ** 2 *
                       (p / n_pix) ** 2)
     corr = jnp.outer(corr_1d, corr_1d)
@@ -133,6 +139,8 @@ def hogbom_clean(dirty, psf, mask, gain: float = 0.1, niter: int = 500,
     """
     n = dirty.shape[0]
     centre = n // 2
+    gain = jnp.asarray(gain, dirty.dtype)
+    threshold = jnp.asarray(threshold, dirty.dtype)
     # pad psf so any shift keeps full support
     psf_pad = jnp.pad(psf, ((n // 2, n // 2), (n // 2, n // 2)))
 
@@ -159,11 +167,21 @@ def hogbom_clean(dirty, psf, mask, gain: float = 0.1, niter: int = 500,
     return model, residual, its
 
 
+@partial(jax.jit, static_argnames=('n_pix', 'support'))
+def grid_and_image_parts(u_wav, v_wav, vis_re, vis_im, weights, n_pix: int,
+                         cell_rad: float, support: int = 2):
+    """:func:`grid_and_image` with the visibilities as (re, im) float
+    pairs — complex arrays cannot cross the host<->device boundary on the
+    axon TPU backend."""
+    return grid_and_image(u_wav, v_wav, jax.lax.complex(vis_re, vis_im),
+                          weights, n_pix, cell_rad, support=support)
+
+
 @partial(jax.jit, static_argnames=('n_pix', 'weighting', 'niter'))
-def clean_cube(uvw_m, freqs, vis, weights, n_pix: int, cell_rad: float,
-               mask, beam_kernel, weighting: str = 'briggs',
-               robust: float = 0.5, gain: float = 0.1, niter: int = 500,
-               nsigma: float = 3.0):
+def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
+               cell_rad: float, mask, beam_kernel,
+               weighting: str = 'briggs', robust: float = 0.5,
+               gain: float = 0.1, niter: int = 500, nsigma: float = 3.0):
     """Per-channel imaging of a visibility cube as ONE compiled program.
 
     The scalable replacement for tclean's ``specmode='cube'``
@@ -178,20 +196,29 @@ def clean_cube(uvw_m, freqs, vis, weights, n_pix: int, cell_rad: float,
     Args:
       uvw_m:  (n_vis, >=2) baseline coordinates [m]
       freqs:  (n_chan,) channel frequencies [Hz]
-      vis:    (n_chan, n_vis) complex visibilities [Jy]
+      vis_re: (n_chan, n_vis) visibility real parts [Jy]
+      vis_im: (n_chan, n_vis) visibility imaginary parts [Jy]
       weights:(n_vis,) base (natural) visibility weights
       mask:   (n_pix, n_pix) CLEAN box
       beam_kernel: (n_pix, n_pix) unit-peak restoring beam (common beam)
 
     Returns (restored, dirty): both (n_chan, n_pix, n_pix) [Jy/beam].
+    (Visibilities enter as float pairs: complex arrays cannot cross the
+    host<->device boundary on the axon TPU backend.)
     """
     c = 299792458.0
+    rdt = jnp.asarray(vis_re).dtype
+    cell_rad = jnp.asarray(cell_rad, rdt)
+    uvw_m = jnp.asarray(uvw_m, rdt)
+    weights = jnp.asarray(weights, rdt)
+    mask = jnp.asarray(mask, rdt)
     inv_mask = 1.0 - mask
     n_out = jnp.maximum(jnp.sum(inv_mask), 1.0)
-    fkern = jnp.fft.rfft2(jnp.fft.ifftshift(jnp.asarray(beam_kernel)))
+    fkern = jnp.fft.rfft2(jnp.fft.ifftshift(jnp.asarray(beam_kernel, rdt)))
 
     def one_channel(args):
-        freq, vv = args
+        freq, v_re, v_im = args
+        vv = jax.lax.complex(v_re, v_im)
         lam = c / freq
         u_wav = uvw_m[:, 0] / lam
         v_wav = uvw_m[:, 1] / lam
@@ -214,7 +241,9 @@ def clean_cube(uvw_m, freqs, vis, weights, n_pix: int, cell_rad: float,
                               s=(n_pix, n_pix))
         return conv + resid, dirty
 
-    return jax.lax.map(one_channel, (jnp.asarray(freqs), jnp.asarray(vis)))
+    return jax.lax.map(one_channel,
+                       (jnp.asarray(freqs, rdt), jnp.asarray(vis_re),
+                        jnp.asarray(vis_im, rdt)))
 
 
 def fit_psf_beam(psf, cell_rad: float) -> Tuple[float, float, float]:
@@ -271,7 +300,7 @@ def restore(model, residual, beam_kernel):
     """Convolve the CLEAN model with the restoring beam and add residuals
     (Jy/beam)."""
     model = jnp.asarray(model)
-    kern = jnp.asarray(beam_kernel)
+    kern = jnp.asarray(beam_kernel, model.dtype)
     n = model.shape[0]
     fk = jnp.fft.rfft2(jnp.fft.ifftshift(kern))
     fm = jnp.fft.rfft2(model)

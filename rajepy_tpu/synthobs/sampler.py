@@ -44,6 +44,12 @@ def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD):
     along -x in the FITS image (CDELT1 < 0), handled by the caller's sign
     convention.  Returns complex visibilities [Jy].
     """
+    # pin every operand to the image's precision: under x64 a python-float
+    # cell size would promote the chain to f64/c128, which TPU rejects
+    rdt = image.dtype
+    cell_rad = jnp.asarray(cell_rad, rdt)
+    u_wav = jnp.asarray(u_wav, rdt)
+    v_wav = jnp.asarray(v_wav, rdt)
     vis_grid = sky_fft(image, pad=pad)
     n_big = vis_grid.shape
     du_v = 1.0 / (n_big[0] * cell_rad)   # v axis (dec)
@@ -75,8 +81,12 @@ def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
     the accuracy oracle for the FFT+degrid path.
     """
     ny, nx = image.shape
-    l_ax = (jnp.arange(nx) - nx // 2) * cell_rad
-    m_ax = (jnp.arange(ny) - ny // 2) * cell_rad
+    rdt = image.dtype
+    cell_rad = jnp.asarray(cell_rad, rdt)
+    u_wav = jnp.asarray(u_wav, rdt)
+    v_wav = jnp.asarray(v_wav, rdt)
+    l_ax = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_rad
+    m_ax = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_rad
     # flatten image; phase = -2 pi (u l + v m)
     ll, mm = jnp.meshgrid(l_ax, m_ax)
     flat_i = image.reshape(-1)
@@ -86,7 +96,7 @@ def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
                              v_wav[:, None] * flat_m[None, :])
     re = jnp.cos(phase) @ flat_i
     im = jnp.sin(phase) @ flat_i
-    return re + 1j * im
+    return jax.lax.complex(re, im)
 
 
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size'))
@@ -109,11 +119,15 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
       freqs: (n_chan,) channel frequencies [Hz]
     """
     sky = jnp.asarray(sky)
+    rdt = sky.dtype
     ny, nx = sky.shape[-2:]
     c = 299792458.0
-    yy = (jnp.arange(ny) - ny // 2) * cell_rad
-    xx = (jnp.arange(nx) - nx // 2) * cell_rad
+    cell_r = jnp.asarray(cell_rad, rdt)
+    yy = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_r
+    xx = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_r
     r2 = yy[:, None] ** 2 + xx[None, :] ** 2
+    uvw = jnp.asarray(uvw, rdt)
+    freqs = jnp.asarray(freqs, rdt)
 
     def one_channel(args):
         img, freq = args
@@ -121,11 +135,32 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
         if apply_pb:
             fwhm = 1.2 * lam / dish_diameter_m
             img = img * jnp.exp(-4.0 * jnp.log(2.0) * r2 / fwhm ** 2)
-        return sample_vis(img, cell_rad, uvw[:, 0] / lam, uvw[:, 1] / lam,
+        return sample_vis(img, cell_r, uvw[:, 0] / lam, uvw[:, 1] / lam,
                           pad=pad)
 
-    return jax.lax.map(one_channel, (sky, jnp.asarray(freqs)),
+    return jax.lax.map(one_channel, (sky, freqs),
                        batch_size=min(batch_size, sky.shape[0]))
+
+
+@partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size'))
+def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
+                               apply_pb: bool = False,
+                               dish_diameter_m: float = 25.0,
+                               pad: int = _PAD, batch_size: int = 4):
+    """Channel-batched sampling + thermal noise in ONE compiled program,
+    returning real/imag pairs: ``(re_clean, im_clean, re_noisy,
+    im_noisy)``.
+
+    Complex arrays must never cross the host<->device boundary on this
+    class of backend (the axon TPU runtime cannot transfer or eagerly
+    operate on complex64/128 — only compiled programs may hold them), so
+    the public endpoint splits the visibilities into float parts.
+    """
+    vis = sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb=apply_pb,
+                          dish_diameter_m=dish_diameter_m, pad=pad,
+                          batch_size=batch_size)
+    noisy = add_noise(key, vis, sigma)
+    return vis.real, vis.imag, noisy.real, noisy.imag
 
 
 def primary_beam(n_y: int, n_x: int, cell_rad: float, freq_hz: float,
@@ -150,8 +185,13 @@ def thermal_noise_sigma(sefd: float, chan_width: float, t_int: float,
 
 
 def add_noise(key, vis, sigma: float):
-    """Complex Gaussian thermal noise (sigma per real/imag part)."""
+    """Complex Gaussian thermal noise (sigma per real/imag part).  Noise
+    dtype follows the visibilities' (complex128 is unsupported on TPU, so
+    the TPU path runs complex64 throughout)."""
+    rdt = jnp.real(vis).dtype
     kr, ki = jax.random.split(key)
-    noise = (jax.random.normal(kr, vis.shape) +
-             1j * jax.random.normal(ki, vis.shape))
-    return vis + sigma * noise
+    # lax.complex, not 1j*…: an eager python-1j materialises a complex128
+    # scalar under x64, which the TPU backend rejects outright
+    noise = jax.lax.complex(jax.random.normal(kr, vis.shape, dtype=rdt),
+                            jax.random.normal(ki, vis.shape, dtype=rdt))
+    return vis + jnp.asarray(sigma, rdt) * noise

@@ -118,9 +118,10 @@ class TestChannelScaling:
         beam_kernel = imaging.gaussian_beam_kernel(
             imsize, cell_rad, 4 * cell_rad, 3 * cell_rad, 0.0)
         restored, dirty = imaging.clean_cube(
-            jnp.asarray(uvw[:, :2]), jnp.asarray(freqs), vis,
-            jnp.ones(uvw.shape[0]), imsize, cell_rad, jnp.asarray(mask),
-            jnp.asarray(beam_kernel), weighting='natural', niter=30)
+            jnp.asarray(uvw[:, :2]), jnp.asarray(freqs), vis.real,
+            vis.imag, jnp.ones(uvw.shape[0]), imsize, cell_rad,
+            jnp.asarray(mask), jnp.asarray(beam_kernel),
+            weighting='natural', niter=30)
         restored = np.asarray(restored)
         wall = time.perf_counter() - t0
         assert restored.shape == (n_chan, imsize, imsize)

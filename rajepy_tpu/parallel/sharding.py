@@ -181,6 +181,37 @@ def sharded_transfer_scan(mesh: Mesh, source, dtau,
     return jax.jit(step)(source, dtau)
 
 
+def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
+                       n_pix: int, cell_rad: float, mask, beam_kernel,
+                       **clean_kwargs):
+    """Cube imaging with the channel axis sharded over the 'chan' mesh
+    axis: each device grids, FFTs, CLEANs and restores its own channel
+    shard with zero communication (channels are independent — the
+    synthetic-observation analogue of data parallelism; the reference
+    tclean cube at classes.py:2771-2782 is strictly sequential).
+
+    Arguments mirror :func:`rajepy_tpu.synthobs.imaging.clean_cube`;
+    ``n_chan`` must divide by the mesh's 'chan' extent.  Returns
+    (restored, dirty), channel-sharded (n_chan, n_pix, n_pix).
+    """
+    from ..synthobs import imaging
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, None), P('chan'), P('chan', None),
+                       P('chan', None), P(None), P(None, None),
+                       P(None, None)),
+             out_specs=(P('chan', None, None), P('chan', None, None)))
+    def step(uvw_l, freqs_l, re_l, im_l, w_l, mask_l, kern_l):
+        return imaging.clean_cube(uvw_l, freqs_l, re_l, im_l, w_l, n_pix,
+                                  cell_rad, mask_l, kern_l,
+                                  **clean_kwargs)
+
+    return jax.jit(step)(jnp.asarray(uvw_m)[:, :2], jnp.asarray(freqs),
+                         jnp.asarray(vis_re), jnp.asarray(vis_im),
+                         jnp.asarray(weights), jnp.asarray(mask),
+                         jnp.asarray(beam_kernel))
+
+
 def shard_runs(n_runs: int, n_devices: Optional[int] = None):
     """Round-robin assignment of pipeline runs to devices for
     embarrassingly-parallel epoch x frequency fan-out."""

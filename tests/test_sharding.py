@@ -129,6 +129,45 @@ class TestShardedRT:
         np.testing.assert_allclose(np.asarray(tau_tot), expected_tau,
                                    rtol=1e-12)
 
+    def test_clean_cube_channel_sharded(self, eight_devices):
+        """Channel-sharded cube imaging equals the single-device program."""
+        from rajepy_tpu.synthobs import imaging, observatories, sampler, \
+            uvgen
+        rng = np.random.default_rng(7)
+        n_chan, n, imsize = 8, 24, 64
+        sky = np.zeros((n_chan, n, n))
+        sky[:, n // 2, n // 2] = 1e-2
+        ant = observatories.read_antenna_config(
+            observatories.cfg_file('VLA', 'D'))
+        bl, _ = uvgen.baselines(ant['xyz'][:6])
+        uvw = uvgen.uvw_tracks(bl, np.linspace(-0.5, 0.5, 8), 30.0,
+                               -107.6).reshape(-1, 3)
+        freqs = np.linspace(1.00e10, 1.02e10, n_chan)
+        cell_model = 2e-7
+        vis = np.asarray(sampler.sample_vis_cube(
+            jnp.asarray(sky), cell_model, jnp.asarray(uvw),
+            jnp.asarray(freqs)))
+        cell_rad = (3e8 / freqs[-1]) / np.abs(uvw[:, :2]).max() / 4.0
+        mask = np.zeros((imsize, imsize))
+        mask[imsize // 4:-imsize // 4, imsize // 4:-imsize // 4] = 1.0
+        kern = imaging.gaussian_beam_kernel(imsize, cell_rad, 4 * cell_rad,
+                                            3 * cell_rad, 0.0)
+        w0 = np.ones(uvw.shape[0])
+
+        expected, _ = imaging.clean_cube(
+            jnp.asarray(uvw[:, :2]), jnp.asarray(freqs),
+            jnp.asarray(vis.real), jnp.asarray(vis.imag),
+            jnp.asarray(w0), imsize, cell_rad, jnp.asarray(mask),
+            jnp.asarray(kern), weighting='natural', niter=20)
+
+        mesh = sharding.make_mesh(n_los=2, n_chan=4)
+        with mesh:
+            got, _ = sharding.sharded_clean_cube(
+                mesh, uvw, freqs, vis.real, vis.imag, w0, imsize,
+                cell_rad, mask, kern, weighting='natural', niter=20)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-10, atol=1e-14)
+
     def test_shard_runs_round_robin(self, eight_devices):
         assert sharding.shard_runs(10, 4) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
 

@@ -15,6 +15,12 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without installing
+
 import rajepy_tpu
 from rajepy_tpu import JetModel
 from rajepy_tpu.models import analysis

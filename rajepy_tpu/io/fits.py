@@ -13,7 +13,7 @@ synthetic-observation backend's sky-model ingestion (classes.py:2691-2707).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

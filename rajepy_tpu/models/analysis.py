@@ -56,32 +56,26 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
     chi -> tau -> flux.  The reference re-walks the entire lazy property
     chain per epoch (classes.py:2358-2424).
     """
-    from . import ejection as ej
-
     f = model._ensure_fields()
     freqs = jnp.atleast_1d(jnp.asarray(freqs, dtype=model._dtype))
     times = jnp.atleast_1d(jnp.asarray(times_yr, dtype=model._dtype)) * \
         31536000.0
-    t_0 = model.params['properties']['T_0']
-    reyn = model._use_reynolds_gaunt()
-    csize = model.csize
-    dist = model.params['target']['dist']
-    spec_r, spec_b = model._spec_r, model._spec_b
-    ds = rt.path_length_cm(f.ff, f.area, csize)
-    tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+    # the model's own per-epoch flux kernel: the cached static base cube
+    # is passed as a runtime argument (a closure would capture O(N^3)
+    # constants into the compiled program — remote compile services hang
+    # or reject multi-GB payloads)
+    flux_kernel = model._continuum_kernel('flux')
 
     @jax.jit
-    def per_epoch(t):
-        chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
-        n_es = f.nd * chi * f.xi
-        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside, t_0, reyn)
-        fluxes = rt.flux_ff_maps(freqs, taus, tbar, any_in, csize, dist)
+    def integrate(f, a, tbar, any_in, ts_signed, t, freqs):
+        fluxes = flux_kernel.inner(f, a, tbar, any_in, ts_signed, t, freqs)
         return jnp.sum(fluxes, axis=(1, 2))
 
     # one compiled kernel called per epoch: each call returns only a
     # (n_chan,) vector, so dispatch is cheap, and the single-epoch body
     # compiles far faster than a lax.map/scan over epochs at 512^3
-    return np.stack([np.asarray(per_epoch(t)) for t in times])
+    return np.stack([np.asarray(integrate(f, *flux_kernel.statics, t,
+                                          freqs)) for t in times])
 
 
 def moment_maps(cube, freqs, rest_freq: float) -> dict:
@@ -128,7 +122,9 @@ def turnover_map(model, freqs, tau_unity: float = 1.0) -> np.ndarray:
     thick_any = taus[0] > tau_unity           # thickest at lowest nu
     always_thick = taus[-1] > tau_unity
     # per-pixel crossing via interpolation of log tau vs log nu
-    log_tau = np.where(taus > 0, np.log10(np.maximum(taus, 1e-300)), -np.inf)
+    with np.errstate(divide='ignore'):
+        log_tau = np.where(taus > 0,
+                           np.log10(np.maximum(taus, 1e-300)), -np.inf)
     for i in range(len(freqs) - 1):
         lo, hi = log_tau[i], log_tau[i + 1]
         crossing = (taus[i] > tau_unity) & (taus[i + 1] <= tau_unity)

@@ -253,10 +253,16 @@ def light_curve_sharded(model, times_yr, freqs,
     ds = rt.path_length_cm(f.ff, f.area, csize)
     tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
 
+    repl = NamedSharding(t_mesh, P())
+
     @partial(jax.jit,
-             in_shardings=(NamedSharding(t_mesh, P('t')),),
+             in_shardings=(NamedSharding(t_mesh, P('t')),
+                           jax.tree_util.tree_map(lambda _: repl, f),
+                           repl, repl, repl, repl),
              out_shardings=NamedSharding(t_mesh, P('t')))
-    def fan_out(ts_shard):
+    def fan_out(ts_shard, f, ds, tbar, any_in, freqs):
+        # all grids enter as (replicated) runtime arguments: a closure
+        # would capture them as multi-GB compiled-program constants
         def per_epoch(t):
             chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
             n_es = f.nd * chi * f.xi
@@ -268,5 +274,5 @@ def light_curve_sharded(model, times_yr, freqs,
         return jax.lax.map(per_epoch, ts_shard)
 
     with t_mesh:
-        out = fan_out(times_p)
+        out = fan_out(times_p, f, ds, tbar, any_in, freqs)
     return np.asarray(out)[:n_times]

@@ -15,7 +15,7 @@ reference (SURVEY §2.1 known defects):
 from __future__ import annotations
 
 from collections.abc import Iterable
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -50,6 +50,21 @@ from . import grid as mgrid
 from .fields import Geometry, StaticFields, compute_static_fields
 
 
+def _freeze(obj):
+    """Canonical hashable form of a nested scalar dict (cache keys)."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    return obj
+
+
+# Compiled grid-fill programs shared across JetModel instances with
+# identical static parameters.  Without this every instance re-jits its
+# own closure and re-pays the remote compile-service round-trip (~6 s per
+# model at 512^3 even on a program-cache hit) — ruinous for parameter
+# sweeps; a cache hit here costs the 70 ms execution only.
+_FILL_CACHE: Dict = {}
+
+
 class JetModel:
     """Physical model of an ionised YSO jet (reference classes.py:42-1713)."""
 
@@ -215,15 +230,19 @@ class JetModel:
                             "areas and physical fields (fused TPU pass)")
             xx, yy, zz = self._grid_coords
             # Model params are compile-time constants: close over them so
-            # every scalar folds into the compiled program.
+            # every scalar folds into the compiled program.  The jitted
+            # closure is memoised across instances (see _FILL_CACHE).
             sp = self._static_params()
             rbf = self._ss_jml_rb_frac
             wt = self._has_bursts
-
-            @jax.jit
-            def fn(xx_, yy_, zz_):
-                return compute_static_fields(sp, xx_, yy_, zz_, rbf,
-                                             with_time=wt)
+            key = (_freeze(sp), rbf, wt, str(self._dtype))
+            fn = _FILL_CACHE.get(key)
+            if fn is None:
+                @jax.jit
+                def fn(xx_, yy_, zz_):
+                    return compute_static_fields(sp, xx_, yy_, zz_, rbf,
+                                                 with_time=wt)
+                _FILL_CACHE[key] = fn
 
             from ..utils.profiling import KernelTimer
             with KernelTimer("grid fill (fields + fill factors)",

@@ -775,8 +775,12 @@ class JetModel:
         return (self._dtype == jnp.float32 and
                 _jax.default_backend() == 'tpu')
 
-    def _rrl_kernel(self, line: str, kind: str, collapse: bool = True):
-        """Jitted (fields, t, freqs) -> RRL tau/intensity product."""
+    def _rrl_kernel(self, line: str, kind: str, collapse: bool = True,
+                    nonlte: bool = False):
+        """Jitted (fields, t, freqs, b_n1, b_n2) -> RRL tau/intensity
+        product.  ``b_n1``/``b_n2`` are departure coefficients for the
+        non-LTE mode (pass 1.0 for LTE — they are traced, so switching
+        values never recompiles)."""
         t_0, reyn, csize, dist = self._rt_constants()
         coeffs = rt.RRLCoeffs(line)
         fused = self._use_fused_rrl()
@@ -789,51 +793,89 @@ class JetModel:
                                    f.inside)
 
         def build():
-            def kernel(f, t, freqs):
+            def kernel(f, t, freqs, b_n1, b_n2):
                 n_es = self._nd_chi(f, t) * f.xi
                 ds = rt.path_length_cm(f.ff, f.area, csize)
                 if kind == 'tau':
                     if not collapse:
                         return rt.tau_rrl_cube(coeffs, freqs, f.temp, n_es,
                                                f.vy, ds, f.inside)
-                    return tau_maps(f, n_es, ds, freqs)
+                    tau_l = tau_maps(f, n_es, ds, freqs)
+                    if not nonlte:
+                        return tau_l
+                    # non-LTE line opacity: b_n1 beta tau_L* (G&S 2.141)
+                    tbar, any_in = rt.mean_temperature_map(f.temp,
+                                                           f.inside)
+                    safe_t = jnp.where(any_in, tbar, 1.0)[None]
+                    beta = mrrl.beta_coeff(freqs[:, None, None], safe_t,
+                                           b_n1, b_n2)
+                    return b_n1 * beta * tau_l
                 tau_l = tau_maps(f, n_es, ds, freqs)
                 tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
                                        t_0, reyn)
                 tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+                if nonlte:
+                    return rt.intensity_rrl_maps_nonlte(
+                        freqs, tbar, tau_c, tau_l, any_in, b_n1, b_n2)
                 return rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l,
                                              any_in)
             return kernel
 
-        return self._jitted(('rrl', line, kind, collapse, fused), build)
+        return self._jitted(('rrl', line, kind, collapse, fused, nonlte),
+                            build)
+
+    @staticmethod
+    def _check_nonlte(lte, departure_coeffs):
+        """(b_n1, b_n2) as floats, or raise exactly like the reference
+        does on lte=False (classes.py:1258-1262) when no departure
+        coefficients are supplied."""
+        if lte:
+            return 1.0, 1.0
+        if departure_coeffs is None:
+            raise ValueError(
+                "Non-LTE RRL calculations require departure coefficients: "
+                "pass departure_coeffs=(b_n1, b_n2)")
+        b_n1, b_n2 = departure_coeffs
+        return float(b_n1), float(b_n2)
 
     def optical_depth_rrl(self, rrl: str, freq, lte: bool = True,
                           savefits: Union[bool, str] = False,
-                          collapse: bool = True) -> np.ndarray:
-        """RRL optical depth (classes.py:1130-1229)."""
-        if not lte:
-            raise ValueError("Non-LTE RRL calculations not yet supported")
+                          collapse: bool = True,
+                          departure_coeffs=None) -> np.ndarray:
+        """RRL optical depth (classes.py:1130-1229).  ``lte=False`` with
+        ``departure_coeffs=(b_n1, b_n2)`` returns the non-LTE line
+        opacity b_n1 beta tau_L* (beyond-reference; the reference raises
+        on lte=False)."""
+        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs)
+        if not lte and not collapse:
+            raise ValueError("non-LTE opacities are slab quantities: "
+                             "collapse=False is LTE-only")
         f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        taus = np.asarray(self._rrl_kernel(rrl, 'tau', collapse)(
-            f, self.time, freqs))
+        taus = np.asarray(self._rrl_kernel(rrl, 'tau', collapse,
+                                           nonlte=not lte)(
+            f, self.time, freqs, b_n1, b_n2))
         if savefits:
             self._save_rt_fits(taus, savefits, 'tau', freq, scalar, collapse)
         return taus[0] if scalar else taus
 
     def intensity_rrl(self, rrl: str, freq, lte: bool = True,
-                      savefits: Union[bool, str] = False) -> np.ndarray:
-        """LTE RRL intensity (classes.py:1231-1290; the reference's
+                      savefits: Union[bool, str] = False,
+                      departure_coeffs=None) -> np.ndarray:
+        """RRL intensity (classes.py:1231-1290; the reference's
         whole-array-inside-the-channel-loop defect is fixed — each channel
-        uses its own frequency)."""
-        if not lte:
-            raise ValueError("Non-LTE RRL calculations not yet supported")
+        uses its own frequency).  ``lte=False`` with
+        ``departure_coeffs=(b_n1, b_n2)`` evaluates the non-LTE slab form
+        (G&S eqs. 2.130/2.139/2.141) — beyond-reference; the reference
+        raises on lte=False."""
+        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs)
         f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
-        ints = np.asarray(self._rrl_kernel(rrl, 'intensity')(
-            f, self.time, freqs))
+        ints = np.asarray(self._rrl_kernel(rrl, 'intensity',
+                                           nonlte=not lte)(
+            f, self.time, freqs, b_n1, b_n2))
         if savefits:
             self._save_rt_fits(ints, savefits, 'intensity', freq, scalar,
                                True)
@@ -841,12 +883,14 @@ class JetModel:
 
     def flux_rrl(self, rrl: str, freq, lte: bool = True,
                  contsub: bool = True,
-                 savefits: Union[bool, str] = False) -> np.ndarray:
+                 savefits: Union[bool, str] = False,
+                 departure_coeffs=None) -> np.ndarray:
         """RRL flux [Jy/pixel], optionally with continuum
         (classes.py:1292-1351)."""
         scalar = np.isscalar(freq)
         freqs = np.atleast_1d(np.asarray(freq, dtype=float))
-        ints = self.intensity_rrl(rrl, freqs, lte=lte)
+        ints = self.intensity_rrl(rrl, freqs, lte=lte,
+                                  departure_coeffs=departure_coeffs)
         fluxes = ints * float(rt.flux_scale_jy(
             self.csize, self.params['target']['dist']))
         if not contsub:

@@ -280,6 +280,19 @@ def intensity_rrl_maps(freqs, tbar_map, tau_ff_maps_, tau_rrl_maps_,
     return jnp.where(any_inside[None], ints, 0.0)
 
 
+def intensity_rrl_maps_nonlte(freqs, tbar_map, tau_ff_maps_, tau_rrl_maps_,
+                              any_inside, b_n1, b_n2):
+    """Non-LTE RRL intensity maps from departure coefficients
+    (beyond-reference: the reference raises on lte=False,
+    classes.py:1258-1262; see ops.rrls.line_intensity_nonlte)."""
+    freqs = jnp.asarray(freqs)
+    safe_t = jnp.where(any_inside, tbar_map, 1.0)[None]
+    ints = mrrl.line_intensity_nonlte(freqs[:, None, None], safe_t,
+                                      tau_ff_maps_, tau_rrl_maps_,
+                                      b_n1, b_n2)
+    return jnp.where(any_inside[None], ints, 0.0)
+
+
 # --------------------------------------------------------------------------- #
 # Ordered radiative transfer along the line of sight (beyond-reference mode)
 # --------------------------------------------------------------------------- #

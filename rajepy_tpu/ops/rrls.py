@@ -296,6 +296,39 @@ def line_continuum_ratio_nonlte(eta, tau_nu, tau_c):
     return eta * (1.0 - jnp.exp(-tau_nu)) / (1.0 - jnp.exp(-tau_c)) - 1.0
 
 
+def line_intensity_nonlte(freq, temp, tau_c, tau_l_star, b_n1, b_n2):
+    """Non-LTE slab line intensity [W m^-2 Hz^-1 sr^-1] given departure
+    coefficients (b_n1, b_n2) for the transition's lower/upper levels.
+
+    Beyond-reference capability: the reference ships the G&S
+    eq. 2.130/2.139/2.141 coefficient scaffolding but raises on
+    ``lte=False`` (classes.py:1258-1262).  Composing them over the slab:
+
+        I_L = B_nu(T) [ eta (1 - e^-tau_nu) - (1 - e^-tau_c) ]
+
+    with tau_nu = tau_c + b_n1 beta tau_L* and eta from the LTE
+    line/continuum opacity ratio.  Reduces exactly to
+    :func:`line_intensity_lte` at b_n1 = b_n2 = 1 (beta = eta = 1).
+    ``tau_l_star`` is the LTE line opacity (what the RT kernels compute).
+    """
+    from .physics import blackbody_nu
+    beta = beta_coeff(freq, temp, b_n1, b_n2)
+    safe_tc = jnp.where(tau_c > 0, tau_c, 1.0)
+    ratio = jnp.where(tau_c > 0, tau_l_star / safe_tc, 0.0)
+    # cancellation-free regrouping of eta (1 - e^-tau_nu) - (1 - e^-tau_c):
+    # the naive difference loses ~tau_c/tau_L digits for optically thin
+    # lines.  eta - 1 is formed directly (exact 0 at b = 1), and the line
+    # term through expm1 of the non-LTE line opacity alone.
+    denom = 1.0 + b_n1 * ratio * beta
+    eta_m1 = ratio * (b_n2 - b_n1 * beta) / denom
+    tau_l_eff = b_n1 * beta * tau_l_star
+    b_nu = blackbody_nu(freq, temp)
+    i_l_cgs = b_nu * (eta_m1 * (-jnp.expm1(-tau_c)) +
+                      (1.0 + eta_m1) * jnp.exp(-tau_c) *
+                      (-jnp.expm1(-tau_l_eff)))
+    return i_l_cgs * 1e-7 * 1e4
+
+
 def rrl_parser(rrl_str: str) -> Tuple[str, int, int]:
     """'H58a' -> ('H', 58, 1) etc. (rrls.py:605-624)."""
     dn = {'a': 1, 'b': 2, 'g': 3, 'd': 4}[rrl_str[-1].lower()]

@@ -126,6 +126,73 @@ class TestIntegratedProfiles:
         assert ours == pytest.approx(ref, rel=1e-9)
 
 
+class TestNonLTEMode:
+    """Beyond-reference non-LTE RRL products (the reference raises on
+    lte=False; this framework computes the G&S slab forms when departure
+    coefficients are supplied)."""
+
+    @pytest.fixture(scope='class')
+    def jm(self):
+        import copy
+        import numpy as np
+        from rajepy_tpu import JetModel
+        params = {
+            "target": {"name": "nl", "ra": "04:31:34.1",
+                       "dec": "+18:08:04.9", "epoch": "J2000",
+                       "dist": 120., "v_lsr": 6.2, "M_star": 0.55,
+                       "R_1": .25, "R_2": 2.5},
+            "grid": {"n_x": 12, "n_y": 24, "n_z": 12, "l_z": None,
+                     "c_size": 0.5},
+            "geometry": {"epsilon": 7. / 9., "opang": 25., "w_0": 1.,
+                         "r_0": 1., "inc": 90., "pa": 0.,
+                         "rotation": "CCW"},
+            "power_laws": {"q_v": 0., "q_T": 0., "q_x": 0., "q^d_n": 0.,
+                           "q^d_T": 0., "q^d_v": 0., "q^d_x": 0.},
+            "properties": {"v_0": 150., "x_0": 0.1, "T_0": 1E4,
+                           "mu": 1.3, "mlr_bj": 1e-7, "mlr_rj": 5e-8},
+            "ejection": {"t_0": np.array([]), "hl": np.array([]),
+                         "chi": np.array([]), "which": np.array([])},
+        }
+        return JetModel(copy.deepcopy(params))
+
+    def test_raises_without_coeffs_like_reference(self, jm):
+        with pytest.raises(ValueError):
+            jm.intensity_rrl('H58a', 1.4716e10, lte=False)
+        with pytest.raises(ValueError):
+            jm.optical_depth_rrl('H58a', 1.4716e10, lte=False)
+
+    def test_lte_limit(self, jm):
+        """b_n1 = b_n2 = 1 must reproduce the LTE products exactly
+        (beta = eta = 1)."""
+        freqs = np.linspace(1.4715e10, 1.4717e10, 3)
+        i_lte = jm.intensity_rrl('H58a', freqs)
+        i_nl = jm.intensity_rrl('H58a', freqs, lte=False,
+                                departure_coeffs=(1.0, 1.0))
+        np.testing.assert_allclose(np.nan_to_num(i_nl),
+                                   np.nan_to_num(i_lte), rtol=1e-12)
+        t_lte = jm.optical_depth_rrl('H58a', freqs)
+        t_nl = jm.optical_depth_rrl('H58a', freqs, lte=False,
+                                    departure_coeffs=(1.0, 1.0))
+        np.testing.assert_allclose(np.nan_to_num(t_nl),
+                                   np.nan_to_num(t_lte), rtol=1e-12)
+
+    def test_stimulated_amplification(self, jm):
+        """At radio frequencies h nu << k T, b_n2 > b_n1 drives beta
+        negative (stimulated emission dominates): the non-LTE line
+        opacity goes negative and the line amplifies over LTE — the
+        classic RRL maser behaviour the slab formulas encode."""
+        freq = 1.4716e10
+        t_nl = jm.optical_depth_rrl(freq=freq, rrl='H58a', lte=False,
+                                    departure_coeffs=(0.90, 0.95))
+        t_lte = jm.optical_depth_rrl('H58a', freq)
+        sel = np.nan_to_num(t_lte) > 0
+        assert (np.nan_to_num(t_nl)[sel] < 0).all()
+        i_nl = jm.intensity_rrl('H58a', freq, lte=False,
+                                departure_coeffs=(0.90, 0.95))
+        i_lte = jm.intensity_rrl('H58a', freq)
+        assert np.nanmax(i_nl) > np.nanmax(i_lte)
+
+
 class TestNonLTECoefficients:
     def test_parity(self):
         rrrl = _ref_rrls()

@@ -24,9 +24,26 @@ Package layout
 Float64 is enabled globally (required for the 1e-6 oracle-parity targets);
 pass ``dtype=jnp.float32`` to ``JetModel`` for maximum TPU throughput.
 """
+import os as _os
+
 from jax import config as _jax_config
 
 _jax_config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles dominate cold starts (30-140 s
+# per distinct program through remote TPU compile services); cached
+# executables cut repeat-process startup roughly in half.  Respects an
+# explicit JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache_dir = _os.path.join(_os.path.expanduser("~"), ".cache",
+                               "rajepy_tpu", "jax")
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax_config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax_config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except OSError:  # read-only home etc. — run without the cache
+        pass
 
 from . import constants as cnsts            # noqa: E402
 from . import _config as cfg                # noqa: E402

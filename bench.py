@@ -219,9 +219,9 @@ def rrl_cube_bench(jm, nchan=16):
     freqs = jnp.linspace(coeffs.nu0 * 0.9999, coeffs.nu0 * 1.0001, nchan,
                          dtype=jm._dtype)
     kern = jm._rrl_kernel('H58a', 'tau')
-    _sync(kern(f, jm.time, freqs))  # compile + warm-up
+    _sync(kern(f, jm.time, freqs, 1.0, 1.0))  # compile + warm-up
     t0 = time.perf_counter()
-    _sync(kern(f, jm.time, freqs))
+    _sync(kern(f, jm.time, freqs, 1.0, 1.0))
     dt = time.perf_counter() - t0
     return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 

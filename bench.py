@@ -162,6 +162,24 @@ def pallas_check():
     checks['epoch_base'] = err
     assert err < 2e-4, f"epoch_base_map_pallas vs XLA: rel err {err:.2e}"
 
+    # 5. compacted-tile epoch map (the production epoch path)
+    from rajepy_tpu.ops.pallas_kernels import (active_tiles,
+                                               epoch_base_map_tiles,
+                                               gather_tiles)
+    tdims = dict(block_x=8, block_z=128, y_chunk=16)
+    ids, seg = active_tiles(inside_j, **tdims)
+    assert 0 < ids.size < (nx // 8) * (ny // 16) * (nz // 128), \
+        "tile compaction degenerate (all or no tiles active)"
+    ids_d = jnp.asarray(ids)
+    a_tt = gather_tiles(a_base.astype(f32), ids_d, **tdims)
+    tss_tt = gather_tiles(pack_launch_time(ts, red), ids_d, fill=1.0,
+                          **tdims)
+    got_t = epoch_base_map_tiles(a_tt, tss_tt, jnp.asarray(seg), t_now,
+                                 tuple(bursts), nx, nz)
+    err = float(jnp.max(jnp.abs(got_t - want)) / jnp.max(jnp.abs(want)))
+    checks['epoch_tiles'] = err
+    assert err < 2e-4, f"epoch_base_map_tiles vs XLA: rel err {err:.2e}"
+
     log("pallas_check: ok " +
         " ".join(f"{k}={v:.1e}" for k, v in checks.items()))
 
@@ -179,10 +197,11 @@ def flagship_model(n):
     return JetModel(params, dtype=jnp.float32)
 
 
-def model_path_bench(jm, nchan=16, n_rep=20):
+def model_path_bench(jm, nchan=16, n_rep=400):
     """Per-epoch model chain through the model's own flux kernel: burst
     factor -> opacity (van Hoof branch) -> flux maps, all channels,
-    amortised over n_rep epochs on device."""
+    amortised over n_rep epochs on device (the axon tunnel's ~30 ms
+    host round trip would otherwise dominate sub-millisecond epochs)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -194,11 +213,10 @@ def model_path_bench(jm, nchan=16, n_rep=20):
     dt_epoch = jnp.asarray(0.1 * YEAR, jm._dtype)
 
     @jax.jit
-    def bench_loop(f, a, tbar, any_in, red_f, freqs, t_start):
+    def bench_loop(f, st, freqs, t_start):
         def body(i, acc):
             t = t_start + i.astype(jm._dtype) * dt_epoch
-            return acc + jnp.sum(inner(f, a, tbar, any_in, red_f, t,
-                                       freqs))
+            return acc + jnp.sum(inner(f, st, t, freqs))
         return lax.fori_loop(0, n_rep, body, jnp.asarray(0.0, jm._dtype))
 
     t_start = jnp.asarray(2.0 * YEAR, jm._dtype)

@@ -67,8 +67,8 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
     flux_kernel = model._continuum_kernel('flux')
 
     @jax.jit
-    def integrate(f, a, tbar, any_in, ts_signed, t, freqs):
-        fluxes = flux_kernel.inner(f, a, tbar, any_in, ts_signed, t, freqs)
+    def integrate(f, st, t, freqs):
+        fluxes = flux_kernel.inner(f, st, t, freqs)
         return jnp.sum(fluxes, axis=(1, 2))
 
     # one compiled kernel called per epoch: each call returns only a

@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import pickle
 import sys
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -63,6 +63,31 @@ def _freeze(obj):
 # model at 512^3 even on a program-cache hit) — ruinous for parameter
 # sweeps; a cache hit here costs the 70 ms execution only.
 _FILL_CACHE: Dict = {}
+
+
+class RTStatic(NamedTuple):
+    """Epoch-independent RT precomputations (one jitted pass per model).
+
+    ``a``/``em_base`` are the full base cubes (all paths); ``a_t``/
+    ``em_t``/``tss_t``/``seg`` are their jet-occupied-tile compactions
+    (ops.pallas_kernels.gather_tiles) feeding the bandwidth-bound fused
+    epoch kernel — ``None`` off the f32/TPU/burst path.
+    """
+    a: jnp.ndarray          # free-free base-opacity cube tau_ff_base
+    em_base: jnp.ndarray    # per-cell EM contribution (nd xi)^2 ds_pc
+    tbar: jnp.ndarray       # LOS-mean temperature map
+    any_in: jnp.ndarray     # jet silhouette (bool map)
+    ts_signed: jnp.ndarray  # packed launch time + jet side cube
+    a_t: Optional[jnp.ndarray] = None    # (n_act, bx, yc, bz)
+    em_t: Optional[jnp.ndarray] = None   # (n_act, bx, yc, bz)
+    tss_t: Optional[jnp.ndarray] = None  # (n_act, bx, yc, bz)
+    seg: Optional[jnp.ndarray] = None    # (n_act,) xz-tile segment ids
+
+
+# Compacted-tile dims for the fused epoch kernel: (8, y, 128) blocks with
+# a 64-cell y granularity balance read volume (~3% of the cube for the
+# example jet at 512^3) against per-grid-step overhead.
+_TILE = dict(block_x=8, block_z=128, y_chunk=64)
 
 
 class JetModel:
@@ -633,7 +658,9 @@ class JetModel:
           (for the fused epoch kernel)
 
         Computed once per model instance; the per-epoch chain then streams
-        only (A, ts_signed) — 2 cube reads instead of ~8.
+        only (A, ts_signed) — 2 cube reads instead of ~8 — or, on the
+        fused f32/TPU path, just their jet-occupied tiles (a further
+        15-30x read cut; see ops.pallas_kernels.active_tiles).
         """
         if self._rt_static_cache is None:
             f = self._ensure_fields()
@@ -651,7 +678,21 @@ class JetModel:
                 ts_signed = pack_launch_time(f.ts, f.red, self._dtype)
                 return a, em_base, tbar, any_in, ts_signed
 
-            self._rt_static_cache = fn(f)
+            a, em_base, tbar, any_in, ts_signed = fn(f)
+            a_t = em_t = tss_t = seg_d = None
+            if self._has_bursts and self._use_fused_rrl():
+                from ..ops import pallas_kernels as pk
+                ids, seg = pk.active_tiles(f.inside, **_TILE)
+                if ids.size:
+                    ids_d = jnp.asarray(ids)
+                    a_t = pk.gather_tiles(a, ids_d, **_TILE)
+                    em_t = pk.gather_tiles(em_base, ids_d, **_TILE)
+                    tss_t = pk.gather_tiles(ts_signed, ids_d, fill=1.0,
+                                            **_TILE)
+                    seg_d = jnp.asarray(seg)
+            self._rt_static_cache = RTStatic(a, em_base, tbar, any_in,
+                                             ts_signed, a_t, em_t, tss_t,
+                                             seg_d)
         return self._rt_static_cache
 
     def _burst_tuple(self):
@@ -666,68 +707,85 @@ class JetModel:
                             is_red))
         return tuple(out)
 
-    def _epoch_base_map(self, base, f, ts_signed, t):
-        """Traced: LOS-collapsed sum_y base * chi(t)^2 — the fused Pallas
-        single-pass on the f32 TPU path, the XLA burst scan elsewhere."""
+    def _epoch_base_map(self, kind: str, f, st: RTStatic, t):
+        """Traced: LOS-collapsed sum_y base * chi(t)^2 for ``kind`` in
+        {'a', 'em'} — the compacted-tile Pallas pass when active tiles are
+        available, the full-cube fused pass otherwise on the f32 TPU path,
+        the XLA burst scan elsewhere."""
         if self._has_bursts and self._use_fused_rrl():
-            from ..ops.pallas_kernels import epoch_base_map_pallas
-            return epoch_base_map_pallas(base, ts_signed, t,
-                                         self._burst_tuple())
+            from ..ops import pallas_kernels as pk
+            if st.seg is not None:
+                base_t = st.a_t if kind == 'a' else st.em_t
+                return pk.epoch_base_map_tiles(base_t, st.tss_t, st.seg,
+                                               t, self._burst_tuple(),
+                                               self._nx, self._nz)
+            base = st.a if kind == 'a' else st.em_base
+            return pk.epoch_base_map_pallas(base, st.ts_signed, t,
+                                            self._burst_tuple())
+        base = st.a if kind == 'a' else st.em_base
         return jnp.sum(base * self._chi2(f, t), axis=rt.LOS_AXIS)
+
+    def _compact_flag(self, st: RTStatic) -> bool:
+        """Whether the compacted-tile epoch path is live (part of jit
+        cache keys: the traced kernels branch on it at build time)."""
+        return st.seg is not None
 
     def emission_measure(self, savefits: Union[bool, str] = False
                          ) -> np.ndarray:
         """EM map [pc cm^-6] (classes.py:1101-1128)."""
         f = self._ensure_fields()
-        _, em_base, _, _, ts_signed = self._rt_static()
+        st = self._rt_static()
 
         def build():
-            def kernel(f, em_base, ts_signed, t):
-                return self._epoch_base_map(em_base, f, ts_signed, t)
+            def kernel(f, st, t):
+                return self._epoch_base_map('em', f, st, t)
             return kernel
 
-        em = np.asarray(self._jitted(('em', self._use_fused_rrl()), build)(
-            f, em_base, ts_signed, self.time))
+        em = np.asarray(self._jitted(
+            ('em', self._use_fused_rrl(), self._compact_flag(st)), build)(
+            f, st, self.time))
         if savefits:
             self.save_fits(miscf.reorder_axes(em, ra_axis=0, dec_axis=1),
                            savefits, 'em')
         return em
 
     def _continuum_kernel(self, kind: str, collapse: bool = True):
-        """Jitted (fields, A, tbar, any_in, t, freqs) -> tau/intensity/
-        flux product, fed from the cached static base cube."""
+        """Jitted (fields, rt_static, t, freqs) -> tau/intensity/flux
+        product, fed from the cached static base cube (compacted tiles on
+        the fused TPU path)."""
         t_0, reyn, csize, dist = self._rt_constants()
 
         def build():
-            def kernel(f, a, tbar, any_in, ts_signed, t, freqs):
+            def kernel(f, st, t, freqs):
                 if kind == 'tau' and not collapse:
                     scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
                     return scale[:, None, None, None] * \
-                        (a * self._chi2(f, t))[None]
-                base_map = self._epoch_base_map(a, f, ts_signed, t)
+                        (st.a * self._chi2(f, t))[None]
+                base_map = self._epoch_base_map('a', f, st, t)
                 scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
                 taus = scale[:, None, None] * base_map[None]
                 if kind == 'tau':
                     return taus
                 if kind == 'intensity':
-                    return rt.intensity_ff_maps(freqs, taus, tbar, any_in)
-                return rt.flux_ff_maps(freqs, taus, tbar, any_in, csize,
-                                       dist)
+                    return rt.intensity_ff_maps(freqs, taus, st.tbar,
+                                                st.any_in)
+                return rt.flux_ff_maps(freqs, taus, st.tbar, st.any_in,
+                                       csize, dist)
             return kernel
 
-        inner = self._jitted(('ff', kind, collapse,
-                              self._use_fused_rrl()), build)
-        a, _, tbar, any_in, ts_signed = self._rt_static()
+        st = self._rt_static()
+        inner = self._jitted(('ff', kind, collapse, self._use_fused_rrl(),
+                              self._compact_flag(st)), build)
 
         def call(f, t, freqs):
-            return inner(f, a, tbar, any_in, ts_signed, t, freqs)
+            return inner(f, st, t, freqs)
 
         # callers composing their own jit (bench loops) must pass the
         # static arrays as runtime arguments — a closure would embed the
         # O(N^3) cube as an HLO constant (remote compile services reject
         # the oversized program)
         call.inner = inner
-        call.statics = (a, tbar, any_in, ts_signed)
+        call.statics = (st,)
         return call
 
     def optical_depth_ff(self, freq, savefits: Union[bool, str] = False,

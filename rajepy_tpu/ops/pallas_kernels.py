@@ -210,6 +210,134 @@ def epoch_base_map_pallas(a, ts_signed, t, bursts: tuple,
     return out[:nx, :nz]
 
 
+# --------------------------------------------------------------------------- #
+# Block-sparse tile compaction for the epoch kernel
+#
+# The jet silhouette covers a few percent of the cube (0.6% of cells,
+# ~6% of (8, y, 128) tiles for the bundled example jet at 512^3), and the
+# epoch kernel is HBM-bandwidth-bound: reading only the tiles that contain
+# jet cells cuts per-epoch traffic 15-60x.  The active-tile set depends
+# only on the jet geometry (time-independent), so compaction happens once
+# per model alongside the other _rt_static precomputations; per epoch the
+# kernel streams the compacted (n_act, bx, yc, bz) arrays and the collapsed
+# (nx, nz) map is reassembled with one small segment-sum.
+# --------------------------------------------------------------------------- #
+def _tile_grid(n, b):
+    return -(-n // b)
+
+
+def _pad_to_tiles(cube, bx, yc, bz, fill):
+    nx, ny, nz = cube.shape
+    pads = ((0, (-nx) % bx), (0, (-ny) % yc), (0, (-nz) % bz))
+    if any(p[1] for p in pads):
+        cube = jnp.pad(cube, pads, constant_values=fill)
+    return cube
+
+
+@functools.partial(jax.jit, static_argnames=('block_x', 'block_z',
+                                              'y_chunk'))
+def _tile_activity(inside, block_x: int = 8, block_z: int = 128,
+                   y_chunk: int = 64):
+    """(nX, nY, nZ) bool: which (block_x, y_chunk, block_z) tiles contain
+    any jet cell."""
+    p = _pad_to_tiles(inside, block_x, y_chunk, block_z, False)
+    nx, ny, nz = p.shape
+    return p.reshape(nx // block_x, block_x, ny // y_chunk, y_chunk,
+                     nz // block_z, block_z).any(axis=(1, 3, 5))
+
+
+def active_tiles(inside, block_x: int = 8, block_z: int = 128,
+                 y_chunk: int = 64):
+    """Host-side one-off: flat ids of jet-occupied tiles plus their
+    (x, z)-tile segment ids for the collapsed-map reassembly.
+
+    Returns ``(ids, seg)`` int32 numpy arrays of shape (n_act,); empty
+    when the grid holds no jet cells.
+    """
+    act = np.asarray(_tile_activity(inside, block_x, block_z, y_chunk))
+    n_xt, n_yt, n_zt = act.shape
+    ids = np.flatnonzero(act.reshape(-1)).astype(np.int32)
+    i = ids // (n_yt * n_zt)
+    k = ids % n_zt
+    seg = (i * n_zt + k).astype(np.int32)
+    return ids, seg
+
+
+@functools.partial(jax.jit, static_argnames=('block_x', 'block_z',
+                                              'y_chunk', 'fill'))
+def gather_tiles(cube, ids, block_x: int = 8, block_z: int = 128,
+                 y_chunk: int = 64, fill: float = 0.0):
+    """(n_act, block_x, y_chunk, block_z) compacted copy of ``cube`` at the
+    active tile ids (one full-cube shuffle, once per model)."""
+    p = _pad_to_tiles(cube, block_x, y_chunk, block_z, fill)
+    nx, ny, nz = p.shape
+    t = p.reshape(nx // block_x, block_x, ny // y_chunk, y_chunk,
+                  nz // block_z, block_z)
+    t = t.transpose(0, 2, 4, 1, 3, 5).reshape(-1, block_x, y_chunk,
+                                              block_z)
+    return t[ids]
+
+
+def _epoch_tiles_kernel(t_ref, a_ref, tss_ref, out_ref, *, bursts: tuple):
+    """One active tile per grid step: burst factor in-register (same maths
+    as _epoch_base_kernel), partial LOS sum over the tile's y extent."""
+    tss = tss_ref[0]
+    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    red = tss < 0.0
+    chi = jnp.ones_like(lt)
+    for t0, inv2s2, amp, is_red in bursts:
+        g = amp * jnp.exp(-(lt - t0) ** 2 * inv2s2)
+        sel = red if is_red else jnp.logical_not(red)
+        chi = chi + jnp.where(sel, g, 0.0)
+    out_ref[0] = jnp.sum(a_ref[0] * chi * chi, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=('bursts', 'nx', 'nz',
+                                             'interpret'))
+def epoch_base_map_tiles(base_t, tss_t, seg, t, bursts: tuple, nx: int,
+                         nz: int, interpret: bool = False):
+    """LOS-collapsed sum_y base * chi(t - ts)^2 over COMPACTED tiles.
+
+    Same product as :func:`epoch_base_map_pallas` but reading only the
+    jet-occupied tiles (from :func:`gather_tiles`): per epoch the kernel
+    streams ``2 * n_act * bx * yc * bz`` floats instead of two full cubes.
+    Partial per-tile maps are reassembled into the (nx, nz) collapsed map
+    with a segment-sum over the tiles' (x, z) positions.
+
+    Args:
+      base_t: (n_act, bx, yc, bz) compacted epoch-independent base
+      tss_t:  (n_act, bx, yc, bz) compacted packed launch time/side
+              (gather with fill=1.0)
+      seg:    (n_act,) int32 x,z-tile segment id (from active_tiles)
+      t:      scalar model time [s] (traced)
+      bursts: static (t0, 1/(2 sigma^2), rel_amp, is_red) tuple
+    """
+    n_act, bx, yc, bz = base_t.shape
+    kernel = functools.partial(_epoch_tiles_kernel, bursts=bursts)
+    tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i: (i, 0, 0, 0),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    t_spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, bx, bz), lambda i: (i, 0, 0),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+    t_arr = jnp.asarray(t, base_t.dtype).reshape(1)
+    with jax.enable_x64(False):
+        parts = pl.pallas_call(
+            kernel,
+            grid=(n_act,),
+            out_shape=jax.ShapeDtypeStruct((n_act, bx, bz), base_t.dtype),
+            in_specs=[t_spec, tile_spec, tile_spec],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(t_arr, base_t, tss_t)
+    n_xt = _tile_grid(nx, bx)
+    n_zt = _tile_grid(nz, bz)
+    m = jax.ops.segment_sum(parts, seg, num_segments=n_xt * n_zt)
+    m = m.reshape(n_xt, n_zt, bx, bz).transpose(0, 2, 1, 3)
+    return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
+
+
 def _expm1_pos(x):
     """Numerically stable exp(x) - 1 for x >= 0 inside Mosaic kernels
     (no expm1 lowering): 3-term Taylor below the cancellation threshold."""

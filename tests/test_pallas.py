@@ -108,6 +108,61 @@ def test_epoch_base_map_matches_xla_chi_scan():
                                    atol=5e-6 * want.max())
 
 
+@pytest.mark.parametrize("shape,tile", [
+    ((12, 40, 130), dict(block_x=8, block_z=128, y_chunk=16)),
+    ((16, 64, 128), dict(block_x=8, block_z=128, y_chunk=32)),
+])
+def test_epoch_tiles_matches_xla_chi_scan(shape, tile):
+    """The compacted-tile epoch kernel (jet-occupied tiles only) must
+    reproduce the XLA chi_field scan, including grids that need padding
+    and sparse jets whose empty tiles are dropped entirely."""
+    from rajepy_tpu.models import ejection as ej
+    from rajepy_tpu.ops.pallas_kernels import (active_tiles,
+                                               epoch_base_map_tiles,
+                                               gather_tiles,
+                                               pack_launch_time)
+
+    rng = np.random.default_rng(3)
+    nx, ny, nz = shape
+    # a sparse jet: whole x-slabs empty so some tiles are inactive
+    inside = rng.random((nx, ny, nz)) < 0.3
+    inside[: nx // 2] = False
+    inside[:, ny // 2:] = False
+    a = np.where(inside, rng.random((nx, ny, nz)), 0.0)
+    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)), 0.0)
+    red = rng.random((nx, ny, nz)) < 0.5
+
+    spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7]),
+                             np.array([5e-7]), np.array([4.7e6]))
+    spec_b = ej.EjectionSpec(2e-7, np.array([0.8 * 3.15e7]),
+                             np.array([6e-7]), np.array([4.7e6]))
+    bursts = []
+    for spec, is_red in ((spec_r, True), (spec_b, False)):
+        for t0, peak, sig in zip(spec.t_0, spec.peak_jml, spec.sigma):
+            bursts.append((float(t0), float(1.0 / (2.0 * sig ** 2)),
+                           float((peak - spec.ss_jml) / spec.ss_jml),
+                           is_red))
+    f32 = jnp.float32
+    ids, seg = active_tiles(jnp.asarray(inside), **tile)
+    n_tiles_total = (-(-nx // 8)) * (-(-ny // tile['y_chunk'])) * \
+        (-(-nz // 128))
+    assert 0 < ids.size < n_tiles_total
+    ids_d = jnp.asarray(ids)
+    a_t = gather_tiles(jnp.asarray(a, f32), ids_d, **tile)
+    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32)
+    tss_t = gather_tiles(tss, ids_d, fill=1.0, **tile)
+    for t_now in (0.0, 0.5 * 3.15e7, 1.2 * 3.15e7):
+        got = np.asarray(epoch_base_map_tiles(
+            a_t, tss_t, jnp.asarray(seg), t_now, tuple(bursts), nx, nz,
+            interpret=True))
+        chi = ej.chi_field(jnp.asarray(red), t_now - jnp.asarray(ts),
+                           spec_r, spec_b)
+        want = np.asarray(jnp.sum(jnp.asarray(a) * chi * chi, axis=1))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=5e-6 * want.max())
+
+
 def test_opaque_limit():
     # an opaque cell near the observer hides everything behind it
     shape = (8, 16, 128)

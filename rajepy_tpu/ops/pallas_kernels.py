@@ -347,6 +347,15 @@ def _expm1_pos(x):
     return jnp.where(small, taylor, jnp.exp(x_safe) - 1.0)
 
 
+def _excl_prefix_matrix(yc: int, dtype):
+    """Strictly-lower-triangular ones: the exclusive prefix sum along y
+    becomes ONE (yc, yc) @ (yc, bz) MXU matmul per (channel, x-row)
+    instead of a yc-step serial fori_loop that starves the VPU."""
+    row = lax.broadcasted_iota(jnp.int32, (yc, yc), 0)
+    col = lax.broadcasted_iota(jnp.int32, (yc, yc), 1)
+    return (row > col).astype(dtype)
+
+
 def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
                      i_ref, tau_ref, tau_acc, *, n_chan: int, yc: int):
     """Grid = (x tiles, z tiles, y chunks), y fastest.  The per-channel
@@ -356,7 +365,12 @@ def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
     WHOLE channel axis.  The blackbody source function is evaluated
     in-register per (cell, channel) from the SMEM per-channel constants
     cnu = 2 h nu^3 / c^2 [cgs] and hnuk = h nu / k_B, so no
-    (n_chan, nx, ny, nz) source or opacity cube ever exists in HBM."""
+    (n_chan, nx, ny, nz) source or opacity cube ever exists in HBM.
+
+    The ordered attenuation inside each y chunk is computed from the
+    exclusive prefix sum of dtau along y — an MXU matmul with a
+    strictly-lower-triangular matrix (whole chunk in flight) rather than a
+    serial per-row loop."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -365,23 +379,26 @@ def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
         tau_ref[...] = jnp.zeros_like(tau_ref)
         tau_acc[...] = jnp.zeros_like(tau_acc)
 
+    dt = temp_ref.dtype
+    bx = temp_ref.shape[0]
+    l_excl = _excl_prefix_matrix(yc, dt)
+
     def channel(c, _):
         scale = tscale_ref[c]
         cnu = cnu_ref[c]
         hnuk = hnuk_ref[c]
-
-        def body(j, carry):
-            tau_a, inten = carry
-            d = dtau_ref[:, j, :] * scale
-            src = cnu / _expm1_pos(hnuk / temp_ref[:, j, :])
-            inten = inten + src * jnp.exp(-tau_a) * _one_minus_exp_neg(d)
-            return tau_a + d, inten
-
-        tau_a, inten = lax.fori_loop(jnp.int32(0), jnp.int32(yc), body,
-                                     (tau_acc[c], i_ref[c]))
-        tau_acc[c] = tau_a
-        i_ref[c] = inten
-        tau_ref[c] = tau_a
+        d_all = dtau_ref[...] * scale
+        emit = (cnu / _expm1_pos(hnuk / temp_ref[...])) * \
+            _one_minus_exp_neg(d_all)
+        ta = tau_acc[c]                       # (bx, bz) carry
+        for i in range(bx):                   # static unroll: LOS rows
+            p = jnp.dot(l_excl, d_all[i],
+                        preferred_element_type=dt)     # (yc, bz)
+            w = jnp.exp(-(p + ta[i][None, :]))
+            i_ref[c, i, :] += jnp.sum(emit[i] * w, axis=0)
+            new_ta = ta[i] + jnp.sum(d_all[i], axis=0)
+            tau_acc[c, i, :] = new_ta
+            tau_ref[c, i, :] = new_ta
         return 0
 
     # skip the whole scan for y-chunks with no opacity: contribution and

@@ -182,6 +182,32 @@ def pallas_check():
     checks['epoch_tiles'] = err
     assert err < 2e-4, f"epoch_base_map_tiles vs XLA: rel err {err:.2e}"
 
+    # 6. compacted ordered emergent scan (the production emergent path)
+    from rajepy_tpu.ops.pallas_kernels import (active_tiles_scan_order,
+                                               emergent_ff_tiles,
+                                               scatter_tile_maps)
+    tss_cube = pack_launch_time(ts, red)
+    safe_t = jnp.where(inside_j, temp_j, 1.0)
+    ids6, seg6, it6, kt6 = active_tiles_scan_order(
+        jnp.flip(inside_j, 1), **tdims)
+    ids6_d = jnp.asarray(ids6)
+    parts, _ = emergent_ff_tiles(
+        jnp.asarray(cnu, f32), jnp.asarray(hnuk, f32), scale.astype(f32),
+        gather_tiles(jnp.flip(safe_t, 1).astype(f32), ids6_d, fill=1.0,
+                     **tdims),
+        gather_tiles(jnp.flip(a_base, 1).astype(f32), ids6_d, **tdims),
+        gather_tiles(jnp.flip(tss_cube, 1).astype(f32), ids6_d, fill=1.0,
+                     **tdims),
+        jnp.asarray(seg6), t_now, tuple(bursts), int(seg6.max()) + 1)
+    inten_t = scatter_tile_maps(parts, jnp.asarray(it6), jnp.asarray(kt6),
+                                nx // 8, nz // 128, nx, nz)
+    dtau_chi = dtau_c * (chi * chi)[None]
+    i_ref6 = jax.jit(jax.vmap(rt.transfer_scan))(src_c, dtau_chi)
+    err = float(jnp.max(jnp.abs(inten_t - i_ref6)) /
+                jnp.max(jnp.abs(i_ref6)))
+    checks['emergent_tiles'] = err
+    assert err < 1e-3, f"emergent_ff_tiles vs XLA: rel err {err:.2e}"
+
     log("pallas_check: ok " +
         " ".join(f"{k}={v:.1e}" for k, v in checks.items()))
 
@@ -261,10 +287,18 @@ def emergent_bench(jm, nchan=16):
     import jax.numpy as jnp
     jm.emergent_intensity_ff(np.geomspace(3e8, 3e11, nchan))  # warm-up
     freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
-    fn = jm._jit_cache[('emergent_ff', jm._use_fused_rrl())]
-    f = jm._ensure_fields()
-    a = jm._rt_static()[0]
-    dt = _timed(lambda: fn(f, a, jm.time, freqs))
+    tiles = jm._emergent_tiles() if jm._use_fused_rrl() else None
+    if tiles is not None:  # compacted ordered scan (the production path)
+        temp_t, a_t, tss_t, seg, it, kt, n_seg, _, _ = tiles
+        fn = jm._jit_cache[('emergent_ff_tiles', jm._burst_tuple(),
+                            n_seg)]
+        dt = _timed(lambda: fn(temp_t, a_t, tss_t, seg, it, kt, jm.time,
+                               freqs))
+    else:
+        fn = jm._jit_cache[('emergent_ff', jm._use_fused_rrl())]
+        f = jm._ensure_fields()
+        a = jm._rt_static()[0]
+        dt = _timed(lambda: fn(f, a, jm.time, freqs))
     return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 
 

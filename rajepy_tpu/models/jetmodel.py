@@ -232,6 +232,7 @@ class JetModel:
         self._time = 0.0
         self._fields: Optional[StaticFields] = None
         self._rt_static_cache = None
+        self._emergent_tiles_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
         # points run through these: eager jnp dispatch costs one host
@@ -301,6 +302,7 @@ class JetModel:
             area=jnp.asarray(areas, self._dtype),
             inside=jnp.asarray(areas > 0))
         self._rt_static_cache = None  # derived from ff/area: recompute
+        self._emergent_tiles_cache = None
 
     # ------------------------------------------------------------------ #
     # Simple properties (classes.py:363-381, 1654-1702)
@@ -960,6 +962,41 @@ class JetModel:
     # ------------------------------------------------------------------ #
     # Ordered RT along the LOS (beyond-reference capability)
     # ------------------------------------------------------------------ #
+    def _emergent_tiles(self):
+        """Cached compacted observer-ordered tiles for the emergent scan:
+        (temp_t, a_t, tss_t, seg, it, kt, n_seg, n_xt, n_zt), or None when
+        the grid holds no jet cells.  Cubes are flipped along the LOS so
+        y=0 faces the observer, then compacted in scan order."""
+        if getattr(self, '_emergent_tiles_cache', None) is None:
+            from ..ops import pallas_kernels as pk
+            f = self._ensure_fields()
+            st = self._rt_static()
+
+            @jax.jit
+            def flipped(a, temp, inside, ts_signed):
+                return (jnp.flip(a, 1).astype(jnp.float32),
+                        jnp.flip(jnp.where(inside, temp, 1.0),
+                                 1).astype(jnp.float32),
+                        jnp.flip(inside, 1),
+                        jnp.flip(ts_signed, 1).astype(jnp.float32))
+
+            a_f, temp_f, inside_f, tss_f = flipped(st.a, f.temp, f.inside,
+                                                   st.ts_signed)
+            ids, seg, it, kt = pk.active_tiles_scan_order(inside_f, **_TILE)
+            if ids.size == 0:
+                self._emergent_tiles_cache = ()
+            else:
+                ids_d = jnp.asarray(ids)
+                n_xt = -(-self._nx // _TILE['block_x'])
+                n_zt = -(-self._nz // _TILE['block_z'])
+                self._emergent_tiles_cache = (
+                    pk.gather_tiles(temp_f, ids_d, fill=1.0, **_TILE),
+                    pk.gather_tiles(a_f, ids_d, **_TILE),
+                    pk.gather_tiles(tss_f, ids_d, fill=1.0, **_TILE),
+                    jnp.asarray(seg), jnp.asarray(it), jnp.asarray(kt),
+                    int(seg.max()) + 1, n_xt, n_zt)
+        return self._emergent_tiles_cache or None
+
     def emergent_intensity_ff(self, freq) -> np.ndarray:
         """Emergent free-free intensity from the ordered transfer integral
         sum S_i e^-tau (1-e^-dtau) along the LOS (BASELINE north-star), in
@@ -970,6 +1007,39 @@ class JetModel:
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
         t_0, reyn, csize, _ = self._rt_constants()
         use_pallas = self._use_fused_rrl()  # same rule: f32 on TPU
+        tiles = self._emergent_tiles() if use_pallas else None
+
+        def _chan_consts(freqs):
+            scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+            freqs64 = freqs.astype(jnp.float64)
+            cnu = 2.0 * cnsts.H_CGS * freqs64 ** 3 / cnsts.C_CGS ** 2
+            hnuk = cnsts.H_CGS * freqs64 / cnsts.K_CGS
+            return scale, cnu, hnuk
+
+        if tiles is not None:
+            from ..ops import pallas_kernels as pk
+            temp_t, a_t, tss_t, seg, it, kt, n_seg, n_xt, n_zt = tiles
+            bursts = self._burst_tuple()
+
+            def build():
+                def kernel(temp_t, a_t, tss_t, seg, it, kt, t, freqs):
+                    # compacted ordered scan over jet-occupied tiles:
+                    # burst factor in-register, no full-cube pre-pass
+                    f32 = jnp.float32
+                    scale, cnu, hnuk = _chan_consts(freqs)
+                    parts, _ = pk.emergent_ff_tiles(
+                        cnu.astype(f32), hnuk.astype(f32),
+                        scale.astype(f32), temp_t, a_t, tss_t, seg,
+                        t, bursts, n_seg)
+                    inten = pk.scatter_tile_maps(parts, it, kt, n_xt,
+                                                 n_zt, self._nx, self._nz)
+                    return inten * 1e-7 * 1e4
+                return kernel
+
+            ints = np.asarray(self._jitted(
+                ('emergent_ff_tiles', bursts, n_seg), build)(
+                temp_t, a_t, tss_t, seg, it, kt, self.time, freqs))
+            return ints[0] if scalar else ints
 
         def build():
             def kernel(f, a, t, freqs):
@@ -980,11 +1050,7 @@ class JetModel:
                     # so no (n_chan, nx, ny, nz) cube is ever materialised
                     from ..ops.pallas_kernels import emergent_ff_pallas
                     f32 = jnp.float32
-                    scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
-                    freqs64 = freqs.astype(jnp.float64)
-                    cnu = (2.0 * cnsts.H_CGS * freqs64 ** 3 /
-                           cnsts.C_CGS ** 2)
-                    hnuk = cnsts.H_CGS * freqs64 / cnsts.K_CGS
+                    scale, cnu, hnuk = _chan_consts(freqs)
                     safe_t = jnp.where(f.inside, f.temp, 1.0)
                     inten, _ = emergent_ff_pallas(
                         cnu.astype(f32), hnuk.astype(f32),

@@ -477,6 +477,152 @@ def emergent_ff_pallas(cnu, hnuk, tau_scale, temp, dtau_base,
 
 
 # --------------------------------------------------------------------------- #
+# Compacted ordered emergent scan
+#
+# The full-grid emergent kernel pays the whole-cube HBM stream, the flip
+# copies, and a ~14 us/step grid floor over 1024 mostly-empty tiles.  This
+# variant runs ONLY over jet-occupied tiles, sorted by (x,z) segment and
+# then by LOS order, carrying the (tau_acc, intensity) scan state across a
+# segment's y tiles in VMEM; skipped y ranges have zero opacity so they
+# neither emit nor attenuate and the ordered product over present tiles is
+# exact.  The epoch burst factor is evaluated in-register (like the epoch
+# kernel), so there is no per-epoch full-cube XLA pre-pass at all.
+# --------------------------------------------------------------------------- #
+def active_tiles_scan_order(inside_flipped, block_x: int = 8,
+                            block_z: int = 128, y_chunk: int = 64):
+    """Host-side one-off for the compacted ordered scan.
+
+    ``inside_flipped`` must already be flipped along y into observer
+    ordering (y=0 nearest the observer).  Tiles are sorted by (x-tile,
+    z-tile) segment, then by y — the kernel's carry/reset logic requires
+    a segment's tiles to be grid-consecutive and LOS-ordered.
+
+    Returns ``(ids, seg_dense, it, kt)``: flat tile ids into the padded
+    tile grid, dense [0, n_seg) segment index per tile, and each
+    segment's (x, z) tile coordinates (for scattering the per-segment
+    maps back onto the image plane).
+    """
+    act = np.asarray(_tile_activity(inside_flipped, block_x, block_z,
+                                    y_chunk))
+    n_xt, n_yt, n_zt = act.shape
+    ids = np.flatnonzero(act.reshape(-1)).astype(np.int32)
+    i = ids // (n_yt * n_zt)
+    j = (ids // n_zt) % n_yt
+    k = ids % n_zt
+    order = np.lexsort((j, k, i))         # primary i, then k, then j
+    ids, i, j, k = ids[order], i[order], j[order], k[order]
+    seg_key = i * n_zt + k
+    uniq, seg_dense = np.unique(seg_key, return_inverse=True)
+    return (ids, seg_dense.astype(np.int32),
+            (uniq // n_zt).astype(np.int32), (uniq % n_zt).astype(np.int32))
+
+
+def _emergent_tiles_kernel(seg_ref, cnu_ref, hnuk_ref, tscale_ref, t_ref,
+                           temp_ref, a_ref, tss_ref, i_ref, tau_ref,
+                           tau_acc, *, n_chan: int, yc: int,
+                           bursts: tuple):
+    i = pl.program_id(0)
+    is_first = jnp.logical_or(
+        i == 0, seg_ref[i] != seg_ref[jnp.maximum(i - 1, 0)])
+
+    @pl.when(is_first)
+    def _init():
+        i_ref[...] = jnp.zeros_like(i_ref)
+        tau_ref[...] = jnp.zeros_like(tau_ref)
+        tau_acc[...] = jnp.zeros_like(tau_acc)
+
+    dt = temp_ref.dtype
+    bx = temp_ref.shape[1]
+    l_excl = _excl_prefix_matrix(yc, dt)
+
+    tss = tss_ref[0]
+    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    red = tss < 0.0
+    chi = jnp.ones_like(lt)
+    for t0, inv2s2, amp, is_red in bursts:
+        g = amp * jnp.exp(-(lt - t0) ** 2 * inv2s2)
+        sel = red if is_red else jnp.logical_not(red)
+        chi = chi + jnp.where(sel, g, 0.0)
+    d_base = a_ref[0] * chi * chi
+    temp = temp_ref[0]
+
+    def channel(c, _):
+        d = d_base * tscale_ref[c]
+        emit = (cnu_ref[c] / _expm1_pos(hnuk_ref[c] / temp)) * \
+            _one_minus_exp_neg(d)
+        ta = tau_acc[c]
+        for ix in range(bx):
+            p = jnp.dot(l_excl, d[ix], preferred_element_type=dt)
+            w = jnp.exp(-(p + ta[ix][None, :]))
+            i_ref[0, c, ix, :] += jnp.sum(emit[ix] * w, axis=0)
+            new_ta = ta[ix] + jnp.sum(d[ix], axis=0)
+            tau_acc[c, ix, :] = new_ta
+            tau_ref[0, c, ix, :] = new_ta
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('bursts', 'n_seg',
+                                             'interpret'))
+def emergent_ff_tiles(cnu, hnuk, tau_scale, temp_t, a_t, tss_t, seg, t,
+                      bursts: tuple, n_seg: int, interpret: bool = False):
+    """Per-segment emergent intensity / total-optical-depth partial maps
+    (n_seg, n_chan, bx, bz) from compacted observer-ordered tiles.
+
+    Tiles MUST come from :func:`active_tiles_scan_order` (same-segment
+    tiles consecutive, LOS-ordered); reassemble full maps with
+    :func:`scatter_tile_maps`.  The epoch burst factor is evaluated
+    in-register from the static ``bursts`` tuple, with ``t`` traced.
+    """
+    n_chan = int(cnu.shape[0])
+    n_act, bx, yc, bz = temp_t.shape
+    kernel = functools.partial(_emergent_tiles_kernel, n_chan=n_chan,
+                               yc=yc, bursts=bursts)
+    tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i, seg_ref: (i, 0, 0,
+                                                                  0),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    sm_spec = pl.BlockSpec(memory_space=pl.ANY if interpret
+                           else pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, n_chan, bx, bz),
+                            lambda i, seg_ref: (seg_ref[i], 0, 0, 0),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_seg, n_chan, bx, bz),
+                                      temp_t.dtype)] * 2
+    t_arr = jnp.asarray(t, temp_t.dtype).reshape(1)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_act,),
+            in_specs=[sm_spec] * 4 + [tile_spec] * 3,
+            out_specs=[out_spec, out_spec],
+            scratch_shapes=[pltpu.VMEM((n_chan, bx, bz), temp_t.dtype)],
+        )
+        inten, tau = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(seg, cnu, hnuk, tau_scale, t_arr, temp_t, a_t, tss_t)
+    return inten, tau
+
+
+@functools.partial(jax.jit, static_argnames=('n_xt', 'n_zt', 'nx', 'nz'))
+def scatter_tile_maps(parts, it, kt, n_xt: int, n_zt: int, nx: int,
+                      nz: int):
+    """(n_seg, n_chan, bx, bz) per-segment maps -> (n_chan, nx, nz), zero
+    where no segment exists (no jet along that line of sight)."""
+    n_seg, n_chan, bx, bz = parts.shape
+    grid = jnp.zeros((n_chan, n_xt, n_zt, bx, bz), parts.dtype)
+    grid = grid.at[:, it, kt].set(parts.transpose(1, 0, 2, 3))
+    m = grid.transpose(0, 1, 3, 2, 4).reshape(n_chan, n_xt * bx,
+                                              n_zt * bz)
+    return m[:, :nx, :nz]
+
+
+# --------------------------------------------------------------------------- #
 # Fused RRL opacity cube
 # --------------------------------------------------------------------------- #
 def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,

@@ -163,6 +163,95 @@ def test_epoch_tiles_matches_xla_chi_scan(shape, tile):
                                    atol=5e-6 * want.max())
 
 
+@pytest.mark.parametrize("with_bursts", [False, True])
+def test_emergent_tiles_matches_xla(with_bursts):
+    """The compacted ordered emergent scan (sorted jet-occupied tiles,
+    segment-carried scan state, burst factor in-register) vs the XLA
+    flip+vmap transfer_scan formulation."""
+    import jax
+    from rajepy_tpu import constants as cnsts
+    from rajepy_tpu.models import ejection as ej
+    from rajepy_tpu.ops import physics as mphys
+    from rajepy_tpu.ops.pallas_kernels import (active_tiles_scan_order,
+                                               emergent_ff_tiles,
+                                               gather_tiles,
+                                               pack_launch_time,
+                                               scatter_tile_maps)
+
+    rng = np.random.default_rng(5)
+    nx, ny, nz = 16, 48, 130
+    tile = dict(block_x=8, block_z=128, y_chunk=16)
+    inside = rng.random((nx, ny, nz)) < 0.25
+    inside[nx // 2:] = False      # inactive x tiles
+    inside[:, : ny // 4] = False  # empty leading y range
+    temp = np.where(inside, 1e4 * (0.5 + rng.random((nx, ny, nz))), 1.0)
+    n_es = np.where(inside, 1e7 * rng.random((nx, ny, nz)), 0.0)
+    ds = np.where(inside, 7.5e12, 0.0)
+    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)), 0.0)
+    red = rng.random((nx, ny, nz)) < 0.5
+    freqs = np.linspace(1e9, 5e10, 4)
+    t_0 = 1e4
+    t_now = 0.9 * 3.15e7
+
+    spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7]),
+                             np.array([5e-7]), np.array([4.7e6]))
+    spec_b = ej.EjectionSpec(2e-7, np.array([0.8 * 3.15e7]),
+                             np.array([6e-7]), np.array([4.7e6]))
+    bursts = []
+    if with_bursts:
+        for spec, is_red in ((spec_r, True), (spec_b, False)):
+            for t0, peak, sig in zip(spec.t_0, spec.peak_jml, spec.sigma):
+                bursts.append((float(t0), float(1.0 / (2.0 * sig ** 2)),
+                               float((peak - spec.ss_jml) / spec.ss_jml),
+                               is_red))
+
+    f32 = jnp.float32
+    base = rt.tau_ff_base(jnp.asarray(temp), jnp.asarray(n_es),
+                          jnp.asarray(ds), jnp.asarray(inside), True)
+    scale = rt.tau_ff_channel_scale(jnp.asarray(freqs), t_0, True)
+    cnu = 2.0 * cnsts.H_CGS * freqs ** 3 / cnsts.C_CGS ** 2
+    hnuk = cnsts.H_CGS * freqs / cnsts.K_CGS
+    safe_t = jnp.where(jnp.asarray(inside), jnp.asarray(temp), 1.0)
+    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32)
+
+    ids, seg, it, kt = active_tiles_scan_order(
+        jnp.flip(jnp.asarray(inside), 1), **tile)
+    assert 0 < ids.size
+    ids_d = jnp.asarray(ids)
+    parts, tau_parts = emergent_ff_tiles(
+        jnp.asarray(cnu, f32), jnp.asarray(hnuk, f32), scale.astype(f32),
+        gather_tiles(jnp.flip(safe_t, 1).astype(f32), ids_d, fill=1.0,
+                     **tile),
+        gather_tiles(jnp.flip(base, 1).astype(f32), ids_d, **tile),
+        gather_tiles(jnp.flip(tss, 1), ids_d, fill=1.0, **tile),
+        jnp.asarray(seg), t_now, tuple(bursts), int(seg.max()) + 1,
+        interpret=True)
+    n_xt, n_zt = -(-nx // 8), -(-nz // 128)
+    inten = np.asarray(scatter_tile_maps(parts, jnp.asarray(it),
+                                         jnp.asarray(kt), n_xt, n_zt,
+                                         nx, nz))
+    tau_map = np.asarray(scatter_tile_maps(tau_parts, jnp.asarray(it),
+                                           jnp.asarray(kt), n_xt, n_zt,
+                                           nx, nz))
+
+    if with_bursts:
+        chi = ej.chi_field(jnp.asarray(red), t_now - jnp.asarray(ts),
+                           spec_r, spec_b)
+    else:
+        chi = jnp.ones_like(base)
+    dtau = scale[:, None, None, None] * (base * chi * chi)[None]
+    src = mphys.blackbody_nu(jnp.asarray(freqs)[:, None, None, None],
+                             safe_t[None])
+    src = jnp.where(jnp.asarray(inside)[None], src, 0.0)
+    ref_i = np.asarray(jax.vmap(rt.transfer_scan)(src, dtau))
+    ref_tau = np.asarray(jnp.sum(dtau, axis=2))
+    assert ref_i.max() > 0
+    np.testing.assert_allclose(inten, ref_i, atol=2e-4 * ref_i.max(),
+                               rtol=0)
+    np.testing.assert_allclose(tau_map, ref_tau,
+                               atol=2e-5 * ref_tau.max(), rtol=0)
+
+
 def test_opaque_limit():
     # an opaque cell near the observer hides everything behind it
     shape = (8, 16, 128)

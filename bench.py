@@ -115,6 +115,23 @@ def pallas_check():
     checks['rrl_cube'] = err
     assert err < 1e-3, f"rrl_cube_pallas vs XLA: rel err {err:.2e}"
 
+    # 2b. compacted-tile RRL path (the production RRL path)
+    from rajepy_tpu.ops.pallas_kernels import active_tiles, gather_tiles
+    tdims = dict(block_x=8, block_z=128, y_chunk=16)
+    ids2, seg2 = active_tiles(inside_j, **tdims)
+    ids2_d = jnp.asarray(ids2)
+    t_t = rt.tau_rrl_maps_tiles(
+        coeffs, freqs,
+        gather_tiles(temp_j, ids2_d, fill=1.0, **tdims),
+        gather_tiles(n_es_j, ids2_d, **tdims),
+        gather_tiles(vy, ids2_d, **tdims),
+        gather_tiles(ds_j, ids2_d, **tdims),
+        gather_tiles(inside_j, ids2_d, fill=False, **tdims),
+        jnp.asarray(seg2), nx, nz)
+    err = float(jnp.max(jnp.abs(t_t - t_x)) / jnp.max(jnp.abs(t_x)))
+    checks['rrl_tiles'] = err
+    assert err < 1e-3, f"rrl tiles path vs XLA: rel err {err:.2e}"
+
     # 3. fused multi-channel emergent scan
     cfreqs = np.linspace(1e9, 5e10, 6)
     base = rt.tau_ff_base(temp_j, n_es_j, ds_j, inside_j, True)

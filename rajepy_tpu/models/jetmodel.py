@@ -233,6 +233,7 @@ class JetModel:
         self._fields: Optional[StaticFields] = None
         self._rt_static_cache = None
         self._emergent_tiles_cache = None
+        self._rrl_tiles_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
         # points run through these: eager jnp dispatch costs one host
@@ -303,6 +304,7 @@ class JetModel:
             inside=jnp.asarray(areas > 0))
         self._rt_static_cache = None  # derived from ff/area: recompute
         self._emergent_tiles_cache = None
+        self._rrl_tiles_cache = None
 
     # ------------------------------------------------------------------ #
     # Simple properties (classes.py:363-381, 1654-1702)
@@ -835,6 +837,42 @@ class JetModel:
         return (self._dtype == jnp.float32 and
                 _jax.default_backend() == 'tpu')
 
+    def _rrl_tiles(self):
+        """Cached compacted jet-occupied field tiles for the fused RRL
+        path: (temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg), or None
+        when the grid holds no jet cells.  The chi-independent fields are
+        gathered once; the per-epoch burst factor is applied to the
+        compacted density tiles (~5% of the full-grid work)."""
+        if getattr(self, '_rrl_tiles_cache', None) is None:
+            from ..ops import pallas_kernels as pk
+            f = self._ensure_fields()
+            st = self._rt_static()
+            ids, seg = pk.active_tiles(f.inside, **_TILE)
+            if ids.size == 0:
+                self._rrl_tiles_cache = ()
+            else:
+                f32 = jnp.float32
+                csize = self.csize
+
+                @jax.jit
+                def prep(f, ts_signed):
+                    ds = rt.path_length_cm(f.ff, f.area, csize)
+                    return (f.temp.astype(f32), f.vy.astype(f32),
+                            (f.nd * f.xi).astype(f32), ds.astype(f32),
+                            ts_signed.astype(f32))
+
+                temp, vy, ndxi, ds, tss = prep(f, st.ts_signed)
+                ids_d = jnp.asarray(ids)
+                self._rrl_tiles_cache = (
+                    pk.gather_tiles(temp, ids_d, fill=1.0, **_TILE),
+                    pk.gather_tiles(vy, ids_d, **_TILE),
+                    pk.gather_tiles(ndxi, ids_d, **_TILE),
+                    pk.gather_tiles(ds, ids_d, **_TILE),
+                    pk.gather_tiles(f.inside, ids_d, fill=False, **_TILE),
+                    pk.gather_tiles(tss, ids_d, fill=1.0, **_TILE),
+                    jnp.asarray(seg))
+        return self._rrl_tiles_cache or None
+
     def _rrl_kernel(self, line: str, kind: str, collapse: bool = True,
                     nonlte: bool = False):
         """Jitted (fields, t, freqs, b_n1, b_n2) -> RRL tau/intensity
@@ -844,45 +882,76 @@ class JetModel:
         t_0, reyn, csize, dist = self._rt_constants()
         coeffs = rt.RRLCoeffs(line)
         fused = self._use_fused_rrl()
-
-        def tau_maps(f, n_es, ds, freqs):
-            if fused:
-                return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp, n_es,
-                                             f.vy, ds, f.inside)
-            return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy, ds,
-                                   f.inside)
+        tiles = self._rrl_tiles() if (fused and collapse) else None
+        st = self._rt_static()
+        spec_r, spec_b = self._spec_r, self._spec_b
+        has_bursts = self._has_bursts
 
         def build():
-            def kernel(f, t, freqs, b_n1, b_n2):
+            use_tiles = tiles is not None
+
+            def tau_maps(f, tl, t, freqs):
+                if use_tiles:
+                    temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg = tl
+                    if has_bursts:
+                        chi_t = ej.chi_field(
+                            tss_t < 0.0, t - (jnp.abs(tss_t) - 1.0),
+                            spec_r, spec_b)
+                        n_es_t = ndxi_t * chi_t
+                    else:
+                        n_es_t = ndxi_t
+                    return rt.tau_rrl_maps_tiles(
+                        coeffs, freqs, temp_t, n_es_t, vy_t, ds_t,
+                        inside_t, seg, self._nx, self._nz)
                 n_es = self._nd_chi(f, t) * f.xi
                 ds = rt.path_length_cm(f.ff, f.area, csize)
+                if fused:
+                    return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp,
+                                                 n_es, f.vy, ds, f.inside)
+                return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
+                                       ds, f.inside)
+
+            def kernel(f, st, tl, t, freqs, b_n1, b_n2):
+                if kind == 'tau' and not collapse:
+                    n_es = self._nd_chi(f, t) * f.xi
+                    ds = rt.path_length_cm(f.ff, f.area, csize)
+                    return rt.tau_rrl_cube(coeffs, freqs, f.temp, n_es,
+                                           f.vy, ds, f.inside)
+                tau_l = tau_maps(f, tl, t, freqs)
                 if kind == 'tau':
-                    if not collapse:
-                        return rt.tau_rrl_cube(coeffs, freqs, f.temp, n_es,
-                                               f.vy, ds, f.inside)
-                    tau_l = tau_maps(f, n_es, ds, freqs)
                     if not nonlte:
                         return tau_l
                     # non-LTE line opacity: b_n1 beta tau_L* (G&S 2.141)
-                    tbar, any_in = rt.mean_temperature_map(f.temp,
-                                                           f.inside)
-                    safe_t = jnp.where(any_in, tbar, 1.0)[None]
+                    safe_t = jnp.where(st.any_in, st.tbar, 1.0)[None]
                     beta = mrrl.beta_coeff(freqs[:, None, None], safe_t,
                                            b_n1, b_n2)
                     return b_n1 * beta * tau_l
-                tau_l = tau_maps(f, n_es, ds, freqs)
-                tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
-                                       t_0, reyn)
-                tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+                if fused:
+                    # continuum opacity from the cached factorised base
+                    # (identical maths to tau_ff_maps; no full-grid pass)
+                    scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+                    tau_c = scale[:, None, None] * \
+                        self._epoch_base_map('a', f, st, t)[None]
+                else:
+                    n_es = self._nd_chi(f, t) * f.xi
+                    ds = rt.path_length_cm(f.ff, f.area, csize)
+                    tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds,
+                                           f.inside, t_0, reyn)
                 if nonlte:
                     return rt.intensity_rrl_maps_nonlte(
-                        freqs, tbar, tau_c, tau_l, any_in, b_n1, b_n2)
-                return rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l,
-                                             any_in)
+                        freqs, st.tbar, tau_c, tau_l, st.any_in, b_n1,
+                        b_n2)
+                return rt.intensity_rrl_maps(freqs, st.tbar, tau_c, tau_l,
+                                             st.any_in)
             return kernel
 
-        return self._jitted(('rrl', line, kind, collapse, fused, nonlte),
-                            build)
+        inner = self._jitted(('rrl', line, kind, collapse, fused, nonlte,
+                              tiles is not None, self._compact_flag(st)),
+                             build)
+
+        def call(f, t, freqs, b_n1, b_n2):
+            return inner(f, st, tiles, t, freqs, b_n1, b_n2)
+        return call
 
     @staticmethod
     def _check_nonlte(lte, departure_coeffs):

@@ -625,6 +625,58 @@ def scatter_tile_maps(parts, it, kt, n_xt: int, n_zt: int, nx: int,
 # --------------------------------------------------------------------------- #
 # Fused RRL opacity cube
 # --------------------------------------------------------------------------- #
+def _voigt_tau_block(freq_off, amp, rest, scale, yv, hkt, *, n_weid: int,
+                     ell: float, coeffs: tuple, nu0: float):
+    """Per-cell RRL opacity contribution for ONE channel on a whole block:
+    Re[w(x + iy)] via the Weideman rational (centre) / Laplace continued
+    fraction (wings), times the amplitude and stimulated-emission factor.
+
+    Frequencies arrive as offsets from the line centre nu0 so f32 keeps
+    ~10 Hz resolution (absolute ~1.5e10 Hz quantises at ~2 kHz).
+    """
+    x = (freq_off - rest) * scale
+    y = yv
+
+    # Weideman rational, Horner in Z = (L+iz)/(L-iz)
+    dr = ell + y
+    di = -x
+    nr = ell - y
+    ni = x
+    den = dr * dr + di * di
+    zr = (nr * dr + ni * di) / den
+    zi = (ni * dr - nr * di) / den
+    pr = jnp.zeros_like(zr) + coeffs[0]
+    pi = jnp.zeros_like(zr)
+    for kk in range(1, n_weid):
+        pr, pi = pr * zr - pi * zi + coeffs[kk], pr * zi + pi * zr
+    inv_r = dr / den
+    inv_i = -di / den
+    inv2_r = inv_r * inv_r - inv_i * inv_i
+    inv2_i = 2.0 * inv_r * inv_i
+    w_re = 2.0 * (pr * inv2_r - pi * inv2_i) + inv_r / _SQRT_PI
+
+    # wings: 9-level Laplace continued fraction
+    far = (jnp.abs(x) + y) > 8.0
+    xf = jnp.where(far, x, 10.0)
+    yf = jnp.where(far, y, 10.0)
+    rr_ = jnp.zeros_like(xf)
+    ri_ = jnp.zeros_like(xf)
+    for kk in range(9, 0, -1):
+        den_r = xf - rr_
+        den_i = yf - ri_
+        dd = den_r * den_r + den_i * den_i
+        rr_ = (kk / 2.0) * den_r / dd
+        ri_ = -(kk / 2.0) * den_i / dd
+    den_r = xf - rr_
+    den_i = yf - ri_
+    dd = den_r * den_r + den_i * den_i
+    asym_re = den_i / (dd * _SQRT_PI)
+
+    re = jnp.where(far, asym_re, w_re)
+    stim = _one_minus_exp_neg((freq_off + nu0) * hkt)
+    return amp * re * stim
+
+
 def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
                 out_ref, *, n_chan: int, n_weid: int, ell: float,
                 coeffs: tuple, nu0: float):
@@ -645,50 +697,9 @@ def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
     hkt = hkt_ref[...]
 
     def channel(c, _):
-        # frequencies arrive as offsets from the line centre nu0 so f32
-        # keeps ~10 Hz resolution (absolute ~1.5e10 Hz quantises at ~2 kHz)
-        freq_off = freqs_ref[c]
-        x = (freq_off - rest) * scale
-        y = yv
-
-        # Weideman rational, Horner in Z = (L+iz)/(L-iz)
-        dr = ell + y
-        di = -x
-        nr = ell - y
-        ni = x
-        den = dr * dr + di * di
-        zr = (nr * dr + ni * di) / den
-        zi = (ni * dr - nr * di) / den
-        pr = jnp.zeros_like(zr) + coeffs[0]
-        pi = jnp.zeros_like(zr)
-        for kk in range(1, n_weid):
-            pr, pi = pr * zr - pi * zi + coeffs[kk], pr * zi + pi * zr
-        inv_r = dr / den
-        inv_i = -di / den
-        inv2_r = inv_r * inv_r - inv_i * inv_i
-        inv2_i = 2.0 * inv_r * inv_i
-        w_re = 2.0 * (pr * inv2_r - pi * inv2_i) + inv_r / _SQRT_PI
-
-        # wings: 9-level Laplace continued fraction
-        far = (jnp.abs(x) + y) > 8.0
-        xf = jnp.where(far, x, 10.0)
-        yf = jnp.where(far, y, 10.0)
-        rr_ = jnp.zeros_like(xf)
-        ri_ = jnp.zeros_like(xf)
-        for kk in range(9, 0, -1):
-            den_r = xf - rr_
-            den_i = yf - ri_
-            dd = den_r * den_r + den_i * den_i
-            rr_ = (kk / 2.0) * den_r / dd
-            ri_ = -(kk / 2.0) * den_i / dd
-        den_r = xf - rr_
-        den_i = yf - ri_
-        dd = den_r * den_r + den_i * den_i
-        asym_re = den_i / (dd * _SQRT_PI)
-
-        re = jnp.where(far, asym_re, w_re)
-        stim = _one_minus_exp_neg((freq_off + nu0) * hkt)
-        contrib = amp * re * stim
+        contrib = _voigt_tau_block(freqs_ref[c], amp, rest, scale, yv,
+                                   hkt, n_weid=n_weid, ell=ell,
+                                   coeffs=coeffs, nu0=nu0)
         out_ref[c, :, :] += jnp.sum(contrib, axis=1)
         return 0
 
@@ -698,6 +709,74 @@ def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
     @pl.when(jnp.max(amp) > 0.0)
     def _compute():
         lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
+
+
+def _rrl_tiles_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref,
+                      hkt_ref, out_ref, *, n_chan: int, n_weid: int,
+                      ell: float, coeffs: tuple, nu0: float):
+    """One jet-occupied tile per grid step (from gather_tiles): every tile
+    is active by construction, so there is no skip branch and no empty-
+    block HBM traffic at all.  Writes this tile's (n_chan, bx, bz) partial
+    LOS sums; reassemble with a segment-sum over x,z-tile ids."""
+    amp = amp_ref[0]
+    rest = rest_ref[0]
+    scale = scale_ref[0]
+    yv = yv_ref[0]
+    hkt = hkt_ref[0]
+
+    def channel(c, _):
+        contrib = _voigt_tau_block(freqs_ref[c], amp, rest, scale, yv,
+                                   hkt, n_weid=n_weid, ell=ell,
+                                   coeffs=coeffs, nu0=nu0)
+        out_ref[0, c, :, :] = jnp.sum(contrib, axis=1)
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('nu0', 'interpret'))
+def rrl_tiles_pallas(freqs_off, amp_t, rest_t, scale_t, yv_t, hkt_t,
+                     nu0: float = 0.0, interpret: bool = False):
+    """Per-tile partial RRL optical-depth maps (n_act, n_chan, bx, bz)
+    from COMPACTED per-cell precomputations (gather_tiles of the
+    tau_rrl_precompute factors, f32, rest as offsets from nu0)."""
+    n_chan = int(freqs_off.shape[0])
+    n_act, bx, yc, bz = amp_t.shape
+    ell, a_np = _weideman_coeffs(32)
+    kernel = functools.partial(
+        _rrl_tiles_kernel, n_chan=n_chan, n_weid=len(a_np),
+        ell=float(ell), coeffs=tuple(float(v) for v in a_np),
+        nu0=float(nu0))
+    tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i: (i, 0, 0, 0),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    freq_spec = pl.BlockSpec(memory_space=pl.ANY if interpret
+                             else pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, n_chan, bx, bz), lambda i: (i, 0, 0, 0),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_act,),
+            out_shape=jax.ShapeDtypeStruct((n_act, n_chan, bx, bz),
+                                           amp_t.dtype),
+            in_specs=[freq_spec] + [tile_spec] * 5,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(freqs_off, amp_t, rest_t, scale_t, yv_t, hkt_t)
+
+
+@functools.partial(jax.jit, static_argnames=('nx', 'nz'))
+def segment_tile_maps(parts, seg, nx: int, nz: int):
+    """(n_act, n_chan, bx, bz) per-tile partials -> (n_chan, nx, nz) via
+    segment-sum over the tiles' (x, z) positions (seg from active_tiles)."""
+    n_act, n_chan, bx, bz = parts.shape
+    n_xt = _tile_grid(nx, bx)
+    n_zt = _tile_grid(nz, bz)
+    m = jax.ops.segment_sum(parts, seg, num_segments=n_xt * n_zt)
+    m = m.reshape(n_xt, n_zt, n_chan, bx, bz).transpose(2, 0, 3, 1, 4)
+    return m.reshape(n_chan, n_xt * bx, n_zt * bz)[:, :nx, :nz]
 
 
 @functools.partial(jax.jit,

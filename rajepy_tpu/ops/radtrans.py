@@ -250,6 +250,28 @@ def tau_rrl_maps_fused(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm,
                            hkT.astype(f32), nu0=nu0, interpret=interpret)
 
 
+def tau_rrl_maps_tiles(coeffs: RRLCoeffs, freqs, temp_t, n_es_t, vy_t,
+                       ds_t, inside_t, seg, nx: int, nz: int,
+                       interpret: bool = False):
+    """Collapsed RRL optical-depth maps from COMPACTED jet-occupied field
+    tiles (ops.pallas_kernels.gather_tiles): the channel-independent
+    opacity factors are evaluated only on the ~5% of the grid the jet
+    occupies, the Voigt kernel runs one tile per grid step with no
+    empty-block traffic, and the (n_chan, nx, nz) maps are reassembled
+    with a segment-sum over (x, z)-tile ids."""
+    from .pallas_kernels import rrl_tiles_pallas, segment_tile_maps
+    amp, rest, scale, y_voigt, hkT = tau_rrl_precompute(
+        coeffs, temp_t, n_es_t, vy_t, ds_t, inside_t)
+    f32 = jnp.float32
+    nu0 = float(coeffs.nu0)
+    freqs_off = (jnp.asarray(freqs) - nu0).astype(f32)
+    rest_off = (rest - nu0).astype(f32)
+    parts = rrl_tiles_pallas(freqs_off, amp.astype(f32), rest_off,
+                             scale.astype(f32), y_voigt.astype(f32),
+                             hkT.astype(f32), nu0=nu0, interpret=interpret)
+    return segment_tile_maps(parts, seg, nx, nz)
+
+
 def tau_rrl_cube(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside):
     """Uncollapsed RRL optical depths (n_chan, nx, ny, nz) — collapse=False
     parity path."""

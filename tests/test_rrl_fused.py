@@ -33,6 +33,46 @@ def test_fused_matches_xla(shape):
     assert np.max(np.abs(got - ref) / denom) < 2e-3
 
 
+@pytest.mark.parametrize("shape", [(8, 24, 128), (16, 48, 130)])
+def test_tiles_matches_xla(shape):
+    """The compacted-tile RRL path (precompute + Voigt on jet-occupied
+    tiles only, segment-sum reassembly) vs the exact XLA channel map,
+    including a padded grid and fully-empty tile rows."""
+    from rajepy_tpu.ops.pallas_kernels import active_tiles, gather_tiles
+
+    temp, n_es, vy, ds, inside = _fields(shape, seed=7)
+    # empty x-slab: whole tiles inactive
+    inside = np.array(inside)
+    inside[: shape[0] // 2] = False
+    sel = jnp.asarray(inside)
+    temp = jnp.where(sel, temp, 1.0)
+    n_es = jnp.where(sel, n_es, 0.0)
+    vy = jnp.where(sel, vy, 0.0)
+    ds = jnp.where(sel, ds, 0.0)
+
+    coeffs = rt.RRLCoeffs('H58a')
+    freqs = np.linspace(coeffs.nu0 - 5e6, coeffs.nu0 + 5e6, 6)
+    ref = np.asarray(rt.tau_rrl_maps(coeffs, jnp.asarray(freqs), temp,
+                                     n_es, vy, ds, sel))
+
+    tile = dict(block_x=8, block_z=128, y_chunk=16)
+    ids, seg = active_tiles(sel, **tile)
+    assert 0 < ids.size
+    ids_d = jnp.asarray(ids)
+    f32 = jnp.float32
+    got = np.asarray(rt.tau_rrl_maps_tiles(
+        coeffs, freqs,
+        gather_tiles(temp.astype(f32), ids_d, fill=1.0, **tile),
+        gather_tiles(n_es.astype(f32), ids_d, **tile),
+        gather_tiles(vy.astype(f32), ids_d, **tile),
+        gather_tiles(ds.astype(f32), ids_d, **tile),
+        gather_tiles(sel, ids_d, fill=False, **tile),
+        jnp.asarray(seg), shape[0], shape[2], interpret=True))
+    assert got.shape == ref.shape
+    denom = np.maximum(np.abs(ref), ref.max() * 1e-6)
+    assert np.max(np.abs(got - ref) / denom) < 2e-3
+
+
 def test_fused_line_profile_shape():
     # tau spectrum at the brightest pixel is a line profile peaking at the
     # (Doppler-shifted) centre

@@ -655,22 +655,21 @@ def _voigt_tau_block(freq_off, amp, rest, scale, yv, hkt, *, n_weid: int,
     inv2_i = 2.0 * inv_r * inv_i
     w_re = 2.0 * (pr * inv2_r - pi * inv2_i) + inv_r / _SQRT_PI
 
-    # wings: 9-level Laplace continued fraction
+    # wings: 3-term asymptotic series w(z) ~ i/(sqrt(pi) z) sum_k
+    # (2k-1)!!/(2 z^2)^k — 4.4e-7 max abs err over |x|+y > 8 (vs the f32
+    # floor ~3e-8), ONE division instead of the Laplace continued
+    # fraction's ten (VPU divisions are the expensive op here)
     far = (jnp.abs(x) + y) > 8.0
     xf = jnp.where(far, x, 10.0)
     yf = jnp.where(far, y, 10.0)
-    rr_ = jnp.zeros_like(xf)
-    ri_ = jnp.zeros_like(xf)
-    for kk in range(9, 0, -1):
-        den_r = xf - rr_
-        den_i = yf - ri_
-        dd = den_r * den_r + den_i * den_i
-        rr_ = (kk / 2.0) * den_r / dd
-        ri_ = -(kk / 2.0) * den_i / dd
-    den_r = xf - rr_
-    den_i = yf - ri_
-    dd = den_r * den_r + den_i * den_i
-    asym_re = den_i / (dd * _SQRT_PI)
+    inv = 1.0 / (xf * xf + yf * yf)
+    wr2 = 0.5 * (xf * xf - yf * yf) * inv * inv   # Re 1/(2 z^2)
+    wi2 = -xf * yf * inv * inv                    # Im 1/(2 z^2)
+    sr = wr2 * 15.0 + 3.0
+    si = wi2 * 15.0
+    sr, si = sr * wr2 - si * wi2 + 1.0, sr * wi2 + si * wr2
+    sr, si = sr * wr2 - si * wi2 + 1.0, sr * wi2 + si * wr2
+    asym_re = (yf * sr - xf * si) * inv / _SQRT_PI
 
     re = jnp.where(far, asym_re, w_re)
     stim = _one_minus_exp_neg((freq_off + nu0) * hkt)

@@ -637,20 +637,21 @@ def _voigt_tau_block(freq_off, amp, rest, scale, yv, hkt, *, n_weid: int,
     x = (freq_off - rest) * scale
     y = yv
 
-    # Weideman rational, Horner in Z = (L+iz)/(L-iz)
+    # Weideman rational, Horner in Z = (L+iz)/(L-iz); one reciprocal
+    # serves all four quotients (VPU divisions are the expensive op)
     dr = ell + y
     di = -x
     nr = ell - y
     ni = x
-    den = dr * dr + di * di
-    zr = (nr * dr + ni * di) / den
-    zi = (ni * dr - nr * di) / den
+    inv_den = 1.0 / (dr * dr + di * di)
+    zr = (nr * dr + ni * di) * inv_den
+    zi = (ni * dr - nr * di) * inv_den
     pr = jnp.zeros_like(zr) + coeffs[0]
     pi = jnp.zeros_like(zr)
     for kk in range(1, n_weid):
         pr, pi = pr * zr - pi * zi + coeffs[kk], pr * zi + pi * zr
-    inv_r = dr / den
-    inv_i = -di / den
+    inv_r = dr * inv_den
+    inv_i = -di * inv_den
     inv2_r = inv_r * inv_r - inv_i * inv_i
     inv2_i = 2.0 * inv_r * inv_i
     w_re = 2.0 * (pr * inv2_r - pi * inv2_i) + inv_r / _SQRT_PI

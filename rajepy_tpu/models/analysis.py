@@ -66,6 +66,22 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
     # or reject multi-GB payloads)
     flux_kernel = model._continuum_kernel('flux')
 
+    if getattr(model, '_use_fused_rrl', lambda: False)():
+        # compacted-tile epoch path: the per-epoch body is tiny, so the
+        # whole light curve runs as ONE device program — on a remote
+        # device backend a host loop pays ~30 ms of tunnel round trip
+        # per epoch, dwarfing the 0.2 ms of per-epoch compute
+        from jax import lax
+
+        @jax.jit
+        def integrate_all(f, st, times, freqs):
+            return lax.map(
+                lambda t: jnp.sum(flux_kernel.inner(f, st, t, freqs),
+                                  axis=(1, 2)), times)
+
+        return np.asarray(integrate_all(f, flux_kernel.statics[0], times,
+                                        freqs))
+
     @jax.jit
     def integrate(f, st, t, freqs):
         fluxes = flux_kernel.inner(f, st, t, freqs)
@@ -73,7 +89,8 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
 
     # one compiled kernel called per epoch: each call returns only a
     # (n_chan,) vector, so dispatch is cheap, and the single-epoch body
-    # compiles far faster than a lax.map/scan over epochs at 512^3
+    # compiles far faster than a lax.map/scan over epochs at 512^3 (the
+    # f64/CPU full-grid body is the expensive thing to compile there)
     return np.stack([np.asarray(integrate(f, *flux_kernel.statics, t,
                                           freqs)) for t in times])
 

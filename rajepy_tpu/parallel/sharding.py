@@ -212,6 +212,52 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
                          jnp.asarray(beam_kernel))
 
 
+def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
+                                 spec_r, spec_b, nx: int, nz: int):
+    """Tile-parallel LOS-collapsed sum_y base * chi(t - ts)^2 over
+    COMPACTED jet-occupied tiles (ops.pallas_kernels.gather_tiles).
+
+    The production single-chip epoch path compacts the grid to its
+    jet-occupied tiles; this shards that same tile axis across ALL mesh
+    devices — each device evaluates the burst factor and partial
+    segment-sums for its local tiles, and one `psum` of the small
+    (n_xz_tiles, bx, bz) partial maps combines them.  Works on any
+    backend (pure-XLA formulation).  Returns the (nx, nz) collapsed map,
+    identical to the single-device epoch map.
+    """
+    from jax.experimental.shard_map import shard_map
+    from ..models import ejection as ej
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(mesh.devices.size)
+    n_act = base_t.shape[0]
+    pad = (-n_act) % n_dev
+    if pad:
+        # zero base => padded tiles contribute nothing (seg 0 is safe)
+        base_t = jnp.pad(base_t, ((0, pad),) + ((0, 0),) * 3)
+        tss_t = jnp.pad(tss_t, ((0, pad),) + ((0, 0),) * 3,
+                        constant_values=1.0)
+        seg = jnp.pad(seg, (0, pad))
+    bx, yc, bz = base_t.shape[1:]
+    n_xt = -(-nx // bx)
+    n_zt = -(-nz // bz)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axes), P(axes), P(axes), P()),
+             out_specs=P(), check_rep=False)
+    def step(base_l, tss_l, seg_l, t):
+        red = tss_l < 0.0
+        chi = ej.chi_field(red, t - (jnp.abs(tss_l) - 1.0), spec_r,
+                           spec_b)
+        parts = jnp.sum(base_l * chi * chi, axis=2)
+        m = jax.ops.segment_sum(parts, seg_l, num_segments=n_xt * n_zt)
+        return jax.lax.psum(m, axis_name=axes)
+
+    m = jax.jit(step)(base_t, tss_t, seg, jnp.asarray(t, base_t.dtype))
+    m = m.reshape(n_xt, n_zt, bx, bz).transpose(0, 2, 1, 3)
+    return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
+
+
 def shard_runs(n_runs: int, n_devices: Optional[int] = None):
     """Round-robin assignment of pipeline runs to devices for
     embarrassingly-parallel epoch x frequency fan-out."""

@@ -184,3 +184,33 @@ class TestShardedRT:
         lc_ref = analysis.light_curve(jm, times, freqs)
         lc_sh = sharding.light_curve_sharded(jm, times, freqs)
         np.testing.assert_allclose(lc_sh, lc_ref, rtol=1e-12)
+
+    def test_epoch_tiles_sharded_matches_single_device(self, eight_devices,
+                                                       model_params):
+        """The tile-parallel epoch map (production compacted path sharded
+        across all devices) vs the full-grid chi^2 LOS sum."""
+        from rajepy_tpu import JetModel
+        from rajepy_tpu.models import ejection as ej
+        from rajepy_tpu.ops import pallas_kernels as pk
+        import copy
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=32, n_z=16, l_z=None)
+        jm = JetModel(p)
+        f = jm._ensure_fields()
+        st = jm._rt_static()
+        tile = dict(block_x=8, block_z=128, y_chunk=16)
+        ids, seg = pk.active_tiles(f.inside, **tile)
+        assert ids.size > 0
+        ids_d = jnp.asarray(ids)
+        base_t = pk.gather_tiles(st.a, ids_d, **tile)
+        tss_t = pk.gather_tiles(st.ts_signed, ids_d, fill=1.0, **tile)
+
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        t_now = 1.1 * 31536000.0
+        got = np.asarray(sharding.sharded_epoch_base_map_tiles(
+            mesh, base_t, tss_t, jnp.asarray(seg), t_now, jm._spec_r,
+            jm._spec_b, jm.nx, jm.nz))
+
+        chi = ej.chi_field(f.red, t_now - f.ts, jm._spec_r, jm._spec_b)
+        want = np.asarray(jnp.sum(st.a * chi * chi, axis=1))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=0)

@@ -286,13 +286,16 @@ def _timed(fn, n_rep=5):
     return (time.perf_counter() - t0) / n_rep
 
 
-def rrl_cube_bench(jm, nchan=16):
-    """Fused H58a RRL optical-depth cube through the model's own kernel."""
+def rrl_cube_bench(jm, nchan=16, bw=None):
+    """Fused H58a RRL optical-depth cube through the model's own kernel.
+    ``bw`` [Hz] sets the full bandwidth (default: the narrow +-0.01%
+    line-core window; pass 1e8 for the bundled pipeline's band)."""
     import jax.numpy as jnp
     from rajepy_tpu.ops import radtrans as rt
     coeffs = rt.RRLCoeffs('H58a')
     f = jm._ensure_fields()
-    freqs = jnp.linspace(coeffs.nu0 * 0.9999, coeffs.nu0 * 1.0001, nchan,
+    half = (bw / 2.0) if bw else coeffs.nu0 * 1e-4
+    freqs = jnp.linspace(coeffs.nu0 - half, coeffs.nu0 + half, nchan,
                          dtype=jm._dtype)
     kern = jm._rrl_kernel('H58a', 'tau')
     dt = _timed(lambda: kern(f, jm.time, freqs, 1.0, 1.0))
@@ -358,6 +361,13 @@ def main():
             f"({em_rate:.3e} cells/s)")
     except Exception as exc:
         log(f"emergent bench failed: {type(exc).__name__}: {exc}")
+    try:
+        # the bundled pipeline default: 1e8 Hz band / 1e5 Hz channels
+        wide_rate, wide_dt = rrl_cube_bench(jm, nchan=1000, bw=1e8)
+        log(f"rrl_cube_H58a_{n}cube_1000chan={wide_dt:.2f}s "
+            f"({wide_rate:.3e} cells/s)")
+    except Exception as exc:
+        log(f"1000-channel rrl bench failed: {type(exc).__name__}: {exc}")
 
     # best-of-3: the bench host's CPU is shared, single runs jitter 10x
     baseline = max(numpy_baseline_cells_per_sec() for _ in range(3))

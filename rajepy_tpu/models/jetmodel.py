@@ -542,6 +542,41 @@ class JetModel:
         fn = self._jitted('nd', lambda: self._nd_chi)
         return fn(f, self.time)
 
+    def diagnostic_maps(self) -> Dict[str, np.ndarray]:
+        """LOS diagnostics for the standard plots, reduced ON DEVICE:
+        nan-mean maps of number density, temperature, ionisation fraction
+        and LOS velocity, plus the LOS fill-factor sum.
+
+        Equivalent to ``np.nanmean(jm.<field>, axis=jm.los_axis)`` etc.,
+        but only the (nx, nz) maps cross the host boundary — pulling each
+        full NaN-view cube through a remote-device tunnel costs seconds
+        at 256^3+ while the maps are ~1 MB in total.
+        """
+        f = self._ensure_fields()
+
+        def build():
+            def kernel(f, t):
+                cnt = jnp.sum(f.inside, axis=rt.LOS_AXIS)
+                pos = cnt > 0
+                safe = jnp.maximum(cnt, 1).astype(f.temp.dtype)
+
+                def mean(v):
+                    s = jnp.sum(jnp.where(f.inside, v, 0),
+                                axis=rt.LOS_AXIS)
+                    return jnp.where(pos, s / safe, jnp.nan)
+
+                ffs = jnp.sum(jnp.where(f.ff > 1e-6, f.ff, 0.0),
+                              axis=rt.LOS_AXIS)
+                return (mean(self._nd_chi(f, t)), mean(f.temp),
+                        mean(f.xi), mean(f.vy), ffs)
+            return kernel
+
+        nd, temp, xi, vy, ffs = self._jitted('diag_maps', build)(
+            f, self.time)
+        return {'n_e': np.asarray(nd), 'T': np.asarray(temp),
+                'x_i': np.asarray(xi), 'v_los': np.asarray(vy),
+                'ff_sum': np.asarray(ffs)}
+
     def _rt_inputs(self):
         """(fields, n_es, ds) — building blocks for custom RT compositions
         (used by the sharding layer and tests).  Runs one jitted kernel."""

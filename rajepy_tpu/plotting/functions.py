@@ -77,14 +77,24 @@ def model_plot(jm, show_plot: bool = False,
     extent = (float(np.min(jm.xx)), float(np.max(jm.xx)) + jm.csize,
               float(np.min(jm.zz)), float(np.max(jm.zz)) + jm.csize)
 
+    if hasattr(jm, 'diagnostic_maps'):
+        # device-side LOS reductions: only (nx, nz) maps cross the host
+        # boundary (full-cube pulls cost seconds through remote tunnels)
+        m = jm.diagnostic_maps()
+        maps = (m['n_e'], m['T'], m['x_i'], m['v_los'])
+    else:
+        maps = (_los_mean(jm.number_density, jm.los_axis),
+                _los_mean(jm.temperature, jm.los_axis),
+                _los_mean(jm.ion_fraction, jm.los_axis),
+                _los_mean(jm.vel[1], jm.los_axis))
     panels = [
-        (axes[0, 0], _los_mean(jm.number_density, jm.los_axis),
+        (axes[0, 0], maps[0],
          r'$n_{\rm e}\,[{\rm cm^{-3}}]$', 'viridis_r', True),
-        (axes[0, 1], _los_mean(jm.temperature, jm.los_axis),
+        (axes[0, 1], maps[1],
          r'$T\,[{\rm K}]$', 'plasma', True),
-        (axes[1, 0], _los_mean(jm.ion_fraction, jm.los_axis),
+        (axes[1, 0], maps[2],
          r'$\chi_{\rm i}$', 'cividis', False),
-        (axes[1, 1], _los_mean(jm.vel[1], jm.los_axis),
+        (axes[1, 1], maps[3],
          r'$v_{\rm LOS}\,[{\rm km\,s^{-1}}]$', 'coolwarm', False),
     ]
     for ax, img, label, cmap, logscale in panels:
@@ -183,10 +193,13 @@ def geometry_plot(jm, show_plot: bool = False,
     fig, ax = plt.subplots(
         1, 1, figsize=[cfg.plots['dims']['column'] * 2] * 2,
         constrained_layout=True)
-    ff = jm.fill_factor
     extent = (float(np.min(jm.xx)), float(np.max(jm.xx)) + jm.csize,
               float(np.min(jm.zz)), float(np.max(jm.zz)) + jm.csize)
-    img = np.nansum(np.nan_to_num(ff, nan=0.0), axis=jm.los_axis)
+    if hasattr(jm, 'diagnostic_maps'):
+        img = jm.diagnostic_maps()['ff_sum']
+    else:
+        img = np.nansum(np.nan_to_num(jm.fill_factor, nan=0.0),
+                        axis=jm.los_axis)
     ax.imshow(img.T, origin='lower', extent=extent, cmap='Blues',
               aspect='equal')
 

@@ -155,3 +155,33 @@ class TestPipelineIntegration:
         pline2.execute(simobserve=False, verbose=False, dryrun=False,
                        resume=True, clobber=False, plot=False)
         assert os.path.getmtime(pline2.runs[0].fits_flux) == mtime
+
+
+class TestDiagnosticMaps:
+    def test_matches_host_nan_reductions(self, model_params):
+        """diagnostic_maps (device-side LOS reductions feeding the
+        standard plots) must equal the host nanmean/nansum of the public
+        NaN-view cubes, including all-empty sightlines (NaN)."""
+        jm = JetModel(small(model_params))
+        jm.time = 1.1 * 31536000.0
+        m = jm.diagnostic_maps()
+        ax = jm.los_axis
+        with np.errstate(invalid='ignore'):
+            np.testing.assert_allclose(
+                m['n_e'], np.nanmean(jm.number_density, axis=ax),
+                rtol=1e-12, equal_nan=True)
+            np.testing.assert_allclose(
+                m['T'], np.nanmean(jm.temperature, axis=ax),
+                rtol=1e-12, equal_nan=True)
+            np.testing.assert_allclose(
+                m['x_i'], np.nanmean(jm.ion_fraction, axis=ax),
+                rtol=1e-12, equal_nan=True)
+            np.testing.assert_allclose(
+                m['v_los'], np.nanmean(jm.vel[1], axis=ax),
+                rtol=1e-12, equal_nan=True)
+            np.testing.assert_allclose(
+                m['ff_sum'],
+                np.nansum(np.nan_to_num(jm.fill_factor, nan=0.0), axis=ax),
+                rtol=1e-12)
+        # empty sightlines exist in this grid and must be NaN
+        assert np.isnan(m['T']).any()

@@ -234,6 +234,7 @@ class JetModel:
         self._rt_static_cache = None
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
+        self._host_ff_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
         # points run through these: eager jnp dispatch costs one host
@@ -305,6 +306,7 @@ class JetModel:
         self._rt_static_cache = None  # derived from ff/area: recompute
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
+        self._host_ff_cache = None
 
     # ------------------------------------------------------------------ #
     # Simple properties (classes.py:363-381, 1654-1702)
@@ -1283,11 +1285,18 @@ class JetModel:
     # ------------------------------------------------------------------ #
     def save(self, filename: str):
         """Pickle params + expensive caches + model time
-        (classes.py:1704-1713)."""
+        (classes.py:1704-1713).  The fill-factor/area host copies are
+        immutable per model and cached after the first pull — a pipeline
+        saves several times per execute, and each full-cube device->host
+        transfer costs seconds through a remote-device tunnel."""
         f = self._fields
+        if f is not None and getattr(self, '_host_ff_cache', None) is None:
+            self._host_ff_cache = (np.asarray(self.areas),
+                                   np.asarray(self.fill_factor))
+        areas, ffs = self._host_ff_cache if f is not None else (None, None)
         ps = {'params': self._params,
-              'areas': None if f is None else np.asarray(self.areas),
-              'ffs': None if f is None else np.asarray(self.fill_factor),
+              'areas': areas,
+              'ffs': ffs,
               'time': self.time,
               'log': None}
         if self.log:

@@ -66,6 +66,9 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
     # or reject multi-GB payloads)
     flux_kernel = model._continuum_kernel('flux')
 
+    # the jitted integrators live in the model's kernel cache — a fresh
+    # @jax.jit closure per light_curve call would retrace and re-pay the
+    # remote compile (30-140 s at large shapes) on every invocation
     if getattr(model, '_use_fused_rrl', lambda: False)():
         # compacted-tile epoch path: the per-epoch body is tiny, so the
         # whole light curve runs as ONE device program — on a remote
@@ -73,20 +76,23 @@ def light_curve(model, times_yr, freqs) -> np.ndarray:
         # per epoch, dwarfing the 0.2 ms of per-epoch compute
         from jax import lax
 
-        @jax.jit
-        def integrate_all(f, st, times, freqs):
-            return lax.map(
-                lambda t: jnp.sum(flux_kernel.inner(f, st, t, freqs),
-                                  axis=(1, 2)), times)
+        def build_batch():
+            def integrate_all(f, st, times, freqs):
+                return lax.map(
+                    lambda t: jnp.sum(flux_kernel.inner(f, st, t, freqs),
+                                      axis=(1, 2)), times)
+            return integrate_all
 
-        return np.asarray(integrate_all(f, flux_kernel.statics[0], times,
-                                        freqs))
+        fn = model._jitted('light_curve_batch', build_batch)
+        return np.asarray(fn(f, flux_kernel.statics[0], times, freqs))
 
-    @jax.jit
-    def integrate(f, st, t, freqs):
-        fluxes = flux_kernel.inner(f, st, t, freqs)
-        return jnp.sum(fluxes, axis=(1, 2))
+    def build_single():
+        def integrate(f, st, t, freqs):
+            fluxes = flux_kernel.inner(f, st, t, freqs)
+            return jnp.sum(fluxes, axis=(1, 2))
+        return integrate
 
+    integrate = model._jitted('light_curve_single', build_single)
     # one compiled kernel called per epoch: each call returns only a
     # (n_chan,) vector, so dispatch is cheap, and the single-epoch body
     # compiles far faster than a lax.map/scan over epochs at 512^3 (the

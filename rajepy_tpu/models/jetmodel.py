@@ -84,6 +84,12 @@ class RTStatic(NamedTuple):
     seg: Optional[jnp.ndarray] = None    # (n_act,) xz-tile segment ids
 
 
+# Sub-threshold fill factors / areas present as NaN at the public API
+# boundary (classes.py:663-666's "sub-1e-6 -> NaN" convention); shared by
+# the property views and the device-side diagnostic maps.
+FF_MIN = 1e-6
+
+
 # Compacted-tile dims for the fused epoch kernel: (8, y, 128) blocks with
 # a 64-cell y granularity balance read volume (~3% of the cube for the
 # example jet at 512^3) against per-grid-step overhead.
@@ -234,6 +240,7 @@ class JetModel:
         self._rt_static_cache = None
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
+        self._tile_ids_cache = None
         self._host_ff_cache = None
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
@@ -306,6 +313,7 @@ class JetModel:
         self._rt_static_cache = None  # derived from ff/area: recompute
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
+        self._tile_ids_cache = None
         self._host_ff_cache = None
 
     # ------------------------------------------------------------------ #
@@ -501,13 +509,13 @@ class JetModel:
     def fill_factor(self) -> np.ndarray:
         """classes.py:571-769 (NaN outside the jet boundary)."""
         f = self._ensure_fields()
-        return self._nan_view(f.ff, f.ff > 1e-6)
+        return self._nan_view(f.ff, f.ff > FF_MIN)
 
     @property
     def areas(self) -> np.ndarray:
         """classes.py:771-784."""
         f = self._ensure_fields()
-        return self._nan_view(f.area, f.area > 1e-6)
+        return self._nan_view(f.area, f.area > FF_MIN)
 
     @property
     def ts(self) -> np.ndarray:
@@ -567,7 +575,7 @@ class JetModel:
                                 axis=rt.LOS_AXIS)
                     return jnp.where(pos, s / safe, jnp.nan)
 
-                ffs = jnp.sum(jnp.where(f.ff > 1e-6, f.ff, 0.0),
+                ffs = jnp.sum(jnp.where(f.ff > FF_MIN, f.ff, 0.0),
                               axis=rt.LOS_AXIS)
                 return (mean(self._nd_chi(f, t)), mean(f.temp),
                         mean(f.xi), mean(f.vy), ffs)
@@ -723,7 +731,7 @@ class JetModel:
             a_t = em_t = tss_t = seg_d = None
             if self._has_bursts and self._use_fused_rrl():
                 from ..ops import pallas_kernels as pk
-                ids, seg = pk.active_tiles(f.inside, **_TILE)
+                ids, seg = self._active_tile_ids()
                 if ids.size:
                     ids_d = jnp.asarray(ids)
                     a_t = pk.gather_tiles(a, ids_d, **_TILE)
@@ -874,6 +882,16 @@ class JetModel:
         return (self._dtype == jnp.float32 and
                 _jax.default_backend() == 'tpu')
 
+    def _active_tile_ids(self):
+        """Cached (ids, seg) of jet-occupied tiles at the shared _TILE
+        dims — used by both the epoch-map and RRL compactions (one
+        full-cube activity pass per model)."""
+        if getattr(self, '_tile_ids_cache', None) is None:
+            from ..ops import pallas_kernels as pk
+            f = self._ensure_fields()
+            self._tile_ids_cache = pk.active_tiles(f.inside, **_TILE)
+        return self._tile_ids_cache
+
     def _rrl_tiles(self):
         """Cached compacted jet-occupied field tiles for the fused RRL
         path: (temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg), or None
@@ -884,7 +902,7 @@ class JetModel:
             from ..ops import pallas_kernels as pk
             f = self._ensure_fields()
             st = self._rt_static()
-            ids, seg = pk.active_tiles(f.inside, **_TILE)
+            ids, seg = self._active_tile_ids()
             if ids.size == 0:
                 self._rrl_tiles_cache = ()
             else:
@@ -900,13 +918,17 @@ class JetModel:
 
                 temp, vy, ndxi, ds, tss = prep(f, st.ts_signed)
                 ids_d = jnp.asarray(ids)
+                # the epoch compaction (st.tss_t) already gathered the
+                # packed launch-time tiles at the same dims — reuse
+                tss_t = st.tss_t if st.tss_t is not None else \
+                    pk.gather_tiles(tss, ids_d, fill=1.0, **_TILE)
                 self._rrl_tiles_cache = (
                     pk.gather_tiles(temp, ids_d, fill=1.0, **_TILE),
                     pk.gather_tiles(vy, ids_d, **_TILE),
                     pk.gather_tiles(ndxi, ids_d, **_TILE),
                     pk.gather_tiles(ds, ids_d, **_TILE),
                     pk.gather_tiles(f.inside, ids_d, fill=False, **_TILE),
-                    pk.gather_tiles(tss, ids_d, fill=1.0, **_TILE),
+                    tss_t,
                     jnp.asarray(seg))
         return self._rrl_tiles_cache or None
 

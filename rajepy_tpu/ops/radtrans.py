@@ -237,7 +237,8 @@ def tau_rrl_maps_fused(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm,
                        inside, interpret: bool = False):
     """Collapsed RRL optical-depth maps through the fused Pallas kernel —
     per-cell inputs read from HBM once for the whole channel axis instead
-    of once per channel.  float32 path (Weideman N=32)."""
+    of once per channel.  float32 path (Weideman N=16 — the f32
+    truncation floor; see ops.pallas_kernels)."""
     from .pallas_kernels import rrl_cube_pallas
     amp, rest, scale, y_voigt, hkT = tau_rrl_precompute(
         coeffs, temp, n_es, vy, ds_cm, inside)

@@ -251,11 +251,13 @@ def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
                            spec_b)
         parts = jnp.sum(base_l * chi * chi, axis=2)
         m = jax.ops.segment_sum(parts, seg_l, num_segments=n_xt * n_zt)
-        return jax.lax.psum(m, axis_name=axes)
+        m = jax.lax.psum(m, axis_name=axes)
+        # reassemble inside the program: eager post-ops would each cost a
+        # host round trip per call on remote device backends
+        m = m.reshape(n_xt, n_zt, bx, bz).transpose(0, 2, 1, 3)
+        return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
 
-    m = jax.jit(step)(base_t, tss_t, seg, jnp.asarray(t, base_t.dtype))
-    m = m.reshape(n_xt, n_zt, bx, bz).transpose(0, 2, 1, 3)
-    return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
+    return jax.jit(step)(base_t, tss_t, seg, jnp.asarray(t, base_t.dtype))
 
 
 def shard_runs(n_runs: int, n_devices: Optional[int] = None):

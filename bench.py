@@ -157,7 +157,11 @@ def pallas_check():
     from rajepy_tpu.models import ejection as ej
     from rajepy_tpu.ops.pallas_kernels import (epoch_base_map_pallas,
                                                pack_launch_time)
-    ts = jnp.asarray(np.where(inside, 3e7 * rng.random((nx, ny, nz)),
+    # include NEGATIVE travel times: the closed-form integral goes
+    # negative near the launch surface for off-axis geometries, and the
+    # packing offset must transport them exactly
+    ts = jnp.asarray(np.where(inside,
+                              3e7 * rng.random((nx, ny, nz)) - 2e6,
                               0.0), f32)
     red = jnp.asarray(rng.random((nx, ny, nz)) < 0.5)
     a_base = rt.tau_ff_base(temp_j, n_es_j, ds_j, inside_j, True)
@@ -172,8 +176,11 @@ def pallas_check():
                            float((peak - spec.ss_jml) / spec.ss_jml),
                            is_red))
     t_now = 1.0 * 3.15e7
+    pk_off = 1.0 - float(jnp.minimum(0.0, jnp.min(ts)))
+    t_pk = t_now + (pk_off - 1.0)
     got = epoch_base_map_pallas(a_base.astype(f32),
-                                pack_launch_time(ts, red), t_now,
+                                pack_launch_time(ts, red,
+                                                 offset=pk_off), t_pk,
                                 tuple(bursts))
     chi = ej.chi_field(red, t_now - ts, spec_r, spec_b)
     want = jnp.sum(a_base * chi * chi, axis=1)
@@ -191,9 +198,9 @@ def pallas_check():
         "tile compaction degenerate (all or no tiles active)"
     ids_d = jnp.asarray(ids)
     a_tt = gather_tiles(a_base.astype(f32), ids_d, **tdims)
-    tss_tt = gather_tiles(pack_launch_time(ts, red), ids_d, fill=1.0,
-                          **tdims)
-    got_t = epoch_base_map_tiles(a_tt, tss_tt, jnp.asarray(seg), t_now,
+    tss_tt = gather_tiles(pack_launch_time(ts, red, offset=pk_off),
+                          ids_d, fill=1.0, **tdims)
+    got_t = epoch_base_map_tiles(a_tt, tss_tt, jnp.asarray(seg), t_pk,
                                  tuple(bursts), nx, nz)
     err = float(jnp.max(jnp.abs(got_t - want)) / jnp.max(jnp.abs(want)))
     checks['epoch_tiles'] = err
@@ -203,7 +210,7 @@ def pallas_check():
     from rajepy_tpu.ops.pallas_kernels import (active_tiles_scan_order,
                                                emergent_ff_tiles,
                                                scatter_tile_maps)
-    tss_cube = pack_launch_time(ts, red)
+    tss_cube = pack_launch_time(ts, red, offset=pk_off)
     safe_t = jnp.where(inside_j, temp_j, 1.0)
     ids6, seg6, it6, kt6 = active_tiles_scan_order(
         jnp.flip(inside_j, 1), **tdims)
@@ -215,7 +222,7 @@ def pallas_check():
         gather_tiles(jnp.flip(a_base, 1).astype(f32), ids6_d, **tdims),
         gather_tiles(jnp.flip(tss_cube, 1).astype(f32), ids6_d, fill=1.0,
                      **tdims),
-        jnp.asarray(seg6), t_now, tuple(bursts), int(seg6.max()) + 1)
+        jnp.asarray(seg6), t_pk, tuple(bursts), int(seg6.max()) + 1)
     inten_t = scatter_tile_maps(parts, jnp.asarray(it6), jnp.asarray(kt6),
                                 nx // 8, nz // 128, nx, nz)
     dtau_chi = dtau_c * (chi * chi)[None]

@@ -242,6 +242,8 @@ class JetModel:
         self._rrl_tiles_cache = None
         self._tile_ids_cache = None
         self._host_ff_cache = None
+        self._ts_pack_offset = 1.0  # finalised by _rt_static (ts can go
+        #                             negative off-axis)
         self._has_bursts = (len(spec_r.t_0) + len(spec_b.t_0)) > 0
         # Per-instance cache of jit-compiled kernels.  All public RT entry
         # points run through these: eager jnp dispatch costs one host
@@ -315,6 +317,9 @@ class JetModel:
         self._rrl_tiles_cache = None
         self._tile_ids_cache = None
         self._host_ff_cache = None
+        # kernel builders close over the launch-time packing offset (a
+        # per-field-set scalar): drop them so new fields rebuild
+        self._jit_cache = {}
 
     # ------------------------------------------------------------------ #
     # Simple properties (classes.py:363-381, 1654-1702)
@@ -715,8 +720,14 @@ class JetModel:
             f = self._ensure_fields()
             t_0, reyn, csize, _ = self._rt_constants()
 
+            # travel times can be NEGATIVE near the launch surface for
+            # off-axis geometries; the packing offset must keep |tss| > 0
+            ts_min = float(self._jitted('ts_min',
+                                        lambda: jnp.min)(f.ts))
+            self._ts_pack_offset = 1.0 - min(0.0, ts_min)
+
             @jax.jit
-            def fn(f):
+            def fn(f, pack_offset):
                 from ..ops.pallas_kernels import pack_launch_time
                 n_es0 = f.nd * f.xi
                 ds = rt.path_length_cm(f.ff, f.area, csize)
@@ -724,10 +735,12 @@ class JetModel:
                 em_base = rt.emission_measure_base(f.nd, f.xi, f.ff,
                                                    f.area, csize)
                 tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
-                ts_signed = pack_launch_time(f.ts, f.red, self._dtype)
+                ts_signed = pack_launch_time(f.ts, f.red, self._dtype,
+                                             pack_offset)
                 return a, em_base, tbar, any_in, ts_signed
 
-            a, em_base, tbar, any_in, ts_signed = fn(f)
+            a, em_base, tbar, any_in, ts_signed = fn(
+                f, self._ts_pack_offset)
             a_t = em_t = tss_t = seg_d = None
             if self._has_bursts and self._use_fused_rrl():
                 from ..ops import pallas_kernels as pk
@@ -756,6 +769,21 @@ class JetModel:
                             is_red))
         return tuple(out)
 
+    def _t_pack(self, t):
+        """Epoch time shifted for the kernels' ``|tss| - 1`` unpacking of
+        launch times packed with this model's offset (see
+        pack_launch_time; the offset exceeds 1 when travel times go
+        negative off-axis).  Kernel builders read the offset at trace
+        time — _inject_cached_ff clears the kernel cache so a new field
+        set never reuses a stale offset."""
+        return t + (getattr(self, '_ts_pack_offset', 1.0) - 1.0)
+
+    def _chi_from_packed(self, tss, t):
+        """Traced: burst factor recovered from packed launch-time tiles
+        (side = sign, time = |tss| - offset)."""
+        lt = self._t_pack(t) - (jnp.abs(tss) - 1.0)
+        return ej.chi_field(tss < 0.0, lt, self._spec_r, self._spec_b)
+
     def _epoch_base_map(self, kind: str, f, st: RTStatic, t):
         """Traced: LOS-collapsed sum_y base * chi(t)^2 for ``kind`` in
         {'a', 'em'} — the compacted-tile Pallas pass when active tiles are
@@ -766,10 +794,12 @@ class JetModel:
             if st.seg is not None:
                 base_t = st.a_t if kind == 'a' else st.em_t
                 return pk.epoch_base_map_tiles(base_t, st.tss_t, st.seg,
-                                               t, self._burst_tuple(),
+                                               self._t_pack(t),
+                                               self._burst_tuple(),
                                                self._nx, self._nz)
             base = st.a if kind == 'a' else st.em_base
-            return pk.epoch_base_map_pallas(base, st.ts_signed, t,
+            return pk.epoch_base_map_pallas(base, st.ts_signed,
+                                            self._t_pack(t),
                                             self._burst_tuple())
         base = st.a if kind == 'a' else st.em_base
         return jnp.sum(base * self._chi2(f, t), axis=rt.LOS_AXIS)
@@ -943,7 +973,6 @@ class JetModel:
         fused = self._use_fused_rrl()
         tiles = self._rrl_tiles() if (fused and collapse) else None
         st = self._rt_static()
-        spec_r, spec_b = self._spec_r, self._spec_b
         has_bursts = self._has_bursts
 
         def build():
@@ -953,10 +982,7 @@ class JetModel:
                 if use_tiles:
                     temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg = tl
                     if has_bursts:
-                        chi_t = ej.chi_field(
-                            tss_t < 0.0, t - (jnp.abs(tss_t) - 1.0),
-                            spec_r, spec_b)
-                        n_es_t = ndxi_t * chi_t
+                        n_es_t = ndxi_t * self._chi_from_packed(tss_t, t)
                     else:
                         n_es_t = ndxi_t
                     return rt.tau_rrl_maps_tiles(
@@ -1158,7 +1184,7 @@ class JetModel:
                     parts, _ = pk.emergent_ff_tiles(
                         cnu.astype(f32), hnuk.astype(f32),
                         scale.astype(f32), temp_t, a_t, tss_t, seg,
-                        t, bursts, n_seg)
+                        self._t_pack(t), bursts, n_seg)
                     inten = pk.scatter_tile_maps(parts, it, kt, n_xt,
                                                  n_zt, self._nx, self._nz)
                     return inten * 1e-7 * 1e4

@@ -143,11 +143,18 @@ def _epoch_base_kernel(t_ref, a_ref, tss_ref, out_ref, *, yc: int,
     out_ref[...] += jnp.sum(a_ref[...] * chi * chi, axis=1)
 
 
-def pack_launch_time(ts, red, dtype=jnp.float32):
-    """Pack launch time + jet side into one cube for the epoch kernel:
-    +(ts + 1) on the blue side, -(ts + 1) on the red side (the +1 offset
-    keeps the sign meaningful at ts = 0)."""
-    ts1 = jnp.asarray(ts, dtype) + jnp.asarray(1.0, dtype)
+def pack_launch_time(ts, red, dtype=jnp.float32, offset=1.0):
+    """Pack launch time + jet side into one cube for the epoch kernels:
+    +(ts + offset) on the blue side, -(ts + offset) on the red side.
+
+    ``offset`` MUST exceed ``-min(ts)`` so the packed magnitude stays
+    positive — travel times from the closed-form integral can be
+    NEGATIVE near the launch surface for off-axis geometries, and a
+    too-small offset silently corrupts both the side bit and the
+    recovered time.  The kernels hard-code the ``|tss| - 1`` unpacking,
+    so callers packing with ``offset != 1`` must shift the epoch time
+    they pass by ``offset - 1`` (JetModel._t_pack does this)."""
+    ts1 = jnp.asarray(ts, dtype) + jnp.asarray(offset, dtype)
     return jnp.where(red, -ts1, ts1)
 
 

@@ -213,7 +213,8 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
 
 
 def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
-                                 spec_r, spec_b, nx: int, nz: int):
+                                 spec_r, spec_b, nx: int, nz: int,
+                                 pack_offset: float = 1.0):
     """Tile-parallel LOS-collapsed sum_y base * chi(t - ts)^2 over
     COMPACTED jet-occupied tiles (ops.pallas_kernels.gather_tiles).
 
@@ -247,8 +248,9 @@ def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
              out_specs=P(), check_rep=False)
     def step(base_l, tss_l, seg_l, t):
         red = tss_l < 0.0
-        chi = ej.chi_field(red, t - (jnp.abs(tss_l) - 1.0), spec_r,
-                           spec_b)
+        # |tss| - pack_offset recovers the (possibly negative) launch time
+        chi = ej.chi_field(red, t - (jnp.abs(tss_l) - pack_offset),
+                           spec_r, spec_b)
         parts = jnp.sum(base_l * chi * chi, axis=2)
         m = jax.ops.segment_sum(parts, seg_l, num_segments=n_xt * n_zt)
         m = jax.lax.psum(m, axis_name=axes)

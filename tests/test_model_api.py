@@ -185,3 +185,27 @@ class TestDiagnosticMaps:
                 rtol=1e-12)
         # empty sightlines exist in this grid and must be NaN
         assert np.isnan(m['T']).any()
+
+
+class TestNegativeTravelTimePacking:
+    def test_off_axis_packed_chi_matches_reference(self, model_params):
+        """Off-axis geometries produce NEGATIVE travel times near the
+        launch surface; the packed launch-time encoding feeding the fused
+        epoch/RRL kernels must still recover the reference burst factor
+        exactly (regression: the fixed +1 packing offset corrupted both
+        the jet side and the time for ts < -1)."""
+        import jax.numpy as jnp
+        from rajepy_tpu.models import ejection as ej
+        p = small(model_params, n=(24, 48, 24))
+        p['geometry'].update(inc=55.0, pa=30.0)
+        jm = JetModel(p)
+        f = jm._ensure_fields()
+        st = jm._rt_static()
+        assert float(jnp.min(f.ts)) < -1.0, \
+            "precondition: this geometry must produce ts < -1"
+        assert jm._ts_pack_offset > 1.0
+        t = 2.2 * 31536000.0
+        chi_ref = np.asarray(ej.chi_field(f.red, t - f.ts, jm._spec_r,
+                                          jm._spec_b))
+        chi_packed = np.asarray(jm._chi_from_packed(st.ts_signed, t))
+        np.testing.assert_allclose(chi_packed, chi_ref, rtol=1e-9)

@@ -81,7 +81,9 @@ def test_epoch_base_map_matches_xla_chi_scan():
     nx, ny, nz = 12, 40, 130
     inside = rng.random((nx, ny, nz)) < 0.4
     a = np.where(inside, rng.random((nx, ny, nz)), 0.0)
-    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)), 0.0)
+    # include NEGATIVE travel times (the closed-form integral goes
+    # negative near the launch surface for off-axis geometries)
+    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)) - 2e6, 0.0)
     red = rng.random((nx, ny, nz)) < 0.5
 
     spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7, 1.1 * 3.15e7]),
@@ -96,10 +98,12 @@ def test_epoch_base_map_matches_xla_chi_scan():
                            float((peak - spec.ss_jml) / spec.ss_jml),
                            is_red))
     f32 = jnp.float32
-    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32)
+    off = 1.0 - min(0.0, float(ts.min()))
+    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32,
+                           offset=off)
     for t_now in (0.0, 0.5 * 3.15e7, 1.2 * 3.15e7):
         got = np.asarray(epoch_base_map_pallas(
-            jnp.asarray(a, f32), tss, t_now, tuple(bursts),
+            jnp.asarray(a, f32), tss, t_now + (off - 1.0), tuple(bursts),
             interpret=True))
         chi = ej.chi_field(jnp.asarray(red), t_now - jnp.asarray(ts),
                            spec_r, spec_b)
@@ -129,7 +133,8 @@ def test_epoch_tiles_matches_xla_chi_scan(shape, tile):
     inside[: nx // 2] = False
     inside[:, ny // 2:] = False
     a = np.where(inside, rng.random((nx, ny, nz)), 0.0)
-    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)), 0.0)
+    # include negative travel times (off-axis regression)
+    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)) - 2e6, 0.0)
     red = rng.random((nx, ny, nz)) < 0.5
 
     spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7]),
@@ -143,18 +148,20 @@ def test_epoch_tiles_matches_xla_chi_scan(shape, tile):
                            float((peak - spec.ss_jml) / spec.ss_jml),
                            is_red))
     f32 = jnp.float32
+    off = 1.0 - min(0.0, float(ts.min()))
     ids, seg = active_tiles(jnp.asarray(inside), **tile)
     n_tiles_total = (-(-nx // 8)) * (-(-ny // tile['y_chunk'])) * \
         (-(-nz // 128))
     assert 0 < ids.size < n_tiles_total
     ids_d = jnp.asarray(ids)
     a_t = gather_tiles(jnp.asarray(a, f32), ids_d, **tile)
-    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32)
+    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32,
+                           offset=off)
     tss_t = gather_tiles(tss, ids_d, fill=1.0, **tile)
     for t_now in (0.0, 0.5 * 3.15e7, 1.2 * 3.15e7):
         got = np.asarray(epoch_base_map_tiles(
-            a_t, tss_t, jnp.asarray(seg), t_now, tuple(bursts), nx, nz,
-            interpret=True))
+            a_t, tss_t, jnp.asarray(seg), t_now + (off - 1.0),
+            tuple(bursts), nx, nz, interpret=True))
         chi = ej.chi_field(jnp.asarray(red), t_now - jnp.asarray(ts),
                            spec_r, spec_b)
         want = np.asarray(jnp.sum(jnp.asarray(a) * chi * chi, axis=1))
@@ -187,11 +194,13 @@ def test_emergent_tiles_matches_xla(with_bursts):
     temp = np.where(inside, 1e4 * (0.5 + rng.random((nx, ny, nz))), 1.0)
     n_es = np.where(inside, 1e7 * rng.random((nx, ny, nz)), 0.0)
     ds = np.where(inside, 7.5e12, 0.0)
-    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)), 0.0)
+    # include negative travel times (off-axis regression)
+    ts = np.where(inside, 3e7 * rng.random((nx, ny, nz)) - 2e6, 0.0)
     red = rng.random((nx, ny, nz)) < 0.5
     freqs = np.linspace(1e9, 5e10, 4)
     t_0 = 1e4
     t_now = 0.9 * 3.15e7
+    off = 1.0 - min(0.0, float(ts.min()))
 
     spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7]),
                              np.array([5e-7]), np.array([4.7e6]))
@@ -212,7 +221,8 @@ def test_emergent_tiles_matches_xla(with_bursts):
     cnu = 2.0 * cnsts.H_CGS * freqs ** 3 / cnsts.C_CGS ** 2
     hnuk = cnsts.H_CGS * freqs / cnsts.K_CGS
     safe_t = jnp.where(jnp.asarray(inside), jnp.asarray(temp), 1.0)
-    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32)
+    tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32,
+                           offset=off)
 
     ids, seg, it, kt = active_tiles_scan_order(
         jnp.flip(jnp.asarray(inside), 1), **tile)
@@ -224,8 +234,8 @@ def test_emergent_tiles_matches_xla(with_bursts):
                      **tile),
         gather_tiles(jnp.flip(base, 1).astype(f32), ids_d, **tile),
         gather_tiles(jnp.flip(tss, 1), ids_d, fill=1.0, **tile),
-        jnp.asarray(seg), t_now, tuple(bursts), int(seg.max()) + 1,
-        interpret=True)
+        jnp.asarray(seg), t_now + (off - 1.0), tuple(bursts),
+        int(seg.max()) + 1, interpret=True)
     n_xt, n_zt = -(-nx // 8), -(-nz // 128)
     inten = np.asarray(scatter_tile_maps(parts, jnp.asarray(it),
                                          jnp.asarray(kt), n_xt, n_zt,

@@ -209,7 +209,8 @@ class TestShardedRT:
         t_now = 1.1 * 31536000.0
         got = np.asarray(sharding.sharded_epoch_base_map_tiles(
             mesh, base_t, tss_t, jnp.asarray(seg), t_now, jm._spec_r,
-            jm._spec_b, jm.nx, jm.nz))
+            jm._spec_b, jm.nx, jm.nz,
+            pack_offset=jm._ts_pack_offset))
 
         chi = ej.chi_field(f.red, t_now - f.ts, jm._spec_r, jm._spec_b)
         want = np.asarray(jnp.sum(st.a * chi * chi, axis=1))

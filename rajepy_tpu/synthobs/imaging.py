@@ -177,11 +177,11 @@ def grid_and_image_parts(u_wav, v_wav, vis_re, vis_im, weights, n_pix: int,
                           weights, n_pix, cell_rad, support=support)
 
 
-@partial(jax.jit, static_argnames=('n_pix', 'weighting', 'niter'))
 def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
                cell_rad: float, mask, beam_kernel,
                weighting: str = 'briggs', robust: float = 0.5,
-               gain: float = 0.1, niter: int = 500, nsigma: float = 3.0):
+               gain: float = 0.1, niter: int = 500, nsigma: float = 3.0,
+               chan_chunk: int = 256):
     """Per-channel imaging of a visibility cube as ONE compiled program.
 
     The scalable replacement for tclean's ``specmode='cube'``
@@ -205,7 +205,53 @@ def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
     Returns (restored, dirty): both (n_chan, n_pix, n_pix) [Jy/beam].
     (Visibilities enter as float pairs: complex arrays cannot cross the
     host<->device boundary on the axon TPU backend.)
+
+    The channel axis is processed in ``chan_chunk``-sized dispatches: a
+    single device program scanning ~1,000 channels with stacked
+    image-cube outputs crashes the remote TPU worker (observed on axon
+    with the bundled 1,000-channel RRL configuration; <=256-channel
+    programs are fine), and chunking also bounds peak HBM.  The last
+    chunk is zero-padded to the chunk size so every dispatch reuses ONE
+    compiled program.
     """
+    freqs = jnp.asarray(freqs)
+    n_chan = int(freqs.shape[0])
+    if n_chan > chan_chunk:
+        vis_re = jnp.asarray(vis_re)
+        vis_im = jnp.asarray(vis_im)
+        outs_r, outs_d = [], []
+        for s in range(0, n_chan, chan_chunk):
+            e = min(s + chan_chunk, n_chan)
+            pad = chan_chunk - (e - s)
+            fr = freqs[s:e]
+            vr = vis_re[s:e]
+            vi = vis_im[s:e]
+            if pad:
+                fr = jnp.concatenate([fr, jnp.broadcast_to(fr[-1:],
+                                                           (pad,))])
+                zpad = jnp.zeros((pad,) + vr.shape[1:], vr.dtype)
+                vr = jnp.concatenate([vr, zpad])
+                vi = jnp.concatenate([vi, zpad])
+            r, d = clean_cube(uvw_m, fr, vr, vi, weights, n_pix,
+                              cell_rad, mask, beam_kernel,
+                              weighting=weighting, robust=robust,
+                              gain=gain, niter=niter, nsigma=nsigma,
+                              chan_chunk=chan_chunk)
+            outs_r.append(r[:e - s])
+            outs_d.append(d[:e - s])
+        return jnp.concatenate(outs_r), jnp.concatenate(outs_d)
+
+    return _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im, weights,
+                             n_pix, cell_rad, mask, beam_kernel,
+                             weighting, robust, gain, niter, nsigma)
+
+
+@partial(jax.jit, static_argnames=('n_pix', 'weighting', 'niter'))
+def _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
+                      cell_rad: float, mask, beam_kernel,
+                      weighting: str = 'briggs', robust: float = 0.5,
+                      gain: float = 0.1, niter: int = 500,
+                      nsigma: float = 3.0):
     c = 299792458.0
     rdt = jnp.asarray(vis_re).dtype
     cell_rad = jnp.asarray(cell_rad, rdt)

@@ -907,8 +907,13 @@ class JetModel:
     def _use_fused_rrl(self) -> bool:
         """The fused Pallas RRL kernel (8.9x the XLA channel map on v5e)
         is the float32-on-TPU production path; float64/CPU keep the exact
-        XLA formulation."""
+        XLA formulation.  ops.pallas_kernels.force_interpret(True) turns
+        the fused/compacted paths on anywhere (Pallas interpreter) so CPU
+        CI can exercise the production plumbing."""
         import jax as _jax
+        from ..ops import pallas_kernels as pk
+        if pk._FORCE_INTERPRET and self._dtype == jnp.float32:
+            return True
         return (self._dtype == jnp.float32 and
                 _jax.default_backend() == 'tpu')
 

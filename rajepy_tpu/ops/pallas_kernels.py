@@ -30,6 +30,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .voigt import _weideman_coeffs, _SQRT_PI
 
 
+# Test hook: when True, every kernel wrapper runs in the Pallas
+# interpreter regardless of its ``interpret`` argument, and
+# JetModel._use_fused_rrl() turns the fused/compacted production paths on
+# — so the model-level tile plumbing (compaction caches, launch-time
+# packing, segment reassembly) is exercisable in CPU CI, where both real
+# round-2 bugs lived.  Set it BEFORE the first traced call of a given
+# shape (the flag is read at trace time; toggling later does not retrace).
+_FORCE_INTERPRET = False
+
+
+def force_interpret(on: bool) -> None:
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = bool(on)
+
+
 def _one_minus_exp_neg(d):
     """Numerically stable 1 - exp(-d) for d >= 0 inside Mosaic kernels
     (expm1 has no Pallas TPU lowering): 3-term Taylor for small d where
@@ -76,6 +91,7 @@ def transfer_scan_pallas(source, dtau, observer_near_y0: bool = False,
     ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
     tests).
     """
+    interpret = interpret or _FORCE_INTERPRET
     nx, ny, nz = source.shape
     if not observer_near_y0:
         # iterate from the observer-facing end; flipping outside the kernel
@@ -181,6 +197,7 @@ def epoch_base_map_pallas(a, ts_signed, t, bursts: tuple,
 
     Returns the (nx, nz) collapsed map.
     """
+    interpret = interpret or _FORCE_INTERPRET
     nx, ny, nz = a.shape
     bx = min(block_x, nx)
     bz = min(block_z, nz)
@@ -319,6 +336,7 @@ def epoch_base_map_tiles(base_t, tss_t, seg, t, bursts: tuple, nx: int,
       t:      scalar model time [s] (traced)
       bursts: static (t0, 1/(2 sigma^2), rel_amp, is_red) tuple
     """
+    interpret = interpret or _FORCE_INTERPRET
     n_act, bx, yc, bz = base_t.shape
     kernel = functools.partial(_epoch_tiles_kernel, bursts=bursts)
     tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i: (i, 0, 0, 0),
@@ -441,6 +459,7 @@ def emergent_ff_pallas(cnu, hnuk, tau_scale, temp, dtau_base,
     Returns (intensity, tau_total): (n_chan, nx, nz) cgs intensity and
     optical-depth maps.
     """
+    interpret = interpret or _FORCE_INTERPRET
     n_chan = int(cnu.shape[0])
     nx, ny, nz = temp.shape
     if not observer_near_y0:
@@ -582,6 +601,7 @@ def emergent_ff_tiles(cnu, hnuk, tau_scale, temp_t, a_t, tss_t, seg, t,
     :func:`scatter_tile_maps`.  The epoch burst factor is evaluated
     in-register from the static ``bursts`` tuple, with ``t`` traced.
     """
+    interpret = interpret or _FORCE_INTERPRET
     n_chan = int(cnu.shape[0])
     n_act, bx, yc, bz = temp_t.shape
     kernel = functools.partial(_emergent_tiles_kernel, n_chan=n_chan,
@@ -747,6 +767,7 @@ def rrl_tiles_pallas(freqs_off, amp_t, rest_t, scale_t, yv_t, hkt_t,
     """Per-tile partial RRL optical-depth maps (n_act, n_chan, bx, bz)
     from COMPACTED per-cell precomputations (gather_tiles of the
     tau_rrl_precompute factors, f32, rest as offsets from nu0)."""
+    interpret = interpret or _FORCE_INTERPRET
     n_chan = int(freqs_off.shape[0])
     n_act, bx, yc, bz = amp_t.shape
     # Weideman N=16: at f32 the N=16 truncation error (1.4e-7 max on
@@ -814,6 +835,7 @@ def rrl_cube_pallas(freqs, amp, rest, scale, y_voigt, hkT,
     whole channel loop (O(N^3) traffic) — the RRL analogue of the
     continuum factorisation.  f32 only (the f32 Weideman degree, N=32).
     """
+    interpret = interpret or _FORCE_INTERPRET
     n_chan = int(freqs.shape[0])
     nx, ny, nz = amp.shape
     bx = min(block_x, nx)

@@ -176,7 +176,8 @@ def pallas_check():
                            float((peak - spec.ss_jml) / spec.ss_jml),
                            is_red))
     t_now = 1.0 * 3.15e7
-    pk_off = 1.0 - float(jnp.minimum(0.0, jnp.min(ts)))
+    from rajepy_tpu.ops.pallas_kernels import pack_offset_for
+    pk_off = pack_offset_for(float(jnp.min(ts)))
     t_pk = t_now + (pk_off - 1.0)
     got = epoch_base_map_pallas(a_base.astype(f32),
                                 pack_launch_time(ts, red,

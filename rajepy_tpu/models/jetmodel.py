@@ -722,9 +722,11 @@ class JetModel:
 
             # travel times can be NEGATIVE near the launch surface for
             # off-axis geometries; the packing offset must keep |tss| > 0
+            # (in f32 — pack_offset_for scales its margin accordingly)
+            from ..ops.pallas_kernels import pack_offset_for
             ts_min = float(self._jitted('ts_min',
                                         lambda: jnp.min)(f.ts))
-            self._ts_pack_offset = 1.0 - min(0.0, ts_min)
+            self._ts_pack_offset = pack_offset_for(ts_min)
 
             @jax.jit
             def fn(f, pack_offset):

@@ -35,14 +35,31 @@ from .voigt import _weideman_coeffs, _SQRT_PI
 # JetModel._use_fused_rrl() turns the fused/compacted production paths on
 # — so the model-level tile plumbing (compaction caches, launch-time
 # packing, segment reassembly) is exercisable in CPU CI, where both real
-# round-2 bugs lived.  Set it BEFORE the first traced call of a given
-# shape (the flag is read at trace time; toggling later does not retrace).
+# round-2 bugs lived.  Toggling clears the wrappers' jit caches (the flag
+# is read at trace time and is not part of their cache keys).
 _FORCE_INTERPRET = False
+_JITTED_WRAPPERS: list = []   # every @jax.jit kernel wrapper registers here
 
 
 def force_interpret(on: bool) -> None:
     global _FORCE_INTERPRET
+    if bool(on) != _FORCE_INTERPRET:
+        # the flag is read at trace time but is NOT part of the jit cache
+        # key — drop compiled entries so toggling can never silently run
+        # the wrong mode for an already-seen shape
+        for fn in _JITTED_WRAPPERS:
+            fn.clear_cache()
     _FORCE_INTERPRET = bool(on)
+
+
+def pack_offset_for(ts_min: float) -> float:
+    """Packing offset for :func:`pack_launch_time` that keeps the packed
+    magnitude |ts + offset| strictly positive IN FLOAT32 for every
+    ts >= ts_min: a fixed +1 margin falls below f32 rounding once
+    |ts_min| exceeds ~2^24 s, so the margin scales with |ts_min|
+    (1e-5 relative, ~2 f32 ulps of headroom)."""
+    ts_min = float(ts_min)
+    return 1.0 + 1e-5 * abs(ts_min) - min(0.0, ts_min)
 
 
 def _one_minus_exp_neg(d):
@@ -884,3 +901,12 @@ def rrl_cube_pallas(freqs, amp, rest, scale, y_voigt, hkT,
             interpret=interpret,
         )(freqs, amp, rest, scale, y_voigt, hkt)
     return out[:, :nx, :nz]
+
+
+# registered for force_interpret cache invalidation (flag read at trace
+# time is not part of these functions' jit cache keys)
+_JITTED_WRAPPERS.extend([
+    transfer_scan_pallas, epoch_base_map_pallas, epoch_base_map_tiles,
+    emergent_ff_pallas, emergent_ff_tiles, rrl_cube_pallas,
+    rrl_tiles_pallas,
+])

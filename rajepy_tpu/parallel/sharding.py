@@ -193,6 +193,11 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
     Arguments mirror :func:`rajepy_tpu.synthobs.imaging.clean_cube`;
     ``n_chan`` must divide by the mesh's 'chan' extent.  Returns
     (restored, dirty), channel-sharded (n_chan, n_pix, n_pix).
+
+    The channel axis is dispatched in chunks of 256 channels PER DEVICE
+    from the host: chunking inside the jitted shard_map would just
+    unroll into one long device program, which is exactly what crashes
+    the remote TPU worker (see imaging.clean_cube).
     """
     from ..synthobs import imaging
 
@@ -206,10 +211,35 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
                                   cell_rad, mask_l, kern_l,
                                   **clean_kwargs)
 
-    return jax.jit(step)(jnp.asarray(uvw_m)[:, :2], jnp.asarray(freqs),
-                         jnp.asarray(vis_re), jnp.asarray(vis_im),
-                         jnp.asarray(weights), jnp.asarray(mask),
-                         jnp.asarray(beam_kernel))
+    step_j = jax.jit(step)
+    uvw2 = jnp.asarray(uvw_m)[:, :2]
+    freqs = jnp.asarray(freqs)
+    vis_re = jnp.asarray(vis_re)
+    vis_im = jnp.asarray(vis_im)
+    weights = jnp.asarray(weights)
+    mask = jnp.asarray(mask)
+    beam_kernel = jnp.asarray(beam_kernel)
+
+    n_chan = int(freqs.shape[0])
+    n_chan_mesh = int(mesh.shape['chan'])
+    max_global = 256 * n_chan_mesh
+    if n_chan <= max_global:
+        return step_j(uvw2, freqs, vis_re, vis_im, weights, mask,
+                      beam_kernel)
+    outs_r, outs_d = [], []
+    for s in range(0, n_chan, max_global):
+        e = min(s + max_global, n_chan)
+        pad = (-(e - s)) % n_chan_mesh  # keep divisibility by the mesh
+        fr, vr, vi = freqs[s:e], vis_re[s:e], vis_im[s:e]
+        if pad:
+            fr = jnp.concatenate([fr, jnp.broadcast_to(fr[-1:], (pad,))])
+            zpad = jnp.zeros((pad,) + vr.shape[1:], vr.dtype)
+            vr = jnp.concatenate([vr, zpad])
+            vi = jnp.concatenate([vi, zpad])
+        r, d = step_j(uvw2, fr, vr, vi, weights, mask, beam_kernel)
+        outs_r.append(r[:e - s])
+        outs_d.append(d[:e - s])
+    return jnp.concatenate(outs_r), jnp.concatenate(outs_d)
 
 
 def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,

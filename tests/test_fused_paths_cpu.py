@@ -64,7 +64,6 @@ def test_fused_products_match_f64_oracle(forced_interpret, model_params,
         err = np.max(np.abs(got - want)) / want.max()
         assert err < tol, f"{name}: rel err {err:.2e} at inc={inc}"
 
-    rrl_f = np.array([2.3e10])  # near H58a without being centred
     from rajepy_tpu.ops.radtrans import RRLCoeffs
     nu0 = RRLCoeffs('H58a').nu0
     rrl_f = np.linspace(nu0 * 0.99998, nu0 * 1.00002, 3)

@@ -98,7 +98,8 @@ def test_epoch_base_map_matches_xla_chi_scan():
                            float((peak - spec.ss_jml) / spec.ss_jml),
                            is_red))
     f32 = jnp.float32
-    off = 1.0 - min(0.0, float(ts.min()))
+    from rajepy_tpu.ops.pallas_kernels import pack_offset_for
+    off = pack_offset_for(ts.min())
     tss = pack_launch_time(jnp.asarray(ts, f32), jnp.asarray(red), f32,
                            offset=off)
     for t_now in (0.0, 0.5 * 3.15e7, 1.2 * 3.15e7):
@@ -148,7 +149,8 @@ def test_epoch_tiles_matches_xla_chi_scan(shape, tile):
                            float((peak - spec.ss_jml) / spec.ss_jml),
                            is_red))
     f32 = jnp.float32
-    off = 1.0 - min(0.0, float(ts.min()))
+    from rajepy_tpu.ops.pallas_kernels import pack_offset_for
+    off = pack_offset_for(ts.min())
     ids, seg = active_tiles(jnp.asarray(inside), **tile)
     n_tiles_total = (-(-nx // 8)) * (-(-ny // tile['y_chunk'])) * \
         (-(-nz // 128))
@@ -200,7 +202,8 @@ def test_emergent_tiles_matches_xla(with_bursts):
     freqs = np.linspace(1e9, 5e10, 4)
     t_0 = 1e4
     t_now = 0.9 * 3.15e7
-    off = 1.0 - min(0.0, float(ts.min()))
+    from rajepy_tpu.ops.pallas_kernels import pack_offset_for
+    off = pack_offset_for(ts.min())
 
     spec_r = ej.EjectionSpec(1e-7, np.array([0.4 * 3.15e7]),
                              np.array([5e-7]), np.array([4.7e6]))

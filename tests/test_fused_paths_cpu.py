@@ -81,6 +81,28 @@ def test_fused_products_match_f64_oracle(forced_interpret, model_params,
     err = np.max(np.abs(got - want)) / want.max()
     assert err < 3e-3, f"emergent tiles: rel err {err:.2e} at inc={inc}"
 
+    # flux_rrl exercises the remaining fused surfaces: the factorised
+    # continuum tau (epoch tiles under the RRL intensity) + cached tbar
+    got = np.nan_to_num(np.asarray(
+        jm32.flux_rrl('H58a', rrl_f, contsub=False), dtype=float))
+    want = np.nan_to_num(np.asarray(
+        jm64.flux_rrl('H58a', rrl_f, contsub=False), dtype=float))
+    assert want.max() > 0
+    err = np.max(np.abs(got - want)) / want.max()
+    assert err < 3e-3, f"flux_rrl fused: rel err {err:.2e} at inc={inc}"
+
+    # non-LTE tiles path (b_n coefficients traced)
+    got = np.nan_to_num(np.asarray(jm32.optical_depth_rrl(
+        'H58a', rrl_f, lte=False, departure_coeffs=(0.96, 0.98)),
+        dtype=float))
+    want = np.nan_to_num(np.asarray(jm64.optical_depth_rrl(
+        'H58a', rrl_f, lte=False, departure_coeffs=(0.96, 0.98)),
+        dtype=float))
+    denom = np.abs(want).max()
+    assert denom > 0
+    err = np.max(np.abs(got - want)) / denom
+    assert err < 3e-3, f"non-LTE tiles: rel err {err:.2e} at inc={inc}"
+
 
 def test_fused_light_curve_batch_path(forced_interpret, model_params):
     """The lax.map-batched light curve (fused path) vs per-epoch f64."""

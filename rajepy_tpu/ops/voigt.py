@@ -5,17 +5,21 @@ The reference computes Voigt profiles with ``scipy.special.wofz``
 half-plane is built from:
 
 * Weideman (1994, SIAM J. Numer. Anal. 31, 1497) rational approximation of
-  degree N (coefficients precomputed on host at import; N = 64 gives
-  ~1e-13 absolute accuracy over the region it is used in), and
-* a 9-level Laplace continued fraction for ``|x| + y > 8`` (accurate to
-  ~5e-12 there) which avoids the cancellation that limits the rational form
-  near the real axis at large |x|.
+  degree N (coefficients precomputed on host at import), and
+* a Laplace continued fraction for ``|x| + y`` beyond the rational region,
+  which avoids the cancellation that limits the rational form near the real
+  axis at large |x|, and
+* (float64 only) a small-``y`` branch that Taylor-expands from the real
+  axis, where ``Re w(x) = exp(-x**2)`` is exact — the rational form loses
+  all relative accuracy there because ``Re w`` is exponentially small while
+  its roundoff floor is absolute.
 
-Composite accuracy vs scipy.special.wofz over x in [-1e3, 1e3],
-y in [1e-8, 1e3]: max relative error ~2.5e-7 (worst case, near-real-axis
-|x| ~ 6-8), 99th percentile ~3e-8 — comfortably inside the framework's
-1e-6 end-to-end flux-parity budget since the profile enters the line
-opacity linearly.
+Composite float64 accuracy vs scipy.special.wofz over x in [0, 1e3],
+y in [0, 1e3] (incl. y = 0 and y down to 1e-10): max relative error
+3.4e-10 on Re, 2e-13 on Im (measured, tests/test_rrl_extras.py) — inside
+the framework's 1e-6 end-to-end flux-parity contract with three orders of
+margin.  The float32 path keeps the cheaper N=32 rational (~1.6e-4 worst /
+5e-6 p99, at the f32 resolution limit).
 
 Only the real part (the Voigt function) is needed by the RRL opacity kernel,
 but both parts are returned for completeness.  Complex arithmetic is written
@@ -30,7 +34,10 @@ import numpy as np
 import jax.numpy as jnp
 
 _SQRT_PI = 1.7724538509055159
-_N_WEIDEMAN = 64
+_N_WEIDEMAN = 128          # float64 rational degree (roundoff-floor accurate)
+_CF_LEVELS_F64 = 15        # float64 continued-fraction depth
+_CF_LEVELS_F32 = 9
+_Y_TAYLOR_F64 = 3e-5       # below this, Taylor from the exact real-axis value
 
 
 @lru_cache(maxsize=4)
@@ -50,27 +57,26 @@ def _weideman_coeffs(n: int = _N_WEIDEMAN):
     return ell, a
 
 
-def wofz(x, y):
-    """Faddeeva function ``w(x + iy)`` for ``y >= 0``.
+def _wofz_core(x, y, n_weideman, cf_levels, s_cut):
+    """Weideman-rational (interior) / continued-fraction (wings) composite.
 
-    Returns ``(re, im)``.  Branch-free mix of the Weideman rational
-    approximation (interior) and the Laplace continued fraction (wings).
-    The rational degree follows the input dtype: N=64 for float64
-    (~2e-7 worst-case vs scipy) and N=32 for float32 (~1.6e-4 worst /
-    5e-6 p99 — at the f32 resolution limit, at half the cost), so
-    float32 production models automatically take the fast path.
+    ``x``/``y`` arrays of a common float dtype, ``y >= 0``.  Branch-free.
     """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
     dtype = jnp.result_type(x, y)
-    n_weideman = 32 if dtype == jnp.float32 else _N_WEIDEMAN
     ell, a_np = _weideman_coeffs(n_weideman)
     a = jnp.asarray(a_np, dtype)
 
+    s = jnp.abs(x) + y
+    far = s > s_cut
+
     # ---- Weideman: Z = (L + iz)/(L - iz) with z = x + iy ------------------
     # L - iz = (L + y) - i x ; L + iz = (L - y) + i x
-    dr, di = ell + y, -x
-    nr, ni = ell - y, x
+    # Far entries are evaluated at a harmless interior point to keep the
+    # rational form pole-free where its result is discarded.
+    xi = jnp.where(far, jnp.zeros_like(x), x)
+    yi = jnp.where(far, jnp.zeros_like(y), y)
+    dr, di = ell + yi, -xi
+    nr, ni = ell - yi, xi
     den = dr * dr + di * di
     zr = (nr * dr + ni * di) / den
     zi = (ni * dr - nr * di) / den
@@ -90,14 +96,11 @@ def wofz(x, y):
 
     # ---- far wings: Laplace continued fraction ----------------------------
     # w(z) = (i/sqrt(pi)) / (z - (1/2)/(z - 1/(z - (3/2)/(z - ...))))
-    # To keep it pole-free where unused, evaluate at z' with |x'|+y' >= 8.
-    s = jnp.abs(x) + y
-    far = s > 8.0
-    xf = jnp.where(far, x, 10.0)
-    yf = jnp.where(far, y, 10.0)
+    xf = jnp.where(far, x, jnp.full_like(x, 10.0))
+    yf = jnp.where(far, y, jnp.full_like(y, 10.0))
     rr = jnp.zeros_like(xf)
     ri = jnp.zeros_like(xf)
-    for k in range(9, 0, -1):
+    for k in range(cf_levels, 0, -1):
         # r = (k/2) / (z - r)
         den_r = xf - rr
         den_i = yf - ri
@@ -113,6 +116,53 @@ def wofz(x, y):
 
     return (jnp.where(far, asym_re, w_re),
             jnp.where(far, asym_im, w_im))
+
+
+def wofz(x, y):
+    """Faddeeva function ``w(x + iy)`` for ``y >= 0``.
+
+    Returns ``(re, im)``.  The scheme follows the input dtype:
+
+    * **float64** — Weideman N=128 interior, 15-level continued fraction for
+      ``|x| + y > 9``, and for ``y < 3e-5`` a third-order Taylor expansion
+      from the real axis where ``Re w(x) = exp(-x**2)`` is exact (the
+      derivatives follow from ``w' = -2 z w + 2i/sqrt(pi)``).  Measured
+      worst-case relative error vs ``scipy.special.wofz``: 3.4e-10 on Re,
+      2e-13 on Im over x,y in [0, 1e3] including y = 0.
+    * **float32** — Weideman N=32 / 9-level fraction (~1.6e-4 worst,
+      5e-6 p99 — the f32 resolution limit at half the cost), so float32
+      production models automatically take the fast path.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    dtype = jnp.result_type(x, y)
+    if dtype == jnp.float32:
+        return _wofz_core(x, y, 32, _CF_LEVELS_F32, 8.0)
+
+    tiny = y < _Y_TAYLOR_F64
+    y_eff = jnp.where(tiny, jnp.zeros_like(y), y)
+    w_re, w_im = _wofz_core(x, y_eff, _N_WEIDEMAN, _CF_LEVELS_F64, 9.0)
+
+    # Small-y branch: the composite's Im part at y=0 keeps full relative
+    # accuracy (Im w ~ 1/(sqrt(pi) x), never exponentially small), but its
+    # Re part has an absolute roundoff floor ~1e-15 while the true
+    # Re w(x) = exp(-x^2) can be far below it.  Rebuild Re exactly on the
+    # axis and Taylor both parts up to y^3 (error ~ y^4 |w''''| / 24,
+    # < 1e-14 absolute at the 3e-5 threshold).
+    w0r = jnp.exp(-x * x)
+    w0i = w_im
+    d1r = -2.0 * x * w0r                                  # w' = -2 z w + 2i/sqrt(pi)
+    d1i = -2.0 * x * w0i + 2.0 / _SQRT_PI
+    d2r = -2.0 * w0r - 2.0 * x * d1r                      # w'' = -2 w - 2 z w'
+    d2i = -2.0 * w0i - 2.0 * x * d1i
+    d3r = -4.0 * d1r - 2.0 * x * d2r                      # w''' = -4 w' - 2 z w''
+    d3i = -4.0 * d1i - 2.0 * x * d2i
+    y2 = y * y
+    taylor_re = w0r - y * d1i - 0.5 * y2 * d2r + (y2 * y / 6.0) * d3i
+    taylor_im = w0i + y * d1r - 0.5 * y2 * d2i - (y2 * y / 6.0) * d3r
+
+    return (jnp.where(tiny, taylor_re, w_re),
+            jnp.where(tiny, taylor_im, w_im))
 
 
 def voigt_profile(dnu, fwhm_gauss, fwhm_lorentz):

@@ -204,7 +204,7 @@ class TestRTParity:
         freq = rrrl.rrl_nu_0('H', 58, 1)
         tau_o = ours.optical_depth_rrl('H58a', freq)
         tau_r = np.nan_to_num(ref.optical_depth_rrl('H58a', freq), nan=0.0)
-        np.testing.assert_allclose(tau_o, tau_r, rtol=2e-6, atol=1e-18)
+        np.testing.assert_allclose(tau_o, tau_r, rtol=1e-6, atol=1e-18)
 
     def test_flux_rrl(self, pair):
         ours, ref = pair
@@ -214,7 +214,7 @@ class TestRTParity:
         # the reference's intensity_rrl scalar path (classes.py:1279-1282)
         fl_r = np.nan_to_num(ref.flux_rrl('H58a', freq, contsub=True),
                              nan=0.0)
-        np.testing.assert_allclose(fl_o, fl_r, rtol=2e-6, atol=1e-30)
+        np.testing.assert_allclose(fl_o, fl_r, rtol=1e-6, atol=1e-30)
 
 
 class TestDiscWindParity:

@@ -44,12 +44,32 @@ class TestFaddeeva:
         y = 10 ** rng.uniform(-8, 3, 5000)
         re, im = wofz(jnp.asarray(x), jnp.asarray(y))
         ref = sp_wofz(x + 1j * y)
-        # worst case ~6e-6 relative occurs only in deep wings where the
-        # profile is ~1e-10 of its peak (absolute error < 1e-15)
-        np.testing.assert_allclose(np.asarray(re), ref.real, rtol=1e-5,
-                                   atol=1e-14)
-        np.testing.assert_allclose(np.asarray(im), ref.imag, rtol=1e-5,
-                                   atol=1e-14)
+        # f64 composite (Weideman-128 + CF-15 + small-y Taylor): <=1e-9
+        # relative everywhere, incl. the near-real-axis cancellation band
+        np.testing.assert_allclose(np.asarray(re), ref.real, rtol=1e-9,
+                                   atol=1e-300)
+        np.testing.assert_allclose(np.asarray(im), ref.imag, rtol=1e-9,
+                                   atol=1e-300)
+
+    def test_wofz_accuracy_contract_dense(self):
+        """Pin the <=1e-9 relative-accuracy contract on a dense grid that
+        deliberately covers the historical failure modes: y = 0 exactly
+        (Re w = exp(-x^2), exponentially below the rational form's
+        roundoff floor), tiny y near the region boundary |x|+y ~ 8-9,
+        and the deep continued-fraction wings."""
+        xs = np.concatenate([np.linspace(0.0, 12.0, 241),
+                             np.geomspace(12.0, 1e3, 60)])
+        xs = np.concatenate([-xs[::-1], xs])
+        ys = np.concatenate([[0.0], np.geomspace(1e-10, 1e3, 80)])
+        X, Y = np.meshgrid(xs, ys)
+        re, im = wofz(jnp.asarray(X), jnp.asarray(Y))
+        ref = sp_wofz(X + 1j * Y)
+        rel_re = np.abs(np.asarray(re) - ref.real) / np.maximum(
+            np.abs(ref.real), 1e-300)
+        rel_im = np.abs(np.asarray(im) - ref.imag) / np.maximum(
+            np.abs(ref.imag), 1e-300)
+        assert rel_re.max() <= 1e-9
+        assert rel_im.max() <= 1e-9
 
     def test_voigt_profile_normalisation(self):
         # Area under the profile must be ~1 (it is a normalised pdf)
@@ -68,7 +88,7 @@ class TestFaddeeva:
         ref = np.real(sp_wofz((dnu + 1j * fl / 2) / sigma / np.sqrt(2))) / \
             sigma / np.sqrt(2 * np.pi)
         ours = np.asarray(voigt_profile(jnp.asarray(dnu), fg, fl))
-        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+        np.testing.assert_allclose(ours, ref, rtol=1e-9)
 
 
 class TestGaunt:

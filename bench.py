@@ -247,7 +247,13 @@ def flagship_model(n):
                         'rajepy_tpu', 'data', 'example-model-params.py')
     params = runpy.run_path(path)['params']
     params['grid'].update(n_x=n, n_y=n, n_z=n, l_z=None)
-    return JetModel(params, dtype=jnp.float32)
+    # No dtype argument: the headline measures the out-of-the-box default
+    # (dtype='auto' resolves to the fused float32 path on TPU backends).
+    import jax
+    jm = JetModel(params)
+    if jax.default_backend() == 'tpu':
+        assert jm._dtype == jnp.float32, "dtype='auto' must pick f32 on TPU"
+    return jm
 
 
 def model_path_bench(jm, nchan=16, n_rep=400):

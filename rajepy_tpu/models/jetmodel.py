@@ -20,9 +20,12 @@ API-compatible rebuild of the reference's ``JetModel``
   convention at the API boundary; internally everything is masked and
   NaN-free.
 
-Precision: ``dtype`` defaults to float64 (jax x64 enabled by package
-import) for oracle-grade parity; pass ``dtype=jnp.float32`` for TPU
-speed-of-light runs (f64 is emulated on TPU MXU/VPU).
+Precision: ``dtype`` defaults to ``'auto'`` — float32 on a TPU backend
+(the fused/tile-compacted Pallas production path; f64 is emulated on TPU
+MXU/VPU and ~2 orders slower) and float64 elsewhere (oracle-grade parity,
+jax x64 enabled by package import).  Pass ``dtype=jnp.float64`` explicitly
+for parity-grade results on TPU, or ``dtype=jnp.float32`` to force the
+fast path off-TPU.
 """
 from __future__ import annotations
 
@@ -148,9 +151,21 @@ class JetModel:
             raise err
         return params
 
+    @staticmethod
+    def resolve_dtype(dtype):
+        """Resolve the ``dtype='auto'`` default: float32 on a TPU backend
+        (routes every RT product through the fused/tile-compacted Pallas
+        path — the flagship configuration BENCH measures) and float64
+        elsewhere (the exact XLA oracle path).  Explicit dtypes pass
+        through untouched."""
+        if dtype in ('auto', None):
+            return (jnp.float32 if jax.default_backend() == 'tpu'
+                    else jnp.float64)
+        return dtype
+
     def __init__(self, params: Union[dict, str],
                  log: Union[None, Log] = None,
-                 dtype=jnp.float64):
+                 dtype='auto'):
         if isinstance(params, dict):
             err = check_model_params(params)
             if err is not None:
@@ -162,7 +177,7 @@ class JetModel:
             raise TypeError("Supplied arg params must be dict or file path "
                             "(str)")
 
-        self._dtype = dtype
+        self._dtype = JetModel.resolve_dtype(dtype)
         self._name = self.params['target']['name']
         self._csize = self.params['grid']['c_size']
 
@@ -177,6 +192,12 @@ class JetModel:
 
         self._log = log if log is not None else Log(
             os.path.expanduser('~') + os.sep + 'temp.log', verbose=False)
+        if dtype in ('auto', None) and self._dtype == jnp.float32:
+            self._log.add_entry(
+                "INFO",
+                "TPU backend detected: dtype='auto' selected float32 (the "
+                "fused Pallas production path). Pass dtype=jnp.float64 for "
+                "oracle-grade parity (emulated f64, ~100x slower on TPU).")
 
         # Grid dimensions (classes.py:188-213)
         if self.params['grid'].get('l_z') is not None:

@@ -20,6 +20,26 @@ def small(params, n=(16, 40, 16), bursts=True):
     return p
 
 
+class TestDtypeAuto:
+    """dtype='auto' (the constructor default) must resolve to f32 on a TPU
+    backend — the fused Pallas flagship path BENCH measures — and to f64
+    everywhere else (VERDICT r2 item 2)."""
+
+    def test_default_is_f64_on_cpu(self, model_params):
+        jm = JetModel(small(model_params))
+        assert jm._dtype == jnp.float64
+
+    def test_auto_rule(self, monkeypatch):
+        import jax
+        assert JetModel.resolve_dtype('auto') == jnp.float64  # CPU conftest
+        assert JetModel.resolve_dtype(None) == jnp.float64
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        assert JetModel.resolve_dtype('auto') == jnp.float32
+        # explicit dtypes pass through regardless of backend
+        assert JetModel.resolve_dtype(jnp.float64) == jnp.float64
+        assert JetModel.resolve_dtype(jnp.float32) == jnp.float32
+
+
 class TestFloat32Mode:
     def test_f32_model_matches_f64(self, model_params):
         p = small(model_params)

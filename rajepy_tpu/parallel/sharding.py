@@ -13,8 +13,9 @@ equivalents built here:
   sharding the channel axis fans the per-channel maps out across devices
   with no communication at all.
 * **Epoch/frequency fan-out** — whole runs are embarrassingly parallel
-  (classes.py:2358's sequential loop); `shard_runs` maps run indices to
-  devices for multi-chip batch execution.
+  (classes.py:2358's sequential loop); :mod:`rajepy_tpu.parallel.fanout`
+  evaluates a whole group of pipeline runs in one sharded program, and
+  `Pipeline.execute` uses it automatically on multi-device backends.
 
 Everything works on any `jax.sharding.Mesh` — real TPU slices or the
 virtual `xla_force_host_platform_device_count` CPU mesh used in tests.
@@ -223,22 +224,31 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
     n_chan = int(freqs.shape[0])
     n_chan_mesh = int(mesh.shape['chan'])
     max_global = 256 * n_chan_mesh
-    if n_chan <= max_global:
-        return step_j(uvw2, freqs, vis_re, vis_im, weights, mask,
-                      beam_kernel)
-    outs_r, outs_d = [], []
-    for s in range(0, n_chan, max_global):
-        e = min(s + max_global, n_chan)
-        pad = (-(e - s)) % n_chan_mesh  # keep divisibility by the mesh
-        fr, vr, vi = freqs[s:e], vis_re[s:e], vis_im[s:e]
+
+    def dispatch(fr, vr, vi, n_valid, pad_to):
+        # pad with duplicated last frequency / zero visibilities so every
+        # dispatch in a chunked cube reuses ONE compiled program shape
+        # (remote TPU compiles cost 30-140 s per distinct shape)
+        pad = pad_to - n_valid
         if pad:
             fr = jnp.concatenate([fr, jnp.broadcast_to(fr[-1:], (pad,))])
             zpad = jnp.zeros((pad,) + vr.shape[1:], vr.dtype)
             vr = jnp.concatenate([vr, zpad])
             vi = jnp.concatenate([vi, zpad])
         r, d = step_j(uvw2, fr, vr, vi, weights, mask, beam_kernel)
-        outs_r.append(r[:e - s])
-        outs_d.append(d[:e - s])
+        return r[:n_valid], d[:n_valid]
+
+    if n_chan <= max_global:
+        # single dispatch, padded only to mesh divisibility
+        pad_to = -(-n_chan // n_chan_mesh) * n_chan_mesh
+        return dispatch(freqs, vis_re, vis_im, n_chan, pad_to)
+    outs_r, outs_d = [], []
+    for s in range(0, n_chan, max_global):
+        e = min(s + max_global, n_chan)
+        r, d = dispatch(freqs[s:e], vis_re[s:e], vis_im[s:e], e - s,
+                        max_global)
+        outs_r.append(r)
+        outs_d.append(d)
     return jnp.concatenate(outs_r), jnp.concatenate(outs_d)
 
 
@@ -256,7 +266,6 @@ def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
     backend (pure-XLA formulation).  Returns the (nx, nz) collapsed map,
     identical to the single-device epoch map.
     """
-    from jax.experimental.shard_map import shard_map
     from ..models import ejection as ej
 
     axes = tuple(mesh.axis_names)
@@ -273,9 +282,9 @@ def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
     n_xt = -(-nx // bx)
     n_zt = -(-nz // bz)
 
-    @partial(shard_map, mesh=mesh,
+    @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axes), P(axes), P(axes), P()),
-             out_specs=P(), check_rep=False)
+             out_specs=P(), check_vma=False)
     def step(base_l, tss_l, seg_l, t):
         red = tss_l < 0.0
         # |tss| - pack_offset recovers the (possibly negative) launch time
@@ -290,13 +299,6 @@ def sharded_epoch_base_map_tiles(mesh: Mesh, base_t, tss_t, seg, t,
         return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
 
     return jax.jit(step)(base_t, tss_t, seg, jnp.asarray(t, base_t.dtype))
-
-
-def shard_runs(n_runs: int, n_devices: Optional[int] = None):
-    """Round-robin assignment of pipeline runs to devices for
-    embarrassingly-parallel epoch x frequency fan-out."""
-    n_devices = n_devices or jax.device_count()
-    return [i % n_devices for i in range(n_runs)]
 
 
 def light_curve_sharded(model, times_yr, freqs,

@@ -241,13 +241,75 @@ class Pipeline:
         self._log = new_log
 
     # ------------------------------------------------------------------ #
+    def _prefan_rt_products(self, resume: bool, clobber: bool,
+                            dryrun: bool, device_fanout) -> Dict[int, Dict]:
+        """Compute RT products for all pending runs in sharded fan-out
+        programs across the device mesh (parallel.fanout) — the
+        multi-chip replacement for the reference's strictly sequential
+        per-run loop (classes.py:2358).  Returns {run_idx: {'em', 'tau',
+        'flux'}} for the loop to write out; empty when fan-out is off
+        (single device, ``device_fanout=False``, or <2 eligible runs)."""
+        import jax
+        fanned: Dict[int, Dict] = {}
+        if dryrun:
+            return fanned
+        if device_fanout is None:
+            device_fanout = jax.device_count() > 1
+        if not device_fanout or jax.device_count() < 2:
+            return fanned
+
+        def pending(run):
+            if not run.radiative_transfer:
+                return False
+            if run.completed and resume and not clobber:
+                return False
+            return clobber or not (os.path.exists(run.fits_em) and
+                                   os.path.exists(run.fits_tau) and
+                                   os.path.exists(run.fits_flux))
+
+        groups: Dict[tuple, list] = {}
+        for idx, run in enumerate(self.runs):
+            if not pending(run):
+                continue
+            nchan = len(np.atleast_1d(run.chan_freqs))
+            key = ('continuum', nchan) if run.obs_type == 'continuum' \
+                else ('rrl', run.line, nchan)
+            groups.setdefault(key, []).append(idx)
+
+        from .parallel import fanout
+        for key, idxs in groups.items():
+            if len(idxs) < 2:
+                continue  # nothing to fan out for a lone run
+            years = [self.runs[i].year for i in idxs]
+            freqs_mat = np.stack([np.atleast_1d(np.asarray(
+                self.runs[i].chan_freqs, dtype=float)) for i in idxs])
+            if key[0] == 'continuum':
+                em, taus, fluxes = fanout.continuum_runs_fanout(
+                    self.model, years, freqs_mat)
+            else:
+                em, taus, fluxes = fanout.rrl_runs_fanout(
+                    self.model, key[1], years, freqs_mat, contsub=False)
+            for k, i in enumerate(idxs):
+                fanned[i] = {'em': em[k], 'tau': taus[k], 'flux': fluxes[k]}
+            self.log.add_entry(
+                "INFO",
+                f"Fanned {len(idxs)} {key[0]} runs' radiative transfer "
+                f"across {jax.device_count()} devices in one sharded "
+                "program")
+        return fanned
+
     def execute(self, simobserve=True, verbose=True, dryrun=False,
-                resume=True, clobber=False, plot=True):
+                resume=True, clobber=False, plot=True, device_fanout=None):
         """Execute all runs: radiative transfer, FITS products, synthetic
         observations, imaging, source fitting (classes.py:2296-2868).
 
         ``plot=False`` additionally skips the diagnostic figures (the
-        reference always draws them)."""
+        reference always draws them).  ``device_fanout`` controls run-level
+        multi-device parallelism (parallel.fanout): None (default) enables
+        it whenever more than one jax device is visible, computing all
+        pending runs' RT products in sharded fan-out programs before the
+        per-run loop writes their FITS products; False forces the
+        reference's sequential behaviour."""
         self.log.add_entry("INFO", "Beginning pipeline execution")
         if verbose != self.log.verbose:
             self.log.verbose = verbose
@@ -276,6 +338,9 @@ class Pipeline:
             pfunc.jml_profile_plot(
                 self, show_plot=False,
                 savefig=os.sep.join([self.dcy, 'JMLPlot.pdf']))
+
+        fanned = self._prefan_rt_products(resume, clobber, dryrun,
+                                          device_fanout)
 
         for idx, run in enumerate(self.runs):
             self.model.time = run.year * cnsts.YEAR
@@ -308,12 +373,19 @@ class Pipeline:
                         "Conducting radiative transfer at "
                         f"{run.freq / 1e9:.1f}GHz for a model time of "
                         f"{run.year:.1f}yr")
+                    fan = fanned.get(idx)
 
                     if not os.path.exists(run.fits_em) or clobber:
                         self.log.add_entry(
                             "INFO",
                             f"Emission measures saved to {run.fits_em}")
-                        self.model.emission_measure(savefits=run.fits_em)
+                        if fan is not None:
+                            self.model.save_fits(
+                                miscf.reorder_axes(fan['em'], ra_axis=0,
+                                                   dec_axis=1),
+                                run.fits_em, 'em')
+                        else:
+                            self.model.emission_measure(savefits=run.fits_em)
                     else:
                         self.log.add_entry(
                             "INFO", "Emission measures already exist -> "
@@ -324,14 +396,25 @@ class Pipeline:
                             self.log.add_entry(
                                 "INFO", "Computing optical depths and "
                                         f"saving to {run.fits_tau}")
-                            self.model.optical_depth_ff(
-                                run.chan_freqs, savefits=run.fits_tau)
+                            if fan is not None:
+                                self.model._save_rt_fits(
+                                    fan['tau'], run.fits_tau, 'tau',
+                                    run.chan_freqs, False, True)
+                            else:
+                                self.model.optical_depth_ff(
+                                    run.chan_freqs, savefits=run.fits_tau)
                         if not os.path.exists(run.fits_flux) or clobber:
                             self.log.add_entry(
                                 "INFO", "Calculating fluxes and saving to "
                                         f"{run.fits_flux}")
-                            fluxes = self.model.flux_ff(
-                                run.chan_freqs, savefits=run.fits_flux)
+                            if fan is not None:
+                                fluxes = fan['flux']
+                                self.model._save_rt_fits(
+                                    fluxes, run.fits_flux, 'flux',
+                                    run.chan_freqs, False, True)
+                            else:
+                                fluxes = self.model.flux_ff(
+                                    run.chan_freqs, savefits=run.fits_flux)
                         else:
                             from .io.fits import read_fits
                             fluxes = read_fits(run.fits_flux)[0]
@@ -340,16 +423,27 @@ class Pipeline:
                             self.log.add_entry(
                                 "INFO", "Computing optical depths and "
                                         f"saving to {run.fits_tau}")
-                            self.model.optical_depth_rrl(
-                                run.line, run.chan_freqs,
-                                savefits=run.fits_tau)
+                            if fan is not None:
+                                self.model._save_rt_fits(
+                                    fan['tau'], run.fits_tau, 'tau',
+                                    run.chan_freqs, False, True)
+                            else:
+                                self.model.optical_depth_rrl(
+                                    run.line, run.chan_freqs,
+                                    savefits=run.fits_tau)
                         if not os.path.exists(run.fits_flux) or clobber:
                             self.log.add_entry(
                                 "INFO", "Calculating fluxes and saving to "
                                         f"{run.fits_flux}")
-                            fluxes = self.model.flux_rrl(
-                                run.line, run.chan_freqs, contsub=False,
-                                savefits=run.fits_flux)
+                            if fan is not None:
+                                fluxes = fan['flux']
+                                self.model._save_rt_fits(
+                                    fluxes, run.fits_flux, 'flux',
+                                    run.chan_freqs, False, True)
+                            else:
+                                fluxes = self.model.flux_rrl(
+                                    run.line, run.chan_freqs, contsub=False,
+                                    savefits=run.fits_flux)
                         else:
                             from .io.fits import read_fits
                             fluxes = read_fits(run.fits_flux)[0]

@@ -208,14 +208,38 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         beam = imaging.fit_psf_beam(psf0, cell_rad)
         beam_kernel = imaging.gaussian_beam_kernel(
             imsize, cell_rad, beam[0], beam[1], beam[2])
-        restored_j, _dirty_j = imaging.clean_cube(
-            jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
-            jnp.asarray(vis_noisy.real, rdt),
-            jnp.asarray(vis_noisy.imag, rdt),
-            jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
-            jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
-            weighting=weighting, robust=robust, gain=0.1, niter=niter,
-            nsigma=nsigma)
+        n_dev = jax.device_count()
+        if n_dev > 1 and n_chan >= n_dev:
+            # channel-data-parallel cube imaging: each device CLEANs its
+            # own channel shard (the reference's tclean cube is strictly
+            # sequential, classes.py:2771-2782)
+            from ..parallel import sharding as pshard
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1),
+                        axis_names=('chan', 'los'))
+            if log:
+                log.add_entry(
+                    "INFO", f"Imaging {n_chan} channels across {n_dev} "
+                            "devices (channel-sharded CLEAN)",
+                    timestamp=False)
+            with mesh:
+                restored_j, _dirty_j = pshard.sharded_clean_cube(
+                    mesh, jnp.asarray(uvw, rdt), jnp.asarray(freqs, rdt),
+                    jnp.asarray(vis_noisy.real, rdt),
+                    jnp.asarray(vis_noisy.imag, rdt),
+                    jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
+                    jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
+                    weighting=weighting, robust=robust, gain=0.1,
+                    niter=niter, nsigma=nsigma)
+        else:
+            restored_j, _dirty_j = imaging.clean_cube(
+                jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
+                jnp.asarray(vis_noisy.real, rdt),
+                jnp.asarray(vis_noisy.imag, rdt),
+                jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
+                jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
+                weighting=weighting, robust=robust, gain=0.1, niter=niter,
+                nsigma=nsigma)
         restored_cube = np.asarray(restored_j)
     else:
         # multi-frequency synthesis: all channels on one grid

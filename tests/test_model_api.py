@@ -143,6 +143,42 @@ class TestPipelineIntegration:
         img, hdr = read_fits(run.products['clean_image'])
         assert img.ndim == 3 and img.shape[0] == 2  # 2-channel cube
 
+    def test_device_fanout_matches_sequential(self, model_params, tmp_path):
+        """Pipeline.execute's run-level device fan-out (active on the
+        8-device test mesh) must write identical RT products to the
+        sequential path (device_fanout=False)."""
+        import jax
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        from rajepy_tpu.io.fits import read_fits
+
+        def pparams(sub):
+            return self._pparams(
+                tmp_path / sub,
+                continuum={'times': np.array([0., 0.5, 1.]),
+                           'freqs': np.array([6e9]),
+                           't_obs': None, 'tscps': None, 't_ints': None,
+                           'bws': np.array([1e8]),
+                           'chanws': np.array([5e7])})
+
+        jm = JetModel(small(model_params))
+        pl_fan = Pipeline(jm, pparams('fan'))
+        pl_fan.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False)
+        jm2 = JetModel(small(model_params))
+        pl_seq = Pipeline(jm2, pparams('seq'))
+        pl_seq.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False, device_fanout=False)
+
+        assert all(r.completed for r in pl_fan.runs)
+        for rf, rs in zip(pl_fan.runs, pl_seq.runs):
+            for attr in ('fits_em', 'fits_tau', 'fits_flux'):
+                a, _ = read_fits(getattr(rf, attr))
+                b, _ = read_fits(getattr(rs, attr))
+                np.testing.assert_allclose(a, b, rtol=1e-12, atol=0.0)
+            np.testing.assert_allclose(rf.results['flux'],
+                                       rs.results['flux'], rtol=1e-12)
+
     def test_ew_telescope_scan_split(self, model_params, tmp_path):
         pparams = self._pparams(
             tmp_path,

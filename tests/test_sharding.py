@@ -168,8 +168,67 @@ class TestShardedRT:
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=1e-10, atol=1e-14)
 
-    def test_shard_runs_round_robin(self, eight_devices):
-        assert sharding.shard_runs(10, 4) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+        # channel counts NOT divisible by the mesh pad internally
+        # (duplicated last frequency, zero visibilities) and slice back
+        with mesh:
+            got7, _ = sharding.sharded_clean_cube(
+                mesh, uvw, freqs[:7], vis.real[:7], vis.imag[:7], w0,
+                imsize, cell_rad, mask, kern, weighting='natural',
+                niter=20)
+        assert got7.shape[0] == 7
+        np.testing.assert_allclose(np.asarray(got7),
+                                   np.asarray(expected)[:7],
+                                   rtol=1e-10, atol=1e-14)
+
+    def test_continuum_runs_fanout_matches_sequential(self, eight_devices,
+                                                      model_params):
+        """Run-level fan-out (parallel.fanout) vs the per-run model
+        methods the sequential pipeline loop calls."""
+        from rajepy_tpu import JetModel
+        from rajepy_tpu.parallel import fanout
+        import rajepy_tpu.constants as cnsts
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=32, n_z=16, l_z=None)
+        jm = JetModel(p)
+        years = np.array([0.0, 0.5, 1.0])  # 3 runs over 8 devices (pad)
+        freqs_mat = np.stack([np.array([6e9, 1e10])] * 3)
+        em, taus, fluxes = fanout.continuum_runs_fanout(jm, years,
+                                                        freqs_mat)
+        assert em.shape == (3, jm.nx, jm.nz)
+        assert fluxes.shape == (3, 2, jm.nx, jm.nz)
+        for k, yr in enumerate(years):
+            jm.time = yr * cnsts.YEAR
+            np.testing.assert_allclose(em[k], jm.emission_measure(),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(
+                taus[k], jm.optical_depth_ff(freqs_mat[k]), rtol=1e-12)
+            np.testing.assert_allclose(
+                fluxes[k], jm.flux_ff(freqs_mat[k]), rtol=1e-12)
+
+    def test_rrl_runs_fanout_matches_sequential(self, eight_devices,
+                                                model_params):
+        from rajepy_tpu import JetModel
+        from rajepy_tpu.parallel import fanout
+        from rajepy_tpu.ops import radtrans as rt
+        import rajepy_tpu.constants as cnsts
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=32, n_z=16, l_z=None)
+        jm = JetModel(p)
+        nu0 = rt.RRLCoeffs('H58a').nu0
+        years = np.array([0.0, 0.8])
+        freqs_mat = np.stack([np.linspace(nu0 * 0.9999, nu0 * 1.0001, 4)]
+                             * 2)
+        em, tau_l, fluxes = fanout.rrl_runs_fanout(jm, 'H58a', years,
+                                                   freqs_mat,
+                                                   contsub=False)
+        for k, yr in enumerate(years):
+            jm.time = yr * cnsts.YEAR
+            np.testing.assert_allclose(
+                tau_l[k], jm.optical_depth_rrl('H58a', freqs_mat[k]),
+                rtol=1e-9)
+            np.testing.assert_allclose(
+                fluxes[k], jm.flux_rrl('H58a', freqs_mat[k],
+                                       contsub=False), rtol=1e-9)
 
     def test_light_curve_sharded_matches_single_device(self, eight_devices,
                                                        model_params):

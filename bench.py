@@ -207,6 +207,23 @@ def pallas_check():
     checks['epoch_tiles'] = err
     assert err < 2e-4, f"epoch_base_map_tiles vs XLA: rel err {err:.2e}"
 
+    # 5b. dual-base epoch tiles (the one-pass per-run RT stage)
+    from rajepy_tpu.ops.pallas_kernels import epoch_base_maps2_tiles
+    em_base = rt.emission_measure_base(n_es_j, jnp.ones_like(n_es_j),
+                                       jnp.where(inside_j, 1.0, 0.0),
+                                       jnp.ones_like(n_es_j), 0.5)
+    em_tt = gather_tiles(em_base.astype(f32), ids_d, **tdims)
+    got_a, got_b = epoch_base_maps2_tiles(a_tt, em_tt, tss_tt,
+                                          jnp.asarray(seg), t_pk,
+                                          tuple(bursts), nx, nz)
+    want_b = jnp.sum(em_base * chi * chi, axis=1)
+    err = max(float(jnp.max(jnp.abs(got_a - want)) /
+                    jnp.max(jnp.abs(want))),
+              float(jnp.max(jnp.abs(got_b - want_b)) /
+                    jnp.max(jnp.abs(want_b))))
+    checks['epoch_tiles2'] = err
+    assert err < 2e-4, f"epoch_base_maps2_tiles vs XLA: rel err {err:.2e}"
+
     # 6. compacted ordered emergent scan (the production emergent path)
     from rajepy_tpu.ops.pallas_kernels import (active_tiles_scan_order,
                                                emergent_ff_tiles,
@@ -280,11 +297,80 @@ def model_path_bench(jm, nchan=16, n_rep=400):
 
     t_start = jnp.asarray(2.0 * YEAR, jm._dtype)
     _sync(bench_loop(f, *statics, freqs, t_start))  # compile + warm-up
-    t0 = time.perf_counter()
-    _sync(bench_loop(f, *statics, freqs, t_start))
-    dt = (time.perf_counter() - t0) / n_rep
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(bench_loop(f, *statics, freqs, t_start))
+        dt = (time.perf_counter() - t0) / n_rep
+        best = dt if best is None else min(best, dt)
+    dt = best
     n_cells = jm.nx * jm.ny * jm.nz
+    # achieved HBM bandwidth of the epoch pass (compacted: 2 tile streams)
+    st = statics[0]
+    if st.a_t is not None:
+        n_act, bx, yc, bz = st.a_t.shape
+        gbs = n_act * bx * yc * bz * 4 * 2 / dt / 1e9
+        log(f"epoch_kernel_bandwidth={gbs:.0f}GB/s "
+            f"({n_act} tiles x {bx}x{yc}x{bz} x 2 streams; measured "
+            "practical 2-stream ceiling ~390GB/s, copy floor at this "
+            "working set ~280GB/s — see BASELINE.md roofline)")
     return n_cells * nchan / dt, dt
+
+
+def run_products_bench(jm, nchan=16, n_rep=100):
+    """The per-run continuum RT stage: the fused one-pass
+    continuum_rt_products kernel vs the three separate product passes
+    (em + tau + flux) Pipeline.execute used to make."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    f = jm._ensure_fields()
+    st = jm._rt_static()
+    freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
+    dt_epoch = jnp.asarray(0.1 * YEAR, jm._dtype)
+    fused_inner = jm._jit_cache.get(('ff_products', jm._use_fused_rrl(),
+                                     jm._compact_flag(st)))
+    if fused_inner is None:
+        jm.continuum_rt_products(freqs)  # trace/cache
+        fused_inner = jm._jit_cache[('ff_products', jm._use_fused_rrl(),
+                                     jm._compact_flag(st))]
+    em_kernel = jm._jitted(('em', jm._use_fused_rrl(),
+                            jm._compact_flag(st)), lambda: (
+        lambda f, st, t: jm._epoch_base_map('em', f, st, t)))
+    tau_call = jm._continuum_kernel('tau')
+    flux_call = jm._continuum_kernel('flux')
+
+    @jax.jit
+    def loop_fused(f, st, freqs, t_start):
+        def body(i, acc):
+            t = t_start + i.astype(jm._dtype) * dt_epoch
+            em, taus, fluxes = fused_inner(f, st, t, freqs)
+            return acc + jnp.sum(em) + jnp.sum(fluxes) + jnp.sum(taus)
+        return lax.fori_loop(0, n_rep, body, jnp.asarray(0.0, jm._dtype))
+
+    @jax.jit
+    def loop_separate(f, st, freqs, t_start):
+        def body(i, acc):
+            t = t_start + i.astype(jm._dtype) * dt_epoch
+            em = em_kernel(f, st, t)
+            taus = tau_call.inner(f, st, t, freqs)
+            fluxes = flux_call.inner(f, st, t, freqs)
+            return acc + jnp.sum(em) + jnp.sum(fluxes) + jnp.sum(taus)
+        return lax.fori_loop(0, n_rep, body, jnp.asarray(0.0, jm._dtype))
+
+    t_start = jnp.asarray(2.0 * YEAR, jm._dtype)
+    out = {}
+    for name, loop in (('fused', loop_fused), ('separate', loop_separate)):
+        _sync(loop(f, st, freqs, t_start))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(loop(f, st, freqs, t_start))
+            dt = (time.perf_counter() - t0) / n_rep
+            best = dt if best is None else min(best, dt)
+        out[name] = best
+    return out
 
 
 def _timed(fn, n_rep=5):
@@ -362,6 +448,15 @@ def main():
         ours, dt = model_path_bench(jm, nchan=nchan)
     log(f"grid_fill_{n}cube={fill_dt:.2f}s (once per model, cached)")
     log(f"model_path wall_per_epoch_{nchan}chan={dt * 1e3:.2f}ms")
+
+    try:
+        rp = run_products_bench(jm, nchan=nchan)
+        log(f"run_rt_stage_fused={rp['fused'] * 1e3:.2f}ms "
+            f"separate={rp['separate'] * 1e3:.2f}ms "
+            f"(em+tau+flux per run; {rp['separate'] / rp['fused']:.2f}x "
+            "from the dual-base one-pass kernel)")
+    except Exception as exc:
+        log(f"run products bench failed: {type(exc).__name__}: {exc}")
 
     try:
         rrl_rate, rrl_dt = rrl_cube_bench(jm, nchan=nchan)

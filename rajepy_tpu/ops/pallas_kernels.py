@@ -380,6 +380,74 @@ def epoch_base_map_tiles(base_t, tss_t, seg, t, bursts: tuple, nx: int,
     return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
 
 
+def _epoch_tiles2_kernel(t_ref, a_ref, b_ref, tss_ref, oa_ref, ob_ref, *,
+                         bursts: tuple):
+    """Dual-base variant of _epoch_tiles_kernel: one tss stream and one
+    chi evaluation serve BOTH collapsed maps (opacity base + EM base)."""
+    tss = tss_ref[0]
+    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    red = tss < 0.0
+    chi = jnp.ones_like(lt)
+    for t0, inv2s2, amp, is_red in bursts:
+        g = amp * jnp.exp(-(lt - t0) ** 2 * inv2s2)
+        sel = red if is_red else jnp.logical_not(red)
+        chi = chi + jnp.where(sel, g, 0.0)
+    chi2 = chi * chi
+    oa_ref[0] = jnp.sum(a_ref[0] * chi2, axis=1)
+    ob_ref[0] = jnp.sum(b_ref[0] * chi2, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=('bursts', 'nx', 'nz',
+                                             'interpret'))
+def epoch_base_maps2_tiles(a_t, b_t, tss_t, seg, t, bursts: tuple, nx: int,
+                           nz: int, interpret: bool = False):
+    """Both LOS-collapsed epoch maps (sum_y a*chi^2, sum_y b*chi^2) in ONE
+    compacted streaming pass.
+
+    The pipeline needs the EM map AND the opacity base map for every run
+    (classes.py:2397-2423: emission_measure + optical_depth_ff + flux_ff);
+    computed separately each pass re-reads the packed launch-time tiles
+    and re-evaluates the burst factor.  Fusing them reads 3 tile streams
+    instead of 4 and pays the per-burst exp once: measured 0.41 ms vs
+    0.46 ms for the whole per-run stage as one program on v5e at 512^3
+    (bench.py ``run_rt_stage``), and on remote backends the single
+    dispatch additionally saves two ~30 ms host round trips per run
+    (BASELINE.md roofline table).
+
+    Returns ``(map_a, map_b)``, each (nx, nz).
+    """
+    interpret = interpret or _FORCE_INTERPRET
+    n_act, bx, yc, bz = a_t.shape
+    kernel = functools.partial(_epoch_tiles2_kernel, bursts=bursts)
+    tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i: (i, 0, 0, 0),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM)
+    t_spec = pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, bx, bz), lambda i: (i, 0, 0),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+    t_arr = jnp.asarray(t, a_t.dtype).reshape(1)
+    out_sh = jax.ShapeDtypeStruct((n_act, bx, bz), a_t.dtype)
+    with jax.enable_x64(False):
+        parts_a, parts_b = pl.pallas_call(
+            kernel,
+            grid=(n_act,),
+            out_shape=(out_sh, out_sh),
+            in_specs=[t_spec, tile_spec, tile_spec, tile_spec],
+            out_specs=(out_spec, out_spec),
+            interpret=interpret,
+        )(t_arr, a_t, b_t, tss_t)
+    n_xt = _tile_grid(nx, bx)
+    n_zt = _tile_grid(nz, bz)
+
+    def reassemble(parts):
+        m = jax.ops.segment_sum(parts, seg, num_segments=n_xt * n_zt)
+        m = m.reshape(n_xt, n_zt, bx, bz).transpose(0, 2, 1, 3)
+        return m.reshape(n_xt * bx, n_zt * bz)[:nx, :nz]
+
+    return reassemble(parts_a), reassemble(parts_b)
+
+
 def _expm1_pos(x):
     """Numerically stable exp(x) - 1 for x >= 0 inside Mosaic kernels
     (no expm1 lowering): 3-term Taylor below the cancellation threshold."""

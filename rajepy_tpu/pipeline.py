@@ -374,6 +374,19 @@ class Pipeline:
                         f"{run.freq / 1e9:.1f}GHz for a model time of "
                         f"{run.year:.1f}yr")
                     fan = fanned.get(idx)
+                    if fan is None and run.obs_type == 'continuum' and \
+                            (clobber or not (
+                                os.path.exists(run.fits_em) and
+                                os.path.exists(run.fits_tau) and
+                                os.path.exists(run.fits_flux))):
+                        # all products fresh: one fused epoch pass
+                        # computes EM + tau + flux together
+                        # (JetModel.continuum_rt_products), then the
+                        # writes below consume the cached arrays
+                        em_c, tau_c, flux_c = \
+                            self.model.continuum_rt_products(
+                                run.chan_freqs)
+                        fan = {'em': em_c, 'tau': tau_c, 'flux': flux_c}
 
                     if not os.path.exists(run.fits_em) or clobber:
                         self.log.add_entry(

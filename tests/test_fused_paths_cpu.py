@@ -114,3 +114,23 @@ def test_fused_light_curve_batch_path(forced_interpret, model_params):
     lc64 = analysis.light_curve(jm64, times, [6e9])
     np.testing.assert_allclose(lc32, lc64, rtol=2e-4)
     assert np.ptp(lc64) > 0  # bursts actually vary the curve
+
+
+@pytest.mark.parametrize("inc,pa", [(90.0, 0.0), (55.0, 30.0)])
+def test_fused_continuum_rt_products(forced_interpret, model_params,
+                                     inc, pa):
+    """The one-pass per-run RT stage (dual-base epoch tiles kernel) vs
+    the three separate product calls, through the compacted interpret
+    path — on-axis and off-axis."""
+    jm32 = _model(model_params, inc, pa)
+    jm32.time = 2.2 * 31536000.0
+    assert jm32._rt_static().seg is not None
+    freqs = np.array([6e9, 2.2e10])
+    em, taus, fluxes = jm32.continuum_rt_products(freqs)
+    np.testing.assert_allclose(em, np.asarray(jm32.emission_measure()),
+                               rtol=1e-6)
+    np.testing.assert_allclose(taus,
+                               np.asarray(jm32.optical_depth_ff(freqs)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(fluxes, np.asarray(jm32.flux_ff(freqs)),
+                               rtol=1e-6)

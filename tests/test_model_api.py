@@ -265,3 +265,17 @@ class TestNegativeTravelTimePacking:
                                           jm._spec_b))
         chi_packed = np.asarray(jm._chi_from_packed(st.ts_signed, t))
         np.testing.assert_allclose(chi_packed, chi_ref, rtol=1e-9)
+
+
+class TestContinuumRTProducts:
+    def test_matches_separate_calls_f64(self, model_params):
+        """The fused per-run RT stage equals the three separate product
+        calls on the exact f64 XLA path."""
+        jm = JetModel(small(model_params))
+        jm.time = 1.1 * 31536000.0
+        freqs = np.array([6e9, 1e10])
+        em, taus, fluxes = jm.continuum_rt_products(freqs)
+        np.testing.assert_allclose(em, jm.emission_measure(), rtol=1e-14)
+        np.testing.assert_allclose(taus, jm.optical_depth_ff(freqs),
+                                   rtol=1e-14)
+        np.testing.assert_allclose(fluxes, jm.flux_ff(freqs), rtol=1e-14)

@@ -329,12 +329,11 @@ def run_products_bench(jm, nchan=16, n_rep=100):
     st = jm._rt_static()
     freqs = jnp.geomspace(3e8, 3e11, nchan, dtype=jm._dtype)
     dt_epoch = jnp.asarray(0.1 * YEAR, jm._dtype)
-    fused_inner = jm._jit_cache.get(('ff_products', jm._use_fused_rrl(),
-                                     jm._compact_flag(st)))
+    key = ('ff_products', jm._use_fused_rrl(), jm._compact_flag(st))
+    fused_inner = jm._jit_lookup(key)
     if fused_inner is None:
         jm.continuum_rt_products(freqs)  # trace/cache
-        fused_inner = jm._jit_cache[('ff_products', jm._use_fused_rrl(),
-                                     jm._compact_flag(st))]
+        fused_inner = jm._jit_lookup(key)
     em_kernel = jm._jitted(('em', jm._use_fused_rrl(),
                             jm._compact_flag(st)), lambda: (
         lambda f, st, t: jm._epoch_base_map('em', f, st, t)))
@@ -410,12 +409,12 @@ def emergent_bench(jm, nchan=16):
     tiles = jm._emergent_tiles() if jm._use_fused_rrl() else None
     if tiles is not None:  # compacted ordered scan (the production path)
         temp_t, a_t, tss_t, seg, it, kt, n_seg, _, _ = tiles
-        fn = jm._jit_cache[('emergent_ff_tiles', jm._burst_tuple(),
-                            n_seg)]
+        fn = jm._jit_lookup(('emergent_ff_tiles', jm._burst_tuple(),
+                             n_seg))
         dt = _timed(lambda: fn(temp_t, a_t, tss_t, seg, it, kt, jm.time,
                                freqs))
     else:
-        fn = jm._jit_cache[('emergent_ff', jm._use_fused_rrl())]
+        fn = jm._jit_lookup(('emergent_ff', jm._use_fused_rrl()))
         f = jm._ensure_fields()
         a = jm._rt_static()[0]
         dt = _timed(lambda: fn(f, a, jm.time, freqs))

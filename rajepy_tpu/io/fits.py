@@ -188,12 +188,14 @@ def write_fits(filename: str, data: np.ndarray,
     header_bytes = ''.join(cards).encode('ascii')
     header_bytes += b' ' * (-len(header_bytes) % BLOCK)
 
-    payload = data.astype(dt).tobytes()
-    payload += b'\x00' * (-len(payload) % BLOCK)
-
+    # stream the payload without materialising tobytes()/concat copies —
+    # cube products run to gigabytes (1,000 x 500^2 images) and each
+    # avoided pass over the buffer is seconds of wall time
+    payload = np.ascontiguousarray(data, dtype=dt)
     with open(filename, 'wb') as f:
         f.write(header_bytes)
-        f.write(payload)
+        f.write(memoryview(payload).cast('B'))
+        f.write(b'\x00' * (-payload.nbytes % BLOCK))
 
 
 def _parse_value(raw: str):

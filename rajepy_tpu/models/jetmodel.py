@@ -691,11 +691,24 @@ class JetModel:
     # through the axon tunnel), so nothing below runs eagerly.
     # ------------------------------------------------------------------ #
     def _jitted(self, key, builder):
+        # the interpret hook is part of every cache key: a kernel traced
+        # while ops.pallas_kernels.force_interpret(True) was active bakes
+        # the interpreter in, and must not be reused after the hook is
+        # toggled off (ADVICE r2: silent ~100x slowdown on TPU otherwise)
+        from ..ops import pallas_kernels as pk
+        key = (key, pk._FORCE_INTERPRET)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(builder())
             self._jit_cache[key] = fn
         return fn
+
+    def _jit_lookup(self, key):
+        """The cached jitted kernel for ``key`` under the current
+        interpret-hook state, or None (external benchmarks use this
+        instead of poking _jit_cache with raw keys)."""
+        from ..ops import pallas_kernels as pk
+        return self._jit_cache.get((key, pk._FORCE_INTERPRET))
 
     def _use_reynolds_gaunt(self) -> bool:
         # classes.py:1388-1393: van Hoof scalar gaunt iff q_T == 0
@@ -1114,6 +1127,73 @@ class JetModel:
         def call(f, t, freqs, b_n1, b_n2):
             return inner(f, st, tiles, t, freqs, b_n1, b_n2)
         return call
+
+    def rrl_rt_products(self, line: str, freq, contsub: bool = False):
+        """The complete per-run RRL RT stage — EM map, line optical-depth
+        maps and line(+continuum when ``contsub=False``) flux maps — in
+        ONE fused device program (the reference's per-run sequence at
+        classes.py:2437-2450).
+
+        The separate ``optical_depth_rrl`` + ``flux_rrl`` calls each
+        evaluate the full line-opacity chain (Doppler shift, widths,
+        Voigt, kappa_L); here it runs once and feeds both products, the
+        continuum opacity comes from the factorised epoch base, and the
+        EM map rides the same dual-base pass — one dispatch instead of
+        three (two saved ~30 ms round trips per run on remote backends,
+        and the line chain's cost once instead of twice).  Returns numpy
+        ``(em, tau_l, fluxes)``.  LTE only (the pipeline path);
+        ``Pipeline.execute`` uses this for fresh RRL runs.
+        """
+        t_0, reyn, csize, dist = self._rt_constants()
+        coeffs = rt.RRLCoeffs(line)
+        fused = self._use_fused_rrl()
+        tiles = self._rrl_tiles() if fused else None
+        st = self._rt_static()
+        has_bursts = self._has_bursts
+        fscale = float(rt.flux_scale_jy(csize, dist))
+        f = self._ensure_fields()
+
+        def build():
+            use_tiles = tiles is not None
+
+            def tau_maps(f, tl, t, freqs):
+                if use_tiles:
+                    temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg = tl
+                    if has_bursts:
+                        n_es_t = ndxi_t * self._chi_from_packed(tss_t, t)
+                    else:
+                        n_es_t = ndxi_t
+                    return rt.tau_rrl_maps_tiles(
+                        coeffs, freqs, temp_t, n_es_t, vy_t, ds_t,
+                        inside_t, seg, self._nx, self._nz)
+                n_es = self._nd_chi(f, t) * f.xi
+                ds = rt.path_length_cm(f.ff, f.area, csize)
+                if fused:
+                    return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp,
+                                                 n_es, f.vy, ds, f.inside)
+                return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
+                                       ds, f.inside)
+
+            def kernel(f, st, tl, t, freqs):
+                tau_l = tau_maps(f, tl, t, freqs)
+                a_map, em = self._epoch_base_maps_both(f, st, t)
+                scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
+                tau_c = scale[:, None, None] * a_map[None]
+                ints = rt.intensity_rrl_maps(freqs, st.tbar, tau_c, tau_l,
+                                             st.any_in)
+                fluxes = ints * jnp.asarray(fscale, ints.dtype)
+                if not contsub:
+                    fluxes = fluxes + rt.flux_ff_maps(
+                        freqs, tau_c, st.tbar, st.any_in, csize, dist)
+                return em, tau_l, fluxes
+            return kernel
+
+        freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
+        em, tau_l, fluxes = self._jitted(
+            ('rrl_products', line, contsub, fused, tiles is not None,
+             self._compact_flag(st)), build)(f, st, tiles, self.time,
+                                             freqs)
+        return np.asarray(em), np.asarray(tau_l), np.asarray(fluxes)
 
     @staticmethod
     def _check_nonlte(lte, departure_coeffs):

@@ -368,24 +368,34 @@ class Pipeline:
                                          show_plot=False)
 
                 if not dryrun and run.radiative_transfer:
+                    from .utils.profiling import KernelTimer
                     self.log.add_entry(
                         "INFO",
                         "Conducting radiative transfer at "
                         f"{run.freq / 1e9:.1f}GHz for a model time of "
                         f"{run.year:.1f}yr")
+                    rt_timer = KernelTimer("rt stage (compute + FITS)",
+                                           self.log)
+                    rt_timer.__enter__()
                     fan = fanned.get(idx)
-                    if fan is None and run.obs_type == 'continuum' and \
-                            (clobber or not (
-                                os.path.exists(run.fits_em) and
-                                os.path.exists(run.fits_tau) and
-                                os.path.exists(run.fits_flux))):
-                        # all products fresh: one fused epoch pass
+                    if fan is None and (clobber or not (
+                            os.path.exists(run.fits_em) and
+                            os.path.exists(run.fits_tau) and
+                            os.path.exists(run.fits_flux))):
+                        # all products fresh: ONE fused device program
                         # computes EM + tau + flux together
-                        # (JetModel.continuum_rt_products), then the
-                        # writes below consume the cached arrays
-                        em_c, tau_c, flux_c = \
-                            self.model.continuum_rt_products(
-                                run.chan_freqs)
+                        # (JetModel.continuum_rt_products /
+                        # rrl_rt_products), then the writes below
+                        # consume the cached arrays
+                        if run.obs_type == 'continuum':
+                            em_c, tau_c, flux_c = \
+                                self.model.continuum_rt_products(
+                                    run.chan_freqs)
+                        else:
+                            em_c, tau_c, flux_c = \
+                                self.model.rrl_rt_products(
+                                    run.line, run.chan_freqs,
+                                    contsub=False)
                         fan = {'em': em_c, 'tau': tau_c, 'flux': flux_c}
 
                     if not os.path.exists(run.fits_em) or clobber:
@@ -473,6 +483,7 @@ class Pipeline:
                         # per-channel summed fluxes (classes.py:2468-2471)
                         flux = np.nansum(np.nansum(fluxes, axis=1), axis=1)
                     self.runs[idx].results['flux'] = flux
+                    rt_timer.__exit__(None, None, None)
 
                     if not os.path.exists(self.model_file):
                         self.model.save(self.model_file)

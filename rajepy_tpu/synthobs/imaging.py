@@ -219,7 +219,12 @@ def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
     if n_chan > chan_chunk:
         vis_re = jnp.asarray(vis_re)
         vis_im = jnp.asarray(vis_im)
-        outs_r, outs_d = [], []
+        # dispatch every chunk first (async), then drain restored chunks
+        # to the host in order: on remote backends (axon tunnel,
+        # ~20 MB/s device->host) the copy of chunk k overlaps the device
+        # still CLEANing chunks k+1.., hiding most of the gigabyte-scale
+        # cube transfer behind compute
+        pend = []
         for s in range(0, n_chan, chan_chunk):
             e = min(s + chan_chunk, n_chan)
             pad = chan_chunk - (e - s)
@@ -237,9 +242,12 @@ def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
                               weighting=weighting, robust=robust,
                               gain=gain, niter=niter, nsigma=nsigma,
                               chan_chunk=chan_chunk)
-            outs_r.append(r[:e - s])
-            outs_d.append(d[:e - s])
-        return jnp.concatenate(outs_r), jnp.concatenate(outs_d)
+            pend.append((e - s, r, d))
+        outs_r = [np.asarray(r[:n]) for n, r, _ in pend]
+        restored = np.concatenate(outs_r)
+        # dirty images stay on device (lazy — callers rarely fetch them)
+        dirty = jnp.concatenate([d[:n] for n, _, d in pend])
+        return restored, dirty
 
     return _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im, weights,
                              n_pix, cell_rad, mask, beam_kernel,

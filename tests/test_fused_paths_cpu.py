@@ -134,3 +134,46 @@ def test_fused_continuum_rt_products(forced_interpret, model_params,
                                rtol=1e-6)
     np.testing.assert_allclose(fluxes, np.asarray(jm32.flux_ff(freqs)),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("inc,pa", [(90.0, 0.0), (55.0, 30.0)])
+def test_fused_rrl_rt_products(forced_interpret, model_params, inc, pa):
+    """The one-pass per-run RRL stage vs the separate product calls,
+    through the compacted interpret path."""
+    jm32 = _model(model_params, inc, pa)
+    jm32.time = 2.2 * 31536000.0
+    from rajepy_tpu.ops.radtrans import RRLCoeffs
+    nu0 = RRLCoeffs('H58a').nu0
+    freqs = np.linspace(nu0 * 0.99998, nu0 * 1.00002, 3)
+    em, tau_l, fluxes = jm32.rrl_rt_products('H58a', freqs, contsub=False)
+    np.testing.assert_allclose(em, np.asarray(jm32.emission_measure()),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        tau_l, np.asarray(jm32.optical_depth_rrl('H58a', freqs)),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        fluxes, np.asarray(jm32.flux_rrl('H58a', freqs, contsub=False)),
+        rtol=1e-4)
+
+
+def test_interpret_toggle_does_not_reuse_stale_kernels(model_params):
+    """Model-level jit caches are keyed by the interpret-hook state
+    (ADVICE r2): a kernel traced under force_interpret(True) must not be
+    reused after the hook is switched off."""
+    jm = _model(model_params)
+    pk.force_interpret(True)
+    try:
+        assert jm._use_fused_rrl()
+        fl_on = np.asarray(jm.flux_ff(np.array([6e9])))
+        key_on = set(jm._jit_cache)
+    finally:
+        pk.force_interpret(False)
+    assert not jm._use_fused_rrl()
+    fl_off = np.asarray(jm.flux_ff(np.array([6e9])))
+    key_off = set(jm._jit_cache)
+    # the off-state trace created NEW cache entries (different key space)
+    assert key_off - key_on
+    assert all(k[-1] is True for k in key_on)
+    np.testing.assert_allclose(np.nan_to_num(fl_on),
+                               np.nan_to_num(fl_off), rtol=2e-4,
+                               atol=1e-30)

@@ -279,3 +279,17 @@ class TestContinuumRTProducts:
         np.testing.assert_allclose(taus, jm.optical_depth_ff(freqs),
                                    rtol=1e-14)
         np.testing.assert_allclose(fluxes, jm.flux_ff(freqs), rtol=1e-14)
+
+    def test_rrl_products_match_separate_calls_f64(self, model_params):
+        jm = JetModel(small(model_params))
+        jm.time = 1.1 * 31536000.0
+        from rajepy_tpu.ops.radtrans import RRLCoeffs
+        nu0 = RRLCoeffs('H58a').nu0
+        freqs = np.linspace(nu0 * 0.9999, nu0 * 1.0001, 3)
+        em, tau_l, fluxes = jm.rrl_rt_products('H58a', freqs,
+                                               contsub=False)
+        np.testing.assert_allclose(em, jm.emission_measure(), rtol=1e-14)
+        np.testing.assert_allclose(
+            tau_l, jm.optical_depth_rrl('H58a', freqs), rtol=1e-12)
+        np.testing.assert_allclose(
+            fluxes, jm.flux_rrl('H58a', freqs, contsub=False), rtol=1e-9)

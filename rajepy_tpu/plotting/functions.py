@@ -87,17 +87,20 @@ def model_plot(jm, show_plot: bool = False,
                 _los_mean(jm.temperature, jm.los_axis),
                 _los_mean(jm.ion_fraction, jm.los_axis),
                 _los_mean(jm.vel[1], jm.los_axis))
+    # the reference displays the LOS velocity in the source frame
+    # (v_lsr subtracted, functions.py:580-582)
+    v_los = maps[3] - jm.params['target']['v_lsr']
     panels = [
         (axes[0, 0], maps[0],
-         r'$n_{\rm e}\,[{\rm cm^{-3}}]$', 'viridis_r', True),
+         r'$n_{\rm e}\,[{\rm cm^{-3}}]$', 'viridis_r', True, 'a'),
         (axes[0, 1], maps[1],
-         r'$T\,[{\rm K}]$', 'plasma', True),
+         r'$T\,[{\rm K}]$', 'plasma', True, 'b'),
         (axes[1, 0], maps[2],
-         r'$\chi_{\rm i}$', 'cividis', False),
-        (axes[1, 1], maps[3],
-         r'$v_{\rm LOS}\,[{\rm km\,s^{-1}}]$', 'coolwarm', False),
+         r'$\chi_{\rm i}$', 'cividis', False, 'c'),
+        (axes[1, 1], v_los,
+         r'$v_{\rm LOS}\,[{\rm km\,s^{-1}}]$', 'coolwarm', False, 'd'),
     ]
-    for ax, img, label, cmap, logscale in panels:
+    for ax, img, label, cmap, logscale, letter in panels:
         finite = img[np.isfinite(img)]
         if finite.size and logscale and np.nanmax(finite) > 0:
             norm = LogNorm(vmin=max(np.nanmin(finite[finite > 0]), 1e-30),
@@ -107,6 +110,11 @@ def model_plot(jm, show_plot: bool = False,
         im = ax.imshow(img.T, origin='lower', extent=extent, norm=norm,
                        cmap=cmap, aspect='equal')
         fig.colorbar(im, ax=ax, label=label, shrink=0.9)
+        ax.text(0.9, 0.92, letter, ha='center', va='center',
+                transform=ax.transAxes)
+        ax.tick_params(which='both', direction='in', top=True,
+                       right=True)
+        ax.minorticks_on()
     fig.supxlabel(r'$\Delta x\,[{\rm au}]$')
     fig.supylabel(r'$\Delta z\,[{\rm au}]$')
     _finish(fig, show_plot, savefig)
@@ -168,10 +176,15 @@ def _rt_plot_body(flux, tau, em, extent, percentile, show_plot, savefig):
 
     fig, axes = plt.subplots(1, 3, figsize=(6.65, 6.65 / 2.4),
                              sharey=True, constrained_layout=True)
-    for ax, img, label, cmap in [
-            (axes[0], flux, r'$S_\nu\,[{\rm Jy\,pixel^{-1}}]$', 'inferno'),
-            (axes[1], tau, r'$\tau_\nu$', 'magma'),
-            (axes[2], em, r'${\rm EM}\,[{\rm pc\,cm^{-6}}]$', 'viridis')]:
+    xs = np.linspace(extent[0], extent[1], flux.shape[0])
+    zs = np.linspace(extent[2], extent[3], flux.shape[1])
+    tau_max = np.nanmax(np.where(np.isfinite(tau), tau, 0.0))
+    for ax, img, label, cmap, letter in [
+            (axes[0], flux, r'$S_\nu\,[{\rm Jy\,pixel^{-1}}]$', 'inferno',
+             'a'),
+            (axes[1], tau, r'$\tau_\nu$', 'magma', 'b'),
+            (axes[2], em, r'${\rm EM}\,[{\rm pc\,cm^{-6}}]$', 'viridis',
+             'c')]:
         pos = img[np.isfinite(img) & (img > 0)]
         if pos.size:
             vmin = np.percentile(pos, percentile)
@@ -181,6 +194,17 @@ def _rt_plot_body(flux, tau, em, extent, percentile, show_plot, savefig):
         im = ax.imshow(img.T, origin='lower', extent=extent, norm=norm,
                        cmap=cmap, aspect='equal')
         fig.colorbar(im, ax=ax, label=label, location='top', shrink=0.95)
+        # the tau = 1 surface (optically-thick core boundary) on every
+        # panel — the reference's key rt_plot diagnostic overlay
+        # (functions.py:733-738)
+        if tau_max > 1.0:
+            ax.contour(xs, zs, tau.T, [1.0], colors='w',
+                       linewidths=0.8)
+        ax.text(0.9, 0.92, letter, ha='center', va='center',
+                transform=ax.transAxes, color='w')
+        ax.tick_params(which='both', direction='in', top=True,
+                       right=True)
+        ax.minorticks_on()
     fig.supxlabel(r'$\Delta\alpha\,[^{\prime\prime}]$')
     fig.supylabel(r'$\Delta\delta\,[^{\prime\prime}]$')
     _finish(fig, show_plot, savefig)

@@ -52,3 +52,14 @@ print("EM map:", em.shape, "| flux maps:", fluxes.shape,
 lc = sharding.light_curve_sharded(jm, np.linspace(0., 2., 2 * n_dev),
                                   freqs[:2])
 print("sharded light curve:", lc.shape)
+
+# run-level fan-out: a whole group of pipeline runs (epoch x frequency)
+# evaluated in ONE sharded program — what Pipeline.execute does
+# automatically on any multi-device backend (device_fanout=None default)
+from rajepy_tpu.parallel import fanout
+
+years = np.linspace(0.0, 2.0, n_dev)
+freqs_mat = np.tile(np.array([6e9, 2.2e10]), (n_dev, 1))
+em_r, tau_r, flux_r = fanout.continuum_runs_fanout(jm, years, freqs_mat)
+print("fanned runs:", flux_r.shape,
+      "| per-run totals:", np.round(flux_r.sum(axis=(1, 2, 3)), 6))

@@ -56,6 +56,7 @@ def briggs_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float,
     return weights / (1.0 + w_k * f2)
 
 
+_GRID_MATMUL_MAX = 32_000_000   # max n_vis * n_pix for the matmul grid
 _GRID_SIGMA = 0.65  # gridding-kernel width in uv cells
 
 
@@ -91,26 +92,62 @@ def grid_and_image(u_wav, v_wav, vis, weights, n_pix: int, cell_rad: float,
     cdtype = (jnp.complex64 if jnp.result_type(vis) == jnp.complex64
               else jnp.complex128)
     rdtype = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
-    vis_grid = jnp.zeros((n_pix, n_pix), dtype=cdtype)
-    wgt_grid = jnp.zeros((n_pix, n_pix), dtype=rdtype)
     inv2s2 = 1.0 / (2.0 * _GRID_SIGMA ** 2)
-    for dj in range(-support, support + 1):
-        for di in range(-support, support + 1):
-            gw = w * jnp.exp(-((iu_s + di - fu) ** 2 +
-                               (iv_s + dj - fv) ** 2) * inv2s2)
-            gwv = gw * vis
-            vis_grid = vis_grid.at[iv_s + dj, iu_s + di].add(gwv)
-            wgt_grid = wgt_grid.at[iv_s + dj, iu_s + di].add(gw)
-            # Hermitian conjugate points
-            cu = n_pix - (iu_s + di)
-            cv = n_pix - (iv_s + dj)
-            okc = (cu >= 0) & (cu < n_pix) & (cv >= 0) & (cv < n_pix)
-            vis_grid = vis_grid.at[jnp.where(okc, cv, 0),
-                                   jnp.where(okc, cu, 0)].add(
-                jnp.where(okc, jnp.conj(gwv), 0.0))
-            wgt_grid = wgt_grid.at[jnp.where(okc, cv, 0),
-                                   jnp.where(okc, cu, 0)].add(
-                jnp.where(okc, gw, 0.0))
+    n_vis = int(u_wav.shape[0])
+    if n_vis * n_pix <= _GRID_MATMUL_MAX:
+        # matmul gridding: the Gaussian kernel is separable, so the
+        # whole convolution is two dense matmuls on the MXU —
+        # grid[j, i] = sum_k Av[k, j] Au[k, i] x_k — instead of
+        # (2 support + 1)^2 x 2 scatter-adds (TPU scatters serialise;
+        # the scatter form cost 8.6 s per 256-channel chunk, the matmul
+        # form milliseconds).  Falls back to the scatter loop for very
+        # large point counts where the (n_vis, n_pix) factors would not
+        # fit (the multi-frequency-synthesis path).
+        p = jnp.arange(n_pix, dtype=rdtype)
+        du = p[None, :] - fu[:, None]
+        au = jnp.exp(-du * du * inv2s2) * \
+            (jnp.abs(p[None, :] - iu_s[:, None].astype(rdtype))
+             <= support)
+        dv = p[None, :] - fv[:, None]
+        av = jnp.exp(-dv * dv * inv2s2) * \
+            (jnp.abs(p[None, :] - iv_s[:, None].astype(rdtype))
+             <= support)
+        av_w = av * w[:, None]
+        wgt_grid = av_w.T @ au
+        vr = (av_w * jnp.real(vis)[:, None]).T @ au
+        vi = (av_w * jnp.imag(vis)[:, None]).T @ au
+
+        def herm(g, sign):
+            # conj contributions land at (n - v, n - u); index-0 targets
+            # map to n (out of range) and are dropped, matching the
+            # scatter form's bounds check
+            gf = jnp.roll(g[::-1, ::-1], (1, 1), (0, 1))
+            gf = gf.at[0, :].set(0.0).at[:, 0].set(0.0)
+            return g + sign * gf
+
+        wgt_grid = herm(wgt_grid, 1.0)
+        vis_grid = jax.lax.complex(herm(vr, 1.0),
+                                   herm(vi, -1.0)).astype(cdtype)
+    else:
+        vis_grid = jnp.zeros((n_pix, n_pix), dtype=cdtype)
+        wgt_grid = jnp.zeros((n_pix, n_pix), dtype=rdtype)
+        for dj in range(-support, support + 1):
+            for di in range(-support, support + 1):
+                gw = w * jnp.exp(-((iu_s + di - fu) ** 2 +
+                                   (iv_s + dj - fv) ** 2) * inv2s2)
+                gwv = gw * vis
+                vis_grid = vis_grid.at[iv_s + dj, iu_s + di].add(gwv)
+                wgt_grid = wgt_grid.at[iv_s + dj, iu_s + di].add(gw)
+                # Hermitian conjugate points
+                cu = n_pix - (iu_s + di)
+                cv = n_pix - (iv_s + dj)
+                okc = (cu >= 0) & (cu < n_pix) & (cv >= 0) & (cv < n_pix)
+                vis_grid = vis_grid.at[jnp.where(okc, cv, 0),
+                                       jnp.where(okc, cu, 0)].add(
+                    jnp.where(okc, jnp.conj(gwv), 0.0))
+                wgt_grid = wgt_grid.at[jnp.where(okc, cv, 0),
+                                       jnp.where(okc, cu, 0)].add(
+                    jnp.where(okc, gw, 0.0))
 
     norm = jnp.maximum(jnp.sum(wgt_grid), 1e-30)
     img = jnp.fft.fftshift(jnp.fft.ifft2(jnp.fft.ifftshift(vis_grid))).real
@@ -164,6 +201,65 @@ def hogbom_clean(dirty, psf, mask, gain: float = 0.1, niter: int = 500,
     model0 = jnp.zeros_like(dirty)
     model, residual, its = jax.lax.while_loop(
         cond, body, (model0, dirty, jnp.asarray(0, jnp.int32)))
+    return model, residual, its
+
+
+@partial(jax.jit, static_argnames=('niter',))
+def hogbom_clean_batched(dirty, psf, mask, thresholds, gain: float = 0.1,
+                         niter: int = 500):
+    """Hogbom CLEAN with the channel axis batched INSIDE the minor-cycle
+    loop: every iteration peak-finds and subtracts on all still-active
+    channels at once.
+
+    The serial per-channel loop (:func:`hogbom_clean` under ``lax.map``)
+    is latency-bound on TPU — one n_pix^2 image per step cannot fill the
+    VPU, and the loop-carried dependency chain costs ~100 us/iteration;
+    batching ~256 channels turns the same steps bandwidth-bound (~10x on
+    the 1,000-channel cube, BASELINE.md stage table).  Per-channel maths
+    is IDENTICAL to the serial kernel — a channel whose masked peak
+    drops below its threshold contributes zero-valued updates while the
+    rest finish — so results match :func:`hogbom_clean` exactly
+    (pinned in tests/test_synthobs.py).
+
+    Args:
+      dirty: (n_chan, n, n); psf: (n_chan, n, n) centre-peaked;
+      mask: (n, n); thresholds: (n_chan,) per-channel stop levels.
+    Returns (model, residual, n_iterations) with the channel axis kept.
+    """
+    nc, n, _ = dirty.shape
+    centre = n // 2
+    gain = jnp.asarray(gain, dirty.dtype)
+    thr = jnp.asarray(thresholds, dirty.dtype).reshape(nc)
+    psf_pad = jnp.pad(psf, ((0, 0), (n // 2, n // 2), (n // 2, n // 2)))
+    ch = jnp.arange(nc)
+
+    def peaks_of(res):
+        flat = jnp.abs(res * mask[None]).reshape(nc, -1)
+        return jnp.max(flat, axis=1), jnp.argmax(flat, axis=1)
+
+    def cond(state):
+        _model, _res, it, peaks, _idx = state
+        return (it < niter) & jnp.any(peaks > thr)
+
+    def body(state):
+        model, res, it, peaks, idx = state
+        py, px = idx // n, idx % n
+        active = peaks > thr
+        val = jnp.where(active, res[ch, py, px] * gain,
+                        jnp.zeros((), res.dtype))
+        model = model.at[ch, py, px].add(val)
+        shifted = jax.vmap(
+            lambda p, y, x: jax.lax.dynamic_slice(
+                p, (centre + n // 2 - y, centre + n // 2 - x),
+                (n, n)))(psf_pad, py, px)
+        res = res - val[:, None, None] * shifted
+        peaks, idx = peaks_of(res)
+        return model, res, it + 1, peaks, idx
+
+    model0 = jnp.zeros_like(dirty)
+    p0, i0 = peaks_of(dirty)
+    model, residual, its, _, _ = jax.lax.while_loop(
+        cond, body, (model0, dirty, jnp.asarray(0, jnp.int32), p0, i0))
     return model, residual, its
 
 
@@ -270,7 +366,9 @@ def _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
     n_out = jnp.maximum(jnp.sum(inv_mask), 1.0)
     fkern = jnp.fft.rfft2(jnp.fft.ifftshift(jnp.asarray(beam_kernel, rdt)))
 
-    def one_channel(args):
+    def prep_channel(args):
+        # weighting + gridding + FFT dirty/psf + noise threshold, one
+        # channel at a time (cheap; the expensive part is CLEAN below)
         freq, v_re, v_im = args
         vv = jax.lax.complex(v_re, v_im)
         lam = c / freq
@@ -288,16 +386,21 @@ def _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
         mean_out = jnp.sum(dirty * inv_mask) / n_out
         rms = jnp.sqrt(jnp.sum(((dirty - mean_out) * inv_mask) ** 2) /
                        n_out)
-        mdl, resid, _ = hogbom_clean(dirty, psf, mask, gain=gain,
-                                     niter=niter,
-                                     threshold=nsigma * rms)
-        conv = jnp.fft.irfft2(jnp.fft.rfft2(mdl) * fkern,
-                              s=(n_pix, n_pix))
-        return conv + resid, dirty
+        return dirty, psf, nsigma * rms
 
-    return jax.lax.map(one_channel,
-                       (jnp.asarray(freqs, rdt), jnp.asarray(vis_re),
-                        jnp.asarray(vis_im, rdt)))
+    n_chan_l = int(jnp.asarray(freqs).shape[0])
+    dirty_c, psf_c, thr_c = jax.lax.map(
+        prep_channel, (jnp.asarray(freqs, rdt), jnp.asarray(vis_re),
+                       jnp.asarray(vis_im, rdt)),
+        batch_size=min(8, n_chan_l))
+    # the minor cycles run channel-batched: one while_loop peak-finds and
+    # subtracts on every channel per iteration (identical per-channel
+    # maths; ~10x the serial per-channel loop on TPU)
+    mdl_c, resid_c, _ = hogbom_clean_batched(dirty_c, psf_c, mask, thr_c,
+                                             gain=gain, niter=niter)
+    conv = jnp.fft.irfft2(jnp.fft.rfft2(mdl_c) * fkern[None],
+                          s=(n_pix, n_pix))
+    return conv + resid_c, dirty_c
 
 
 def fit_psf_beam(psf, cell_rad: float) -> Tuple[float, float, float]:

@@ -491,3 +491,66 @@ class TestWTermBound:
         total = float(np.asarray(img).sum())
         err = np.max(np.abs(vis_fft - vis_w)) / total
         assert err < 0.02  # bilinear degrid (~0.2-1%) + negligible w
+
+
+class TestBatchedClean:
+    def test_batched_matches_serial_exactly(self):
+        """hogbom_clean_batched must reproduce the serial per-channel
+        kernel (identical op sequence per channel; channels only stop at
+        their own thresholds) — residuals bit-exact, models to double
+        rounding (~1 ulp from the masked-update fusion)."""
+        rng = np.random.default_rng(11)
+        nc, n = 3, 64
+        psf = np.zeros((nc, n, n))
+        for c in range(nc):
+            yy, xx = np.mgrid[0:n, 0:n]
+            r2 = (yy - n // 2) ** 2 + (xx - n // 2) ** 2
+            psf[c] = np.exp(-r2 / (2.0 * (2.0 + c) ** 2))
+        dirty = rng.normal(0, 0.01, (nc, n, n))
+        dirty[0, 20, 30] += 2.0
+        dirty[1, 40, 10] += 1.0
+        dirty[2, 32, 32] += 3.0
+        mask = np.ones((n, n))
+        thr = np.array([0.05, 0.5, 0.02])  # very different stop levels
+        mb, rb, itb = imaging.hogbom_clean_batched(
+            jnp.asarray(dirty), jnp.asarray(psf), jnp.asarray(mask),
+            jnp.asarray(thr), gain=0.2, niter=100)
+        for c in range(nc):
+            ms, rs, its = imaging.hogbom_clean(
+                jnp.asarray(dirty[c]), jnp.asarray(psf[c]),
+                jnp.asarray(mask), gain=0.2, niter=100,
+                threshold=float(thr[c]))
+            np.testing.assert_allclose(np.asarray(mb[c]),
+                                       np.asarray(ms), rtol=0,
+                                       atol=1e-13)
+            np.testing.assert_array_equal(np.asarray(rb[c]),
+                                          np.asarray(rs))
+
+
+class TestMatmulGridding:
+    def test_matmul_equals_scatter(self, monkeypatch):
+        """The separable-kernel matmul gridding must equal the scatter
+        formulation (same sums, different association) — incl. the
+        grid-level Hermitian symmetrisation's edge handling."""
+        rng = np.random.default_rng(13)
+        n_vis, n_pix = 700, 96
+        u = rng.uniform(-5.5e3, 5.5e3, n_vis)
+        v = rng.uniform(-5.5e3, 5.5e3, n_vis)
+        vis = rng.normal(size=n_vis) + 1j * rng.normal(size=n_vis)
+        w = rng.uniform(0.5, 2.0, n_vis)
+        cell = 1.0 / (1.2e4 * 4)
+        img_m, psf_m = imaging.grid_and_image(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+            jnp.asarray(w), n_pix, cell)
+        monkeypatch.setattr(imaging, '_GRID_MATMUL_MAX', -1)
+        imaging.grid_and_image.clear_cache()
+        try:
+            img_s, psf_s = imaging.grid_and_image(
+                jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+                jnp.asarray(w), n_pix, cell)
+        finally:
+            imaging.grid_and_image.clear_cache()
+        np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
+                                   rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(psf_m), np.asarray(psf_s),
+                                   rtol=1e-10, atol=1e-13)

@@ -310,15 +310,18 @@ def model_path_bench(jm, nchan=16, n_rep=400):
         best = dt if best is None else min(best, dt)
     dt = best
     n_cells = jm.nx * jm.ny * jm.nz
-    # achieved HBM bandwidth of the epoch pass (compacted: 2 tile streams)
+    # effective bandwidth of the whole model chain against the epoch
+    # pass's 2 tile streams — a LOWER bound on the epoch kernel's own
+    # rate (dt also covers the tau/flux map stage; the kernel-only
+    # roofline measurement is 228 GB/s, BASELINE.md)
     st = statics[0]
     if st.a_t is not None:
         n_act, bx, yc, bz = st.a_t.shape
         gbs = n_act * bx * yc * bz * 4 * 2 / dt / 1e9
-        log(f"epoch_kernel_bandwidth={gbs:.0f}GB/s "
-            f"({n_act} tiles x {bx}x{yc}x{bz} x 2 streams; measured "
-            "practical 2-stream ceiling ~390GB/s, copy floor at this "
-            "working set ~280GB/s — see BASELINE.md roofline)")
+        log(f"model_chain_bandwidth_lower_bound={gbs:.0f}GB/s "
+            f"({n_act} tiles x {bx}x{yc}x{bz} x 2 streams over the FULL "
+            "chain time; kernel-only roofline: 228 GB/s vs 280 GB/s "
+            "copy floor / 390 GB/s 2-stream ceiling — BASELINE.md)")
     return n_cells * nchan / dt, dt
 
 

@@ -133,7 +133,6 @@ def rrl_runs_fanout(model, line: str, years, freqs_mat,
     fscale = float(rt.flux_scale_jy(csize, dist))
     spec_r, spec_b = model._spec_r, model._spec_b
     has_bursts = model._has_bursts
-    chi2_of = _chi2_fn(model)
 
     m = run_mesh(mesh)
     n_dev = int(m.devices.size)
@@ -148,13 +147,14 @@ def rrl_runs_fanout(model, line: str, years, freqs_mat,
     def fan(times_l, freqs_l, f, st):
         def per_run(args):
             t, fr = args
-            chi2 = chi2_of(f, t)
-            em = jnp.sum(st.em_base * chi2, axis=rt.LOS_AXIS)
             if has_bursts:
                 chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
+                chi2 = chi * chi
                 n_es = f.nd * chi * f.xi
             else:
+                chi2 = jnp.asarray(1.0, times_l.dtype)
                 n_es = f.nd * f.xi
+            em = jnp.sum(st.em_base * chi2, axis=rt.LOS_AXIS)
             ds = rt.path_length_cm(f.ff, f.area, csize)
             tau_l = rt.tau_rrl_maps(coeffs, fr, f.temp, n_es, f.vy, ds,
                                     f.inside)

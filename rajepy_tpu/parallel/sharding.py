@@ -202,6 +202,11 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
     """
     from ..synthobs import imaging
 
+    # chunking happens HERE at the global level (max_global below); a
+    # chan_chunk forwarded into the traced per-shard call would try the
+    # chunked branch's host fetch under trace
+    clean_kwargs.pop('chan_chunk', None)
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(None, None), P('chan'), P('chan', None),
                        P('chan', None), P(None), P(None, None),

@@ -277,9 +277,23 @@ class Pipeline:
             groups.setdefault(key, []).append(idx)
 
         from .parallel import fanout
+        nx, nz = self.model.nx, self.model.nz
+        itemsize = np.dtype(np.float64).itemsize
         for key, idxs in groups.items():
             if len(idxs) < 2:
                 continue  # nothing to fan out for a lone run
+            # bound host memory: the fanned cache holds every run's tau
+            # AND flux maps at once (the sequential loop holds one run's)
+            nchan = key[-1]
+            group_bytes = len(idxs) * nchan * nx * nz * itemsize * 2
+            if group_bytes > 8e9:
+                self.log.add_entry(
+                    "WARNING",
+                    f"Skipping device fan-out for {len(idxs)} "
+                    f"{key[0]} runs: cached products would need "
+                    f"{group_bytes / 1e9:.1f} GB of host memory; "
+                    "running sequentially")
+                continue
             years = [self.runs[i].year for i in idxs]
             freqs_mat = np.stack([np.atleast_1d(np.asarray(
                 self.runs[i].chan_freqs, dtype=float)) for i in idxs])
@@ -368,15 +382,12 @@ class Pipeline:
                                          show_plot=False)
 
                 if not dryrun and run.radiative_transfer:
-                    from .utils.profiling import KernelTimer
                     self.log.add_entry(
                         "INFO",
                         "Conducting radiative transfer at "
                         f"{run.freq / 1e9:.1f}GHz for a model time of "
                         f"{run.year:.1f}yr")
-                    rt_timer = KernelTimer("rt stage (compute + FITS)",
-                                           self.log)
-                    rt_timer.__enter__()
+                    rt_t0 = _time.perf_counter()
                     fan = fanned.get(idx)
                     if fan is None and (clobber or not (
                             os.path.exists(run.fits_em) and
@@ -483,7 +494,10 @@ class Pipeline:
                         # per-channel summed fluxes (classes.py:2468-2471)
                         flux = np.nansum(np.nansum(fluxes, axis=1), axis=1)
                     self.runs[idx].results['flux'] = flux
-                    rt_timer.__exit__(None, None, None)
+                    self.log.add_entry(
+                        "INFO", "[timing] rt stage (compute + FITS): "
+                        f"{_time.perf_counter() - rt_t0:.3f}s",
+                        timestamp=False)
 
                     if not os.path.exists(self.model_file):
                         self.model.save(self.model_file)

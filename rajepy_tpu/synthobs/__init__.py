@@ -176,11 +176,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     if thermalnoise == 'tsys-atm':
         # atmosphere-aware Tsys (CASA tsys-atm analogue): scale the
         # catalogue-SEFD sigma per channel by Tsys(nu, el, pwv)/Tsys_ref
-        # at the mean scan elevation
+        # at the track-mean elevation.  Elevations are sampled ACROSS
+        # each scan's hour-angle span (non-EW plans centre every scan on
+        # transit, so the centre alone would always be the transit
+        # elevation), and the LST wraps into [0, 24).
         from . import atmosphere
         ra_hour = ra_deg / 15.0
-        els = [astro.elevation(ra_deg, dec_deg, lat, ra_hour + ha_c)
-               for ha_c in plan['ha_centres']]
+        els = []
+        for dur, ha_c in zip(plan['durations'], plan['ha_centres']):
+            half_h = 0.5 * dur / 3600.0
+            for ha in np.linspace(ha_c - half_h, ha_c + half_h, 5):
+                els.append(astro.elevation(ra_deg, dec_deg, lat,
+                                           (ra_hour + ha) % 24.0))
         el_mean = float(np.mean(els)) if els else 90.0
         sigma = sigma * atmosphere.sefd_scale(freqs, el_mean, user_pwv,
                                               t_ground)

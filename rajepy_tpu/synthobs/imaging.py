@@ -319,7 +319,16 @@ def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
         # to the host in order: on remote backends (axon tunnel,
         # ~20 MB/s device->host) the copy of chunk k overlaps the device
         # still CLEANing chunks k+1.., hiding most of the gigabyte-scale
-        # cube transfer behind compute
+        # cube transfer behind compute.  The host drain is only legal
+        # eagerly — under a trace (e.g. a small chan_chunk forwarded
+        # into a jitted shard_map) fall through to the single-program
+        # path instead of calling np.asarray on tracers.
+        import jax.core as _core
+        if isinstance(freqs, _core.Tracer):
+            return _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im,
+                                     weights, n_pix, cell_rad, mask,
+                                     beam_kernel, weighting, robust,
+                                     gain, niter, nsigma)
         pend = []
         for s in range(0, n_chan, chan_chunk):
             e = min(s + chan_chunk, n_chan)

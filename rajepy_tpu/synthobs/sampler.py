@@ -250,5 +250,9 @@ def add_noise(key, vis, sigma):
                             jax.random.normal(ki, vis.shape, dtype=rdt))
     sig = jnp.asarray(sigma, rdt)
     if sig.ndim == 1:
+        if vis.ndim != 2:
+            raise ValueError(
+                "per-channel sigma requires (n_chan, n_vis) visibilities; "
+                f"got vis.ndim={vis.ndim}")
         sig = sig[:, None]  # per-channel over (n_chan, n_vis)
     return vis + sig * noise

@@ -415,6 +415,41 @@ class TestAtmosphere:
         resid = (wet['vis_re'] - flat['vis_re'])  # noise realisations
         assert resid.std() > 0
 
+    def test_tsys_atm_ew_telescope_near_ra_zero(self, model_params,
+                                                tmp_path):
+        """Regression: EW-telescope scan plans have nonzero hour-angle
+        centres; with a target near RA 0h the sampled LST must wrap into
+        [0, 24) instead of raising (review finding r3)."""
+        import copy
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'ew0')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([6e9]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('ATCA', '6A')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([1e8])},
+            'rrls': {'times': np.array([]), 'lines': None, 't_obs': None,
+                     'tscps': None, 't_ints': None, 'bws': None,
+                     'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        p['target'] = dict(p['target'])
+        p['target'].update(ra='00:10:00.0', dec='-30:00:00.0')
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        products = simulate_observation(
+            pline, pline.runs[0], niter=0, thermalnoise='tsys-atm',
+            user_pwv=3.0)
+        assert os.path.exists(products['ms_noisy'])
+
 
 class TestWTermBound:
     """Quantify the small-field (coplanar) approximation: the 2-D FFT
@@ -554,3 +589,4 @@ class TestMatmulGridding:
                                    rtol=1e-10, atol=1e-13)
         np.testing.assert_allclose(np.asarray(psf_m), np.asarray(psf_s),
                                    rtol=1e-10, atol=1e-13)
+

@@ -467,8 +467,16 @@ def main():
 
     try:
         rrl_rate, rrl_dt = rrl_cube_bench(jm, nchan=nchan)
+        extra = ""
+        tiles = jm._rrl_tiles() if jm._use_fused_rrl() else None
+        if tiles:
+            na, bx, yc, bz = tiles[0].shape
+            gbs = na * bx * yc * bz * 4 * 6 / rrl_dt / 1e9
+            extra = (f"; {gbs:.0f}GB/s over 6 tile streams — far below "
+                     "the ~280GB/s floor: Voigt-compute-bound "
+                     "(Weideman-16 Horner x channels on the VPU)")
         log(f"rrl_cube_H58a_{n}cube_{nchan}chan={rrl_dt * 1e3:.1f}ms "
-            f"({rrl_rate:.3e} cells/s)")
+            f"({rrl_rate:.3e} cells/s{extra})")
     except Exception as exc:
         log(f"rrl_cube bench failed: {type(exc).__name__}: {exc}")
     try:

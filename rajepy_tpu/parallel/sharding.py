@@ -340,13 +340,12 @@ def light_curve_sharded(model, times_yr, freqs,
     ds = rt.path_length_cm(f.ff, f.area, csize)
     tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
 
-    repl = NamedSharding(t_mesh, P())
-
-    @partial(jax.jit,
-             in_shardings=(NamedSharding(t_mesh, P('t')),
-                           jax.tree_util.tree_map(lambda _: repl, f),
-                           repl, repl, repl, repl),
-             out_shardings=NamedSharding(t_mesh, P('t')))
+    # shard_map, not jit+in_shardings: a lax.map over a sharded leading
+    # axis under GSPMD is free to reshard and run the scan sequentially;
+    # shard_map guarantees each device scans only ITS local epochs
+    @partial(jax.shard_map, mesh=t_mesh,
+             in_specs=(P('t'), P(), P(), P(), P(), P()),
+             out_specs=P('t'), check_vma=False)
     def fan_out(ts_shard, f, ds, tbar, any_in, freqs):
         # all grids enter as (replicated) runtime arguments: a closure
         # would capture them as multi-GB compiled-program constants
@@ -360,6 +359,5 @@ def light_curve_sharded(model, times_yr, freqs,
             return jnp.sum(fluxes, axis=(1, 2))
         return jax.lax.map(per_epoch, ts_shard)
 
-    with t_mesh:
-        out = fan_out(times_p, f, ds, tbar, any_in, freqs)
+    out = jax.jit(fan_out)(times_p, f, ds, tbar, any_in, freqs)
     return np.asarray(out)[:n_times]

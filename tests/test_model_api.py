@@ -293,3 +293,15 @@ class TestContinuumRTProducts:
             tau_l, jm.optical_depth_rrl('H58a', freqs), rtol=1e-12)
         np.testing.assert_allclose(
             fluxes, jm.flux_rrl('H58a', freqs, contsub=False), rtol=1e-9)
+
+    def test_rrl_products_contsub_true(self, model_params):
+        """contsub=True must drop the continuum exactly like flux_rrl."""
+        jm = JetModel(small(model_params))
+        jm.time = 0.7 * 31536000.0
+        from rajepy_tpu.ops.radtrans import RRLCoeffs
+        nu0 = RRLCoeffs('H58a').nu0
+        freqs = np.linspace(nu0 * 0.9999, nu0 * 1.0001, 3)
+        _, _, fl_sub = jm.rrl_rt_products('H58a', freqs, contsub=True)
+        np.testing.assert_allclose(
+            fl_sub, jm.flux_rrl('H58a', freqs, contsub=True), rtol=1e-9,
+            atol=1e-30)

@@ -202,10 +202,11 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
     """
     from ..synthobs import imaging
 
-    # chunking happens HERE at the global level (max_global below); a
-    # chan_chunk forwarded into the traced per-shard call would try the
-    # chunked branch's host fetch under trace
-    clean_kwargs.pop('chan_chunk', None)
+    # chunking happens HERE at the global level: a caller-supplied
+    # chan_chunk bounds each DEVICE's per-dispatch channel count (it must
+    # not reach the traced per-shard call, whose host-chunking branch
+    # cannot run under a trace)
+    per_dev_chunk = int(clean_kwargs.pop('chan_chunk', 256))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(None, None), P('chan'), P('chan', None),
@@ -228,7 +229,7 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
 
     n_chan = int(freqs.shape[0])
     n_chan_mesh = int(mesh.shape['chan'])
-    max_global = 256 * n_chan_mesh
+    max_global = per_dev_chunk * n_chan_mesh
 
     def dispatch(fr, vr, vi, n_valid, pad_to):
         # pad with duplicated last frequency / zero visibilities so every

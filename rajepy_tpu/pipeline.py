@@ -278,7 +278,7 @@ class Pipeline:
 
         from .parallel import fanout
         nx, nz = self.model.nx, self.model.nz
-        itemsize = np.dtype(np.float64).itemsize
+        itemsize = np.dtype(self.model._dtype).itemsize
         for key, idxs in groups.items():
             if len(idxs) < 2:
                 continue  # nothing to fan out for a lone run

@@ -182,13 +182,14 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         # elevation), and the LST wraps into [0, 24).
         from . import atmosphere
         ra_hour = ra_deg / 15.0
-        els = []
+        els, wts = [], []
         for dur, ha_c in zip(plan['durations'], plan['ha_centres']):
             half_h = 0.5 * dur / 3600.0
             for ha in np.linspace(ha_c - half_h, ha_c + half_h, 5):
                 els.append(astro.elevation(ra_deg, dec_deg, lat,
                                            (ra_hour + ha) % 24.0))
-        el_mean = float(np.mean(els)) if els else 90.0
+                wts.append(dur)  # time-weighted track mean
+        el_mean = float(np.average(els, weights=wts)) if els else 90.0
         sigma = sigma * atmosphere.sefd_scale(freqs, el_mean, user_pwv,
                                               t_ground)
         if log:

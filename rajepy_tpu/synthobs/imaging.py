@@ -320,15 +320,17 @@ def clean_cube(uvw_m, freqs, vis_re, vis_im, weights, n_pix: int,
         # ~20 MB/s device->host) the copy of chunk k overlaps the device
         # still CLEANing chunks k+1.., hiding most of the gigabyte-scale
         # cube transfer behind compute.  The host drain is only legal
-        # eagerly — under a trace (e.g. a small chan_chunk forwarded
-        # into a jitted shard_map) fall through to the single-program
-        # path instead of calling np.asarray on tracers.
+        # eagerly: under a trace, refuse loudly — silently building one
+        # program over all channels would reproduce the documented
+        # >256-channel TPU worker crash far from its cause.
         import jax.core as _core
         if isinstance(freqs, _core.Tracer):
-            return _clean_cube_chunk(uvw_m, freqs, vis_re, vis_im,
-                                     weights, n_pix, cell_rad, mask,
-                                     beam_kernel, weighting, robust,
-                                     gain, niter, nsigma)
+            raise ValueError(
+                f"clean_cube with {n_chan} > chan_chunk={chan_chunk} "
+                "channels chunks on the HOST and cannot run inside a "
+                "traced context (jit/shard_map). Chunk the channel axis "
+                "outside the trace, or raise chan_chunk only if the "
+                "backend tolerates programs that long.")
         pend = []
         for s in range(0, n_chan, chan_chunk):
             e = min(s + chan_chunk, n_chan)

@@ -179,6 +179,36 @@ class TestPipelineIntegration:
             np.testing.assert_allclose(rf.results['flux'],
                                        rs.results['flux'], rtol=1e-12)
 
+    def test_device_fanout_rrl_group(self, model_params, tmp_path):
+        """Pipeline-level RRL run fan-out (2 epochs of one line) matches
+        the sequential path."""
+        import jax
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        from rajepy_tpu.io.fits import read_fits
+
+        def pparams(sub):
+            return self._pparams(
+                tmp_path / sub,
+                rrls={'times': np.array([0., 0.8]),
+                      'lines': np.array(['H58a']),
+                      't_obs': None, 'tscps': None, 't_ints': None,
+                      'bws': np.array([4e6]),
+                      'chanws': np.array([2e6])})
+
+        pl_fan = Pipeline(JetModel(small(model_params)), pparams('rfan'))
+        pl_fan.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False)
+        pl_seq = Pipeline(JetModel(small(model_params)), pparams('rseq'))
+        pl_seq.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False, device_fanout=False)
+        assert all(r.completed for r in pl_fan.runs)
+        for rf, rs in zip(pl_fan.runs, pl_seq.runs):
+            for attr in ('fits_em', 'fits_tau', 'fits_flux'):
+                a, _ = read_fits(getattr(rf, attr))
+                b, _ = read_fits(getattr(rs, attr))
+                np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-30)
+
     def test_ew_telescope_scan_split(self, model_params, tmp_path):
         pparams = self._pparams(
             tmp_path,

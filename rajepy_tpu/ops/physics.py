@@ -7,6 +7,7 @@ array-friendly functions (jnp where hot, numpy/scalar where analytic-only):
 * ``q_tau``                 — physics.py:38-63
 * ``v_rot``                 — physics.py:66-90
 * ``tau_r``                 — physics.py:93-143 (Reynolds eq. 4)
+* ``tau_r_from_params`` / ``tau_r_from_jm`` — physics.py:146-178
 * ``r_tau1``                — physics.py:181-236
 * ``approx_flux_expected_r86`` — physics.py:239-294 (Reynolds eq. 16)
 * ``flux_expected_r86``     — physics.py:297-374 (Reynolds eq. 8, exact;
@@ -78,6 +79,13 @@ def tau_r_from_params(params: dict, freq, r):
     return tau_r(r, g['r_0'], g['w_0'], p['n_0'], p['x_0'], p['T_0'], freq,
                  g['inc'], g['epsilon'], pl['q_n'], pl['q_x'], pl['q_T'],
                  g['opang'])
+
+
+def tau_r_from_jm(jm, freq, r):
+    """``tau_r`` with arguments extracted from a JetModel instance
+    (physics.py:146-178).  Thin alias over :func:`tau_r_from_params` for
+    call-site parity with the reference."""
+    return tau_r_from_params(jm.params, freq, r)
 
 
 def r_tau1(r_0, w_0, n_0, chi_0, T_0, freq, inc, epsilon, q_n_, q_x, q_T,

@@ -107,6 +107,17 @@ class TestReynoldsRelations:
         # approximate and exact Reynolds forms agree to tens of percent
         assert fa == pytest.approx(f1, rel=0.5)
 
+    def test_tau_r_from_jm_matches_params_form(self, model_params):
+        from rajepy_tpu import JetModel
+        import copy
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=8, n_y=8, n_z=8, l_z=None)
+        jm = JetModel(p)
+        for r in (2.0, 10.0, 50.0):
+            direct = float(mphys.tau_r_from_params(jm.params, 6e9, r))
+            via_jm = float(mphys.tau_r_from_jm(jm, 6e9, r))
+            assert via_jm == direct and direct > 0
+
     def test_flux_expected_r86_against_reference(self, model_params):
         from .reference_oracle import get_reference, reference_jetmodel
         if get_reference() is None:

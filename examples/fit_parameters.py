@@ -1,0 +1,75 @@
+"""Differentiable parameter inference: recover jet physical parameters
+from synthetic observations by exact-gradient optimisation.
+
+The whole radiative-transfer forward model is a pure JAX function, so
+``rajepy_tpu.fit`` can pose the inverse problems the reference's
+forward-only CASA pipeline cannot:
+
+1. fit mass-loss rate + temperature to an observed SED,
+2. recover ejection-burst parameters (epoch, half-life, amplitude)
+   from a flux light curve.
+
+Runs on CPU (f64) in ~1 min:
+
+    JAX_PLATFORM_NAME=cpu python examples/fit_parameters.py
+"""
+import copy
+import runpy
+
+import numpy as np
+
+from rajepy_tpu import JetModel
+from rajepy_tpu import fit as jfit
+
+YEAR = 31536000.0
+
+base = runpy.run_path('rajepy_tpu/data/example-model-params.py')['params']
+base['grid'].update(n_x=32, n_y=32, n_z=32, l_z=None)
+
+# ----------------------------------------------------------------------- #
+# 1. SED fit: synthesise an SED from 'true' parameters, start elsewhere
+# ----------------------------------------------------------------------- #
+# include optically-thin channels: at tau >> 1 the SED is blackbody and
+# carries no density information (see fit module docstring)
+freqs = np.array([6e9, 4.4e10, 1e11, 3e11])
+
+true = copy.deepcopy(base)
+true['properties'].update(mlr_bj=2.5e-7, T_0=6000.0)
+jm_true = JetModel(true)
+jm_true.time = 2.0 * YEAR
+observed = np.nansum(jm_true.flux_ff(freqs), axis=(1, 2))
+
+jm_guess = JetModel(copy.deepcopy(base))   # mlr_bj=1e-7, T_0=1e4
+jm_guess.time = 2.0 * YEAR
+res = jfit.fit_sed(jm_guess, freqs, observed,
+                   free=('properties.mlr_bj', 'properties.T_0'),
+                   steps=500, learning_rate=0.05)
+print("SED fit:")
+print(f"  mlr_bj: {res.values['properties.mlr_bj']:.3e} (true 2.500e-07)")
+print(f"  T_0:    {res.values['properties.T_0']:.1f}  (true 6000.0)")
+print(f"  loss:   {res.loss[0]:.3e} -> {res.loss[-1]:.3e}")
+
+# ----------------------------------------------------------------------- #
+# 2. Light curve: recover an ejection event from 12 epochs at 44 GHz
+# ----------------------------------------------------------------------- #
+burst_true = copy.deepcopy(base)
+burst_true['ejection'] = {'t_0': np.array([1.2]), 'hl': np.array([0.4]),
+                          'chi': np.array([4.0]),
+                          'which': np.array(['B'])}
+jm_b = JetModel(burst_true)
+times = np.linspace(0.5, 4.0, 12) * YEAR
+lc = []
+for t in times:
+    jm_b.time = t
+    lc.append(np.nansum(jm_b.flux_ff(np.array([4.4e10])), axis=(1, 2)))
+lc = np.asarray(lc)
+
+guess = copy.deepcopy(base)
+guess['ejection'] = {'t_0': np.array([1.8]), 'hl': np.array([0.7]),
+                     'chi': np.array([2.0]), 'which': np.array(['B'])}
+res_lc = jfit.fit_light_curve(JetModel(guess), times, np.array([4.4e10]),
+                              lc, steps=800, learning_rate=0.03)
+print("Light-curve fit (true: t_0=1.2 yr, hl=0.4 yr, chi=4.0):")
+print(f"  t_0: {res_lc.t_0[0]:.4f} yr")
+print(f"  hl:  {res_lc.hl[0]:.4f} yr")
+print(f"  chi: {res_lc.chi[0]:.4f}")

@@ -17,6 +17,8 @@ Package layout
                 the ``JetModel`` API
 - ``parallel``  device-mesh sharding of the RT step (pjit/shard_map)
 - ``synthobs``  interferometer simulation replacing the CASA subprocess
+- ``fit``       differentiable parameter inference: gradient fitting of
+                SEDs, flux maps and ejection-burst light curves
 - ``io``        FITS writer/reader, checkpoints
 - ``plotting``  diagnostic figures
 - ``utils``     logging, validation, misc helpers

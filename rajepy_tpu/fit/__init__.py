@@ -1,0 +1,475 @@
+"""Differentiable parameter inference — gradient fitting of jet models.
+
+A beyond-reference capability unlocked by the functional JAX design: the
+whole radiative-transfer forward model (``models.fields`` grid fill →
+``ops.radtrans`` opacity/flux chain) is a pure, differentiable function
+of the physical parameters, so observed SEDs, flux maps and light curves
+can be fitted by exact-gradient optimisation.  The reference's
+numpy-property + CASA-subprocess architecture (classes.py:465-1099,
+casa/tasks.py) admits no derivatives — parameter estimation there means
+hand-tuning or black-box search over minutes-long pipeline runs.
+
+Entry points
+------------
+``fit_sed(jm, freqs, observed)``           — fit integrated fluxes [Jy]
+``fit_map(jm, freq, observed_map)``        — fit a flux map [Jy/pixel]
+``fit_light_curve(jm, times, freqs, obs)`` — fit ejection-burst params
+                                             to a flux time series
+
+Free parameters are named by dotted params-dict paths (e.g.
+``'properties.mlr_bj'``, ``'properties.T_0'``, ``'geometry.inc'``).
+Derived quantities follow the same chain as ``JetModel.__init__``
+(jetmodel.py:184-244) *inside the trace*: ``mod_r_0`` from
+(opang, epsilon, w_0), ``q_n`` from (epsilon, q_v), ``n_0`` from
+``mlr_bj`` (which is why density is fitted through the mass-loss rate,
+matching the reference's n_0-always-derived rule, classes.py:234-242),
+and the red/blue density ratio from ``mlr_rj/mlr_bj``.
+
+Positive-definite parameters are optimised in log space; angles and
+power-law indices in linear space.  Optimisation is optax.adam inside a
+single jitted ``lax.scan`` — one compile, every step on device.
+
+Caveat — geometry parameters and the voxel mask: the jet silhouette is a
+hard 8-corner threshold (fields.fill_factor_area), so the loss along
+parameters that move the mask (``inc``, ``pa``, ``opang``, ``epsilon``)
+is a staircase; the exact gradient captures only the smooth in-mask
+dependence (jet-frame r/w values, power laws).  Fitting those reliably
+needs multi-start or a coarse grid search over the mask-moving subset,
+with gradients refining the smooth parameters at each node.  Density
+(``mlr_bj``), temperature, ionisation and the ejection-burst parameters
+are smooth and recover to optimiser precision (see tests/test_fit.py).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import optax
+
+from ..models import fields as F
+from ..models import grid as G
+from ..ops import geometry as geom
+from ..ops import physics as phys
+from ..ops import radtrans as rt
+
+YEAR = 31536000.0
+
+#: transform per fittable path: 'log' (positive-definite) or 'linear'
+SUPPORTED_FREE = {
+    'properties.mlr_bj': 'log',
+    'properties.mlr_rj': 'log',
+    'properties.T_0': 'log',
+    'properties.x_0': 'log',
+    'properties.v_0': 'log',
+    'power_laws.q_T': 'linear',
+    'power_laws.q_x': 'linear',
+    'power_laws.q_v': 'linear',
+    'geometry.inc': 'linear',
+    'geometry.pa': 'linear',
+    'geometry.opang': 'linear',
+    'geometry.epsilon': 'linear',
+    'target.dist': 'log',
+}
+
+
+def _get(d: Dict, path: str):
+    sec, key = path.split('.')
+    return d[sec][key]
+
+
+def _set(d: Dict, path: str, value):
+    sec, key = path.split('.')
+    d[sec] = dict(d[sec])
+    d[sec][key] = value
+
+
+def _check_free(free: Sequence[str]):
+    for p in free:
+        if p not in SUPPORTED_FREE:
+            raise ValueError(
+                f"unsupported free parameter {p!r}; supported: "
+                f"{sorted(SUPPORTED_FREE)} (n_0/q_n are derived — free "
+                f"'properties.mlr_bj' / 'geometry.epsilon' instead)")
+
+
+def _encode(free, params):
+    """params -> optimisation vector (log for positive params)."""
+    out = []
+    for p in free:
+        v = float(_get(params, p))
+        out.append(np.log(v) if SUPPORTED_FREE[p] == 'log' else v)
+    return jnp.asarray(out, jnp.float64)
+
+
+def _substitute(free, params, theta):
+    """Return a params dict with traced values at the free paths and the
+    JetModel derivation chain (jetmodel.py:184-244) re-run in-trace."""
+    q = copy.copy(params)
+    for i, p in enumerate(free):
+        v = theta[i]
+        if SUPPORTED_FREE[p] == 'log':
+            v = jnp.exp(v)
+        _set(q, p, v)
+    g, pl, pr, t = (dict(q['geometry']), dict(q['power_laws']),
+                    dict(q['properties']), q['target'])
+    g['mod_r_0'] = geom.mod_r_0(g['opang'], g['epsilon'], g['w_0'])
+    pl['q_n'] = phys.q_n(g['epsilon'], pl['q_v'])
+    pl['q_tau'] = phys.q_tau(g['epsilon'], pl['q_x'], pl['q_n'], pl['q_T'])
+    pr['n_0'] = phys.n_0_from_mlr(
+        pr['mlr_bj'], pr['v_0'], g['w_0'], pr['mu'],
+        pl['q^d_n'], pl['q^d_v'], t['R_1'], t['R_2'])
+    q['geometry'], q['power_laws'], q['properties'] = g, pl, pr
+    rb_frac = pr['mlr_rj'] / pr['mlr_bj']
+    return q, rb_frac
+
+
+def _chi_scan(red, launch_time, t0, sigma, rel_amp, is_red):
+    """Tracer-safe burst factor: the lax.scan of
+    models.ejection.chi_field with the burst arrays supplied directly
+    (so they may be traced — chi_field stacks them with numpy)."""
+    def body(chi, burst):
+        t0_i, sig_i, amp_i, red_i = burst
+        gauss = amp_i * jnp.exp(-(launch_time - t0_i) ** 2 /
+                                (2.0 * sig_i ** 2))
+        return chi + jnp.where(red == red_i, gauss, 0.0), None
+    chi, _ = lax.scan(body, jnp.ones_like(launch_time),
+                      (t0, sigma, rel_amp, is_red))
+    return chi
+
+
+# --------------------------------------------------------------------------- #
+# Forward models
+# --------------------------------------------------------------------------- #
+def build_flux_forward(jm, freqs, free: Sequence[str],
+                       time: float = None):
+    """``(forward, theta0)`` with ``forward(theta) -> (n_chan, nx, nz)``
+    flux maps [Jy/pixel], differentiable in every freed parameter.
+
+    Replays the public ``flux_ff`` chain (jetmodel.py:977-987) from
+    first principles each call — grid fill (fields.compute_static_fields)
+    through the factorised opacity (radtrans.tau_ff_maps) — instead of
+    the epoch-factorised cached path, because the static caches bake the
+    parameters in as constants.  ``time`` defaults to the model's current
+    epoch; bursts are included whenever the model has any.
+    """
+    _check_free(free)
+    params = copy.deepcopy(jm.params)
+    t_model = float(jm.time if time is None else time)
+    nx, ny, nz = jm.nx, jm.ny, jm.nz
+    xx, yy, zz = G.grid_corner_coords(nx, ny, nz, params['grid']['c_size'])
+    xx, yy, zz = (jnp.asarray(np.asarray(c), jnp.float64)
+                  for c in (xx, yy, zz))
+    freqs = jnp.atleast_1d(jnp.asarray(freqs, jnp.float64))
+    reyn = params['power_laws']['q_T'] != 0.0  # classes.py:1388-1393
+    has_bursts = jm._has_bursts
+    csize = params['grid']['c_size']
+
+    # burst shape parameters stay fixed here (free them via
+    # fit_light_curve); only the steady-state rates they are relative to
+    # may move, and chi is a ratio — so the static burst arrays are exact
+    if has_bursts:
+        burst = jm._burst_tuple()
+        b_t0 = jnp.asarray([b[0] for b in burst], jnp.float64)
+        b_sig = jnp.asarray([np.sqrt(1.0 / (2.0 * b[1])) for b in burst],
+                            jnp.float64)
+        b_amp = jnp.asarray([b[2] for b in burst], jnp.float64)
+        b_red = jnp.asarray([b[3] for b in burst], jnp.bool_)
+
+    def forward(theta):
+        q, rb_frac = _substitute(free, params, theta)
+        f = F.compute_static_fields(q, xx, yy, zz, rb_frac,
+                                    with_time=has_bursts)
+        nd = f.nd
+        if has_bursts:
+            chi = _chi_scan(f.red, t_model - f.ts, b_t0, b_sig, b_amp,
+                            b_red)
+            nd = nd * chi
+        n_es = nd * f.xi
+        ds = rt.path_length_cm(f.ff, f.area, csize)
+        taus = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
+                              q['properties']['T_0'], reyn)
+        tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
+        return rt.flux_ff_maps(freqs, taus, tbar, any_in, csize,
+                               q['target']['dist'])
+
+    return forward, _encode(free, params)
+
+
+def build_sed_forward(jm, freqs, free: Sequence[str], time: float = None):
+    """``forward(theta) -> (n_chan,)`` integrated fluxes [Jy]."""
+    fwd, theta0 = build_flux_forward(jm, freqs, free, time)
+
+    def forward(theta):
+        return jnp.sum(fwd(theta), axis=(1, 2))
+
+    return forward, theta0
+
+
+# --------------------------------------------------------------------------- #
+# Optimisation driver
+# --------------------------------------------------------------------------- #
+class FitResult(NamedTuple):
+    """Outcome of a gradient fit."""
+    values: Dict[str, float]     # fitted value per freed path
+    theta: np.ndarray            # final optimisation vector
+    loss: np.ndarray             # loss per step
+    model: np.ndarray            # forward model at the fitted parameters
+    grad_norm: float             # |grad| at the final step
+
+    def param_dict(self, params: Dict) -> Dict:
+        """``params`` (deep-copied) with the fitted values substituted —
+        ready for ``JetModel(...)`` (n_0 etc. re-derived there)."""
+        out = copy.deepcopy(params)
+        for p, v in self.values.items():
+            sec, key = p.split('.')
+            out[sec][key] = float(v)
+        return out
+
+
+def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
+             optimizer):
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    def loss_fn(theta):
+        return loss_of_model(forward(theta))
+
+    @jax.jit
+    def run(theta):
+        state = opt.init(theta)
+
+        def step(carry, _):
+            th, st = carry
+            val, grad = jax.value_and_grad(loss_fn)(th)
+            updates, st = opt.update(grad, st, th)
+            return (optax.apply_updates(th, updates), st), val
+
+        (theta, _), hist = lax.scan(step, (theta, state), None,
+                                    length=steps)
+        return theta, hist, jnp.linalg.norm(jax.grad(loss_fn)(theta))
+
+    theta, hist, gnorm = run(theta0)
+    theta_np = np.asarray(theta)
+    values = {}
+    for i, p in enumerate(free):
+        v = float(theta_np[i])
+        values[p] = float(np.exp(v)) if SUPPORTED_FREE[p] == 'log' else v
+    return FitResult(values=values, theta=theta_np,
+                     loss=np.asarray(hist), model=np.asarray(forward(theta)),
+                     grad_norm=float(gnorm))
+
+
+def _sed_loss(observed, errors):
+    observed = jnp.asarray(observed, jnp.float64)
+    if errors is None:
+        log_obs = jnp.log(observed)
+
+        def loss(model):
+            return jnp.mean((jnp.log(model) - log_obs) ** 2)
+    else:
+        err = jnp.asarray(errors, jnp.float64)
+
+        def loss(model):
+            return jnp.mean(((model - observed) / err) ** 2)
+    return loss
+
+
+def fit_sed(jm, freqs, observed, *, errors=None,
+            free: Sequence[str] = ('properties.mlr_bj', 'properties.T_0'),
+            steps: int = 400, learning_rate: float = 0.05, time=None,
+            optimizer=None) -> FitResult:
+    """Fit freed parameters to an observed SED (fluxes [Jy] at ``freqs``).
+
+    With ``errors=None`` the loss is least-squares in log flux (radio
+    SEDs span decades; relative residuals weight every channel equally);
+    with per-channel ``errors`` it is the standard chi-squared.
+    """
+    forward, theta0 = build_sed_forward(jm, freqs, free, time)
+    return _run_fit(forward, theta0, free, _sed_loss(observed, errors),
+                    steps, learning_rate, optimizer)
+
+
+def fit_map(jm, freq, observed_map, *, errors=None,
+            free: Sequence[str] = ('properties.mlr_bj', 'properties.T_0'),
+            steps: int = 400, learning_rate: float = 0.05, time=None,
+            optimizer=None) -> FitResult:
+    """Fit freed parameters to an observed flux map [Jy/pixel] at one
+    frequency (image-plane fitting — morphology constrains geometry
+    parameters an SED cannot)."""
+    fwd, theta0 = build_flux_forward(jm, jnp.atleast_1d(freq), free, time)
+    obs = jnp.asarray(observed_map, jnp.float64)
+    if errors is None:
+        norm = jnp.sum(obs ** 2)
+
+        def loss(model):
+            return jnp.sum((model[0] - obs) ** 2) / norm
+    else:
+        err = jnp.asarray(errors, jnp.float64)
+
+        def loss(model):
+            return jnp.mean(((model[0] - obs) / err) ** 2)
+
+    def forward(theta):
+        return fwd(theta)
+
+    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
+                    optimizer)
+
+
+# --------------------------------------------------------------------------- #
+# Light-curve (ejection burst) fitting
+# --------------------------------------------------------------------------- #
+class BurstFitResult(NamedTuple):
+    """Fitted ejection-event parameters (years / chi factors, the
+    params['ejection'] schema)."""
+    t_0: np.ndarray            # burst peak times [yr]
+    hl: np.ndarray             # half-lives [yr]
+    chi: np.ndarray            # peak jml / steady-state jml
+    loss: np.ndarray
+    model: np.ndarray          # fitted light curve (n_times, n_chan)
+
+
+def build_light_curve_forward(jm, times, freqs,
+                              free: Sequence[str] = ('t_0', 'hl', 'chi')):
+    """``(forward, theta0, unpack)``: light curve (n_times, n_chan) [Jy]
+    as a function of the ejection-event parameters.
+
+    Static fields, the base opacity cube and the channel scale are all
+    burst-independent, so they are computed once (concrete) and closed
+    over; only the burst factor is re-evaluated per epoch — the same
+    factorisation as the production epoch path (jetmodel.py:733-760),
+    here in differentiable XLA form.  theta packs, per burst:
+    [t_0/yr (linear), log hl/yr, log chi] for each freed name.
+    """
+    for p in free:
+        if p not in ('t_0', 'hl', 'chi'):
+            raise ValueError(f"free must be among t_0/hl/chi, got {p!r}")
+    params = jm.params
+    ej = params['ejection']
+    t0_yr = np.atleast_1d(np.asarray(ej['t_0'], float))
+    hl_yr = np.atleast_1d(np.asarray(ej['hl'], float))
+    chi_f = np.atleast_1d(np.asarray(ej['chi'], float))
+    which = [str(w).upper() for w in np.atleast_1d(np.asarray(ej['which']))]
+    n_b = len(t0_yr)
+    if n_b == 0:
+        raise ValueError("model has no ejection events to fit")
+
+    f = jm._ensure_fields()
+    reyn = jm._use_reynolds_gaunt()
+    csize, dist = params['grid']['c_size'], params['target']['dist']
+    dt = jnp.float64
+    nd, xi, temp, inside = (jnp.asarray(np.asarray(a), dt) for a in
+                            (f.nd, f.xi, f.temp, f.inside))
+    inside = inside.astype(bool)
+    ts = jnp.asarray(np.asarray(f.ts), dt)
+    red = jnp.asarray(np.asarray(f.red), bool)
+    ds = rt.path_length_cm(jnp.asarray(np.asarray(f.ff), dt),
+                           jnp.asarray(np.asarray(f.area), dt), csize)
+    base = rt.tau_ff_base(temp, nd * xi, ds, inside, reyn)
+    freqs = jnp.atleast_1d(jnp.asarray(freqs, dt))
+    scale = rt.tau_ff_channel_scale(freqs, params['properties']['T_0'],
+                                    reyn)
+    tbar, any_in = rt.mean_temperature_map(temp, inside)
+    times = jnp.asarray(np.atleast_1d(np.asarray(times, float)), dt)
+
+    theta0, layout = [], []
+    for i in range(n_b):
+        for name in free:
+            layout.append((i, name))
+            theta0.append({'t_0': t0_yr[i], 'hl': np.log(hl_yr[i]),
+                           'chi': np.log(chi_f[i])}[name])
+    theta0 = jnp.asarray(theta0, dt)
+
+    def unpack(theta):
+        """theta -> (t0 [s], sigma [s], chi) per burst (traced lists)."""
+        t0 = [jnp.asarray(t, dt) for t in t0_yr]
+        hl = [jnp.asarray(h, dt) for h in hl_yr]
+        ch = [jnp.asarray(c, dt) for c in chi_f]
+        for j, (i, name) in enumerate(layout):
+            if name == 't_0':
+                t0[i] = theta[j]
+            elif name == 'hl':
+                hl[i] = jnp.exp(theta[j])
+            else:
+                ch[i] = jnp.exp(theta[j])
+        # sigma = hl * 2 / (2 sqrt(2 ln 2)) (ejection.py:34-36)
+        sig = [h * YEAR / jnp.sqrt(2.0 * jnp.log(2.0)) for h in hl]
+        return ([t * YEAR for t in t0], sig, ch)
+
+    # burst -> jet-side assignment ('R' in which / 'B' in which)
+    sides = [(('R' in w), ('B' in w)) for w in which]
+
+    def forward(theta):
+        t0_s, sig_s, chi_s = unpack(theta)
+        b_t0, b_sig, b_amp, b_red = [], [], [], []
+        for i in range(n_b):
+            for red_side in (True, False):
+                if sides[i][0 if red_side else 1]:
+                    b_t0.append(t0_s[i])
+                    b_sig.append(sig_s[i])
+                    b_amp.append(chi_s[i] - 1.0)
+                    b_red.append(red_side)
+        bt0 = jnp.stack(b_t0)
+        bsig = jnp.stack(b_sig)
+        bamp = jnp.stack(b_amp)
+        bred = jnp.asarray(b_red, bool)
+
+        def one_epoch(t):
+            chi = _chi_scan(red, t - ts, bt0, bsig, bamp, bred)
+            tau_map = scale[:, None, None] * \
+                jnp.sum(base * chi * chi, axis=rt.LOS_AXIS)[None]
+            fl = rt.flux_ff_maps(freqs, tau_map, tbar, any_in, csize, dist)
+            return jnp.sum(fl, axis=(1, 2))
+
+        return jax.vmap(one_epoch)(times)
+
+    return forward, theta0, unpack
+
+
+def fit_light_curve(jm, times, freqs, observed, *, errors=None,
+                    free: Sequence[str] = ('t_0', 'hl', 'chi'),
+                    steps: int = 500, learning_rate: float = 0.05,
+                    optimizer=None) -> BurstFitResult:
+    """Recover ejection-event parameters from an observed flux time
+    series: ``observed`` is (n_times,) or (n_times, n_chan) fluxes [Jy]
+    at model times ``times`` [s].
+
+    The inverse problem the reference's forward-only pipeline
+    (classes.py:2296-2420 — simulate, inspect, re-guess) cannot pose.
+    """
+    forward, theta0, unpack = build_light_curve_forward(jm, times, freqs,
+                                                        free)
+    obs = jnp.asarray(np.atleast_1d(np.asarray(observed, float)),
+                      jnp.float64)
+    if obs.ndim == 1:
+        obs = obs[:, None]
+    loss = _sed_loss(obs, errors)
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    @jax.jit
+    def run(theta):
+        state = opt.init(theta)
+
+        def step(carry, _):
+            th, st = carry
+            val, grad = jax.value_and_grad(
+                lambda t: loss(forward(t)))(th)
+            updates, st = opt.update(grad, st, th)
+            return (optax.apply_updates(th, updates), st), val
+
+        (theta, _), hist = lax.scan(step, (theta, state), None,
+                                    length=steps)
+        return theta, hist
+
+    theta, hist = run(theta0)
+    t0_s, sig_s, chi_s = unpack(theta)
+    t0 = np.asarray([float(t) for t in t0_s]) / YEAR
+    hl = np.asarray([float(s) for s in sig_s]) / YEAR * \
+        np.sqrt(2.0 * np.log(2.0))
+    chis = np.asarray([float(c) for c in chi_s])
+    return BurstFitResult(t_0=t0, hl=hl, chi=chis,
+                          loss=np.asarray(hist),
+                          model=np.asarray(forward(theta)))

@@ -1,0 +1,207 @@
+"""Differentiable-fitting tests (rajepy_tpu.fit) — the gradient-inference
+capability the reference's forward-only pipeline has no analogue for.
+
+Strategy: exact-parity of the fit forward against the public flux_ff API,
+autodiff-vs-finite-difference gradient checks, and round-trip parameter
+recovery (synthesise observations from known 'true' parameters, start the
+optimiser from a perturbed guess, assert recovery)."""
+import copy
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rajepy_tpu import JetModel
+from rajepy_tpu import fit as jfit
+
+YEAR = 31536000.0
+
+
+def _small(params, n=16):
+    p = copy.deepcopy(params)
+    p['grid'].update(n_x=n, n_y=n, n_z=n, l_z=None)
+    return p
+
+
+# optically-thin channels included so density (mlr) is constrained — at
+# the bundled parameters the low-GHz channels sit at tau >> 1 where the
+# SED is pure blackbody and carries no density information
+SED_FREQS = np.array([6e9, 4.4e10, 1e11, 3e11])
+
+
+class TestForwardParity:
+    def test_sed_forward_matches_flux_ff(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR  # bursts active
+        fwd, th0 = jfit.build_sed_forward(
+            jm, SED_FREQS, ('properties.mlr_bj', 'properties.T_0'))
+        ours = np.asarray(fwd(th0))
+        api = np.nansum(jm.flux_ff(SED_FREQS), axis=(1, 2))
+        assert ours == pytest.approx(api, rel=1e-12)
+
+    def test_forward_parity_off_axis(self, model_params):
+        # off-axis geometries have negative travel times near the launch
+        # surface — the fit path must agree there too
+        p = _small(model_params)
+        p['geometry'].update(inc=55., pa=30.)
+        jm = JetModel(p)
+        jm.time = 2.0 * YEAR
+        fwd, th0 = jfit.build_sed_forward(
+            jm, SED_FREQS, ('properties.T_0',))
+        api = np.nansum(jm.flux_ff(SED_FREQS), axis=(1, 2))
+        assert np.asarray(fwd(th0)) == pytest.approx(api, rel=1e-12)
+
+    def test_geometry_free_params_rederive_chain(self, model_params):
+        # freeing epsilon must re-derive mod_r_0 AND q_n in-trace: nudging
+        # epsilon in theta equals the flux of a model built with nudged
+        # epsilon.  Off-axis geometry: at inc=90/pa=0 the symmetric grid
+        # puts voxel corners EXACTLY on the jet boundary, where eager-vs-
+        # jit 1-ulp arithmetic differences flip the inside mask.
+        p = _small(model_params)
+        p['geometry'].update(inc=60., pa=20.)
+        jm = JetModel(p)
+        jm.time = 0.0
+        fwd, th0 = jfit.build_sed_forward(
+            jm, SED_FREQS, ('geometry.epsilon',))
+        p2 = copy.deepcopy(p)
+        p2['geometry']['epsilon'] = float(th0[0]) + 0.05
+        jm2 = JetModel(p2)
+        jm2.time = 0.0
+        api2 = np.nansum(jm2.flux_ff(SED_FREQS), axis=(1, 2))
+        assert np.asarray(fwd(th0 + 0.05)) == pytest.approx(api2, rel=1e-12)
+
+    def test_unsupported_free_param_raises(self, model_params):
+        jm = JetModel(_small(model_params))
+        with pytest.raises(ValueError, match="unsupported free parameter"):
+            jfit.build_sed_forward(jm, SED_FREQS, ('properties.n_0',))
+
+
+class TestGradients:
+    def test_grad_matches_finite_difference(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        free = ('properties.mlr_bj', 'properties.T_0', 'power_laws.q_T')
+        fwd, th0 = jfit.build_sed_forward(jm, SED_FREQS, free)
+
+        def loss(th):
+            return jnp.sum(jnp.log(fwd(th)))
+
+        g = np.asarray(jax.grad(loss)(th0))
+        eps = 1e-5
+        for i in range(len(free)):
+            fd = (float(loss(th0.at[i].add(eps))) -
+                  float(loss(th0.at[i].add(-eps)))) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=2e-5, abs=1e-12)
+
+    def test_light_curve_grad_finite(self, model_params):
+        jm = JetModel(_small(model_params))
+        times = np.linspace(0.5, 3.0, 5) * YEAR
+        fwd, th0, _ = jfit.build_light_curve_forward(
+            jm, times, np.array([4.4e10]))
+        g = jax.grad(lambda t: jnp.sum(fwd(t)))(th0)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.any(np.asarray(g) != 0)
+
+
+class TestRecovery:
+    def test_sed_recovers_mlr_and_t0(self, model_params):
+        p = _small(model_params)
+        true_mlr = p['properties']['mlr_bj'] * 2.5
+        true_t0 = p['properties']['T_0'] * 0.6
+        pt = copy.deepcopy(p)
+        pt['properties'].update(mlr_bj=true_mlr, T_0=true_t0)
+        jm_true = JetModel(pt)
+        jm_true.time = 2.0 * YEAR
+        obs = np.nansum(jm_true.flux_ff(SED_FREQS), axis=(1, 2))
+
+        jm = JetModel(p)
+        jm.time = 2.0 * YEAR
+        res = jfit.fit_sed(jm, SED_FREQS, obs, steps=500,
+                           learning_rate=0.05)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(true_mlr, rel=1e-4)
+        assert res.values['properties.T_0'] == \
+            pytest.approx(true_t0, rel=1e-4)
+        assert res.loss[-1] < 1e-10 < res.loss[0]
+        # param_dict round-trips into a constructible model
+        jm_fit = JetModel(res.param_dict(p))
+        jm_fit.time = 2.0 * YEAR
+        sed = np.nansum(jm_fit.flux_ff(SED_FREQS), axis=(1, 2))
+        assert sed == pytest.approx(obs, rel=1e-3)
+
+    def test_map_fit_recovers_mlr(self, model_params):
+        p = _small(model_params)
+        pt = copy.deepcopy(p)
+        true_mlr = p['properties']['mlr_bj'] * 3.0
+        pt['properties']['mlr_bj'] = true_mlr
+        jm_true = JetModel(pt)
+        jm_true.time = 0.0
+        obs = np.nan_to_num(jm_true.flux_ff(np.array([1e11]))[0])
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_map(jm, 1e11, obs, free=('properties.mlr_bj',),
+                           steps=300, learning_rate=0.05)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(true_mlr, rel=1e-3)
+
+    def test_geometry_gradient_smooth_part_nonzero(self, model_params):
+        # geometry morphology enters through the HARD voxel inside-mask
+        # (fields.fill_factor_area), so the loss vs inc/opang is a
+        # staircase: gradients capture only the smooth in-mask dependence
+        # (jet-frame r/w values).  Pin that the smooth part exists and is
+        # finite — and that recovery claims for mask-moving params are
+        # out of scope by construction (see fit module docstring).
+        p = _small(model_params)
+        p['geometry'].update(inc=60., pa=20.)
+        jm = JetModel(p)
+        jm.time = 0.0
+        fwd, th0 = jfit.build_sed_forward(jm, SED_FREQS,
+                                          ('geometry.inc',))
+        g = np.asarray(jax.grad(lambda t: jnp.sum(jnp.log(fwd(t))))(th0))
+        assert np.all(np.isfinite(g)) and np.any(g != 0)
+
+    def test_light_curve_recovers_burst(self, model_params):
+        p = _small(model_params)
+        pt = copy.deepcopy(p)
+        pt['ejection'] = {'t_0': np.array([1.2]), 'hl': np.array([0.4]),
+                          'chi': np.array([4.0]),
+                          'which': np.array(['B'])}
+        jm_true = JetModel(pt)
+        times = np.linspace(0.5, 4.0, 12) * YEAR
+        freqs = np.array([4.4e10])
+        obs = []
+        for t in times:
+            jm_true.time = t
+            obs.append(np.nansum(jm_true.flux_ff(freqs), axis=(1, 2)))
+        obs = np.asarray(obs)
+
+        pg = copy.deepcopy(p)
+        pg['ejection'] = {'t_0': np.array([1.8]), 'hl': np.array([0.7]),
+                          'chi': np.array([2.0]),
+                          'which': np.array(['B'])}
+        jm = JetModel(pg)
+        res = jfit.fit_light_curve(jm, times, freqs, obs, steps=800,
+                                   learning_rate=0.03)
+        assert res.t_0[0] == pytest.approx(1.2, abs=1e-3)
+        assert res.hl[0] == pytest.approx(0.4, rel=1e-3)
+        assert res.chi[0] == pytest.approx(4.0, rel=1e-3)
+
+    def test_light_curve_forward_handles_rb_burst(self, model_params):
+        # a 'RB' burst contributes to both jets; the forward at theta0
+        # must match the public API light curve exactly
+        p = _small(model_params)
+        p['ejection'] = {'t_0': np.array([1.0]), 'hl': np.array([0.3]),
+                         'chi': np.array([3.0]),
+                         'which': np.array(['RB'])}
+        jm = JetModel(p)
+        times = np.array([0.8, 1.2, 2.0]) * YEAR
+        freqs = np.array([4.4e10])
+        fwd, th0, _ = jfit.build_light_curve_forward(jm, times, freqs)
+        ours = np.asarray(fwd(th0))
+        api = []
+        for t in times:
+            jm.time = t
+            api.append(np.nansum(jm.flux_ff(freqs), axis=(1, 2)))
+        assert ours == pytest.approx(np.asarray(api), rel=1e-12)

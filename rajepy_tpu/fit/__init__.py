@@ -262,6 +262,54 @@ def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
                      grad_norm=float(gnorm))
 
 
+def laplace_uncertainties(forward, theta, observed, free: Sequence[str],
+                          errors=None) -> Tuple[Dict[str, float],
+                                                np.ndarray]:
+    """Gauss-Newton 1-sigma uncertainties at a fit optimum.
+
+    ``(sigmas, cov)`` where ``sigmas[path]`` is the 1-sigma uncertainty
+    of the fitted *value* (delta method for log-space parameters) and
+    ``cov`` the covariance in optimisation (theta) space.
+
+    With ``errors`` the residuals are the absolute chi-squared ones; with
+    ``errors=None`` they are log-flux residuals and the noise scale is
+    estimated from the residual variance s^2 = RSS/(n-p) (the
+    scipy.optimize.curve_fit ``absolute_sigma=False`` convention).
+    Covariance is s^2 (J^T J)^-1 with the exact residual jacobian — the
+    Laplace approximation a forward-only pipeline cannot evaluate.
+    """
+    obs = jnp.asarray(np.asarray(observed, float).ravel(), jnp.float64)
+    theta = jnp.asarray(theta, jnp.float64)
+
+    if errors is None:
+        log_obs = jnp.log(obs)
+
+        def resid(th):
+            return jnp.log(jnp.ravel(forward(th))) - log_obs
+    else:
+        err = jnp.asarray(np.asarray(errors, float).ravel(), jnp.float64)
+
+        def resid(th):
+            return (jnp.ravel(forward(th)) - obs) / err
+
+    J = np.asarray(jax.jacobian(resid)(theta))          # (n, p)
+    r = np.asarray(resid(theta))
+    n, p = J.shape
+    jtj = J.T @ J
+    cov = np.linalg.pinv(jtj)
+    if errors is None:
+        cov = cov * (float(r @ r) / max(n - p, 1))
+    sigmas = {}
+    for i, path in enumerate(free):
+        s_theta = float(np.sqrt(max(cov[i, i], 0.0)))
+        if SUPPORTED_FREE[path] == 'log':
+            value = float(np.exp(theta[i]))
+            sigmas[path] = value * s_theta              # delta method
+        else:
+            sigmas[path] = s_theta
+    return sigmas, cov
+
+
 def _sed_loss(observed, errors):
     observed = jnp.asarray(observed, jnp.float64)
     if errors is None:

@@ -188,6 +188,37 @@ class TestRecovery:
         assert res.hl[0] == pytest.approx(0.4, rel=1e-3)
         assert res.chi[0] == pytest.approx(4.0, rel=1e-3)
 
+    def test_laplace_uncertainties_cover_truth(self, model_params):
+        # noisy synthetic SED: the fitted values must sit within ~3 sigma
+        # of truth, and the noise-free sigmas must be much smaller
+        p = _small(model_params)
+        true_mlr = p['properties']['mlr_bj'] * 2.0
+        pt = copy.deepcopy(p)
+        pt['properties']['mlr_bj'] = true_mlr
+        jm_true = JetModel(pt)
+        jm_true.time = 0.0
+        freqs = np.geomspace(4e10, 3e11, 8)
+        clean = np.nansum(jm_true.flux_ff(freqs), axis=(1, 2))
+        rng = np.random.default_rng(7)
+        noisy = clean * np.exp(rng.normal(0.0, 0.02, clean.shape))
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        free = ('properties.mlr_bj', 'properties.T_0')
+        res = jfit.fit_sed(jm, freqs, noisy, free=free, steps=500,
+                           learning_rate=0.05)
+        fwd, _ = jfit.build_sed_forward(jm, freqs, free)
+        sig, cov = jfit.laplace_uncertainties(fwd, res.theta, noisy, free)
+        mlr_hat = res.values['properties.mlr_bj']
+        assert sig['properties.mlr_bj'] > 0
+        assert abs(mlr_hat - true_mlr) < 4 * sig['properties.mlr_bj']
+        assert cov.shape == (2, 2)
+        # noise-free data -> near-zero estimated noise scale -> tiny sigma
+        res0 = jfit.fit_sed(jm, freqs, clean, free=free, steps=500,
+                            learning_rate=0.05)
+        sig0, _ = jfit.laplace_uncertainties(fwd, res0.theta, clean, free)
+        assert sig0['properties.mlr_bj'] < 1e-3 * sig['properties.mlr_bj']
+
     def test_light_curve_forward_handles_rb_burst(self, model_params):
         # a 'RB' burst contributes to both jets; the forward at theta0
         # must match the public API light curve exactly

@@ -44,9 +44,16 @@ jm_guess.time = 2.0 * YEAR
 res = jfit.fit_sed(jm_guess, freqs, observed,
                    free=('properties.mlr_bj', 'properties.T_0'),
                    steps=500, learning_rate=0.05)
+fwd, _ = jfit.build_sed_forward(jm_guess, freqs,
+                                ('properties.mlr_bj', 'properties.T_0'))
+sig, _ = jfit.laplace_uncertainties(fwd, res.theta, observed,
+                                    ('properties.mlr_bj',
+                                     'properties.T_0'))
 print("SED fit:")
-print(f"  mlr_bj: {res.values['properties.mlr_bj']:.3e} (true 2.500e-07)")
-print(f"  T_0:    {res.values['properties.T_0']:.1f}  (true 6000.0)")
+print(f"  mlr_bj: {res.values['properties.mlr_bj']:.3e} "
+      f"+- {sig['properties.mlr_bj']:.1e} (true 2.500e-07)")
+print(f"  T_0:    {res.values['properties.T_0']:.1f} "
+      f"+- {sig['properties.T_0']:.1f} (true 6000.0)")
 print(f"  loss:   {res.loss[0]:.3e} -> {res.loss[-1]:.3e}")
 
 # ----------------------------------------------------------------------- #

@@ -368,6 +368,79 @@ def fit_map(jm, freq, observed_map, *, errors=None,
 
 
 # --------------------------------------------------------------------------- #
+# Visibility-space fitting
+# --------------------------------------------------------------------------- #
+def build_vis_forward(jm, freqs, uvw_m, free: Sequence[str],
+                      time: float = None, apply_pb: bool = False,
+                      dish_diameter_m: float = 25.0):
+    """``(forward, theta0)`` with ``forward(theta) -> (n_chan, n_vis)``
+    complex visibilities [Jy] at baseline coordinates ``uvw_m`` [m].
+
+    The interferometric forward model: the differentiable flux maps are
+    transposed into the sky frame ((dec, ra) — the save_fits
+    orientation, jetmodel.py:1394) and Fourier-sampled by
+    ``synthobs.sampler.sample_vis_cube`` (FFT + bilinear degrid, per
+    channel at its own wavelength, optional primary beam).  Every step —
+    FFT, degrid, beam — is differentiable, so model parameters can be
+    fitted *directly to visibilities*, skipping imaging (and its
+    non-differentiable CLEAN) entirely: the standard uv-plane
+    model-fitting workflow (cf. galario), with exact gradients through
+    the full jet physics.  CPU/f64 path (complex host arrays; see
+    synthobs notes on the TPU complex boundary).
+    """
+    if 'target.dist' in free:
+        raise ValueError(
+            "'target.dist' cannot be freed in visibility space: the "
+            "pixel scale is baked into the uv sampling grid (fit it "
+            "against SEDs/maps instead)")
+    from ..synthobs import sampler as _sampler
+    from .. import constants as cnsts
+    flux_fwd, theta0 = build_flux_forward(jm, freqs, free, time)
+    params = jm.params
+    cell_rad = float(np.arctan(params['grid']['c_size'] * cnsts.AU /
+                               (params['target']['dist'] * cnsts.PARSEC)))
+    uvw = jnp.asarray(np.asarray(uvw_m, float), jnp.float64)
+    freqs_arr = jnp.atleast_1d(jnp.asarray(freqs, jnp.float64))
+
+    def forward(theta):
+        maps = flux_fwd(theta)                      # (n_chan, nx, nz)
+        sky = jnp.transpose(maps, (0, 2, 1))        # (n_chan, dec, ra)
+        return _sampler.sample_vis_cube(
+            sky, cell_rad, uvw, freqs_arr, apply_pb=apply_pb,
+            dish_diameter_m=dish_diameter_m)
+
+    return forward, theta0
+
+
+def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
+                     free: Sequence[str] = ('properties.mlr_bj',
+                                            'properties.T_0'),
+                     steps: int = 400, learning_rate: float = 0.05,
+                     time=None, apply_pb: bool = False,
+                     dish_diameter_m: float = 25.0,
+                     optimizer=None) -> FitResult:
+    """Fit freed parameters directly to observed complex visibilities
+    (n_chan, n_vis) — no imaging in the loop.
+
+    ``sigma`` is the per-visibility thermal noise [Jy] (scalar or
+    broadcastable); the loss is the radio-interferometric chi-squared
+    sum(|V_model - V_obs|^2 / sigma^2) (unit weights when omitted).
+    """
+    forward, theta0 = build_vis_forward(jm, freqs, uvw_m, free, time,
+                                        apply_pb, dish_diameter_m)
+    obs = jnp.asarray(np.asarray(vis_obs, complex), jnp.complex128)
+    w = 1.0 if sigma is None else 1.0 / jnp.asarray(sigma,
+                                                    jnp.float64) ** 2
+
+    def loss(model):
+        r = model - obs
+        return jnp.mean((r.real ** 2 + r.imag ** 2) * w)
+
+    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
+                    optimizer)
+
+
+# --------------------------------------------------------------------------- #
 # Light-curve (ejection burst) fitting
 # --------------------------------------------------------------------------- #
 class BurstFitResult(NamedTuple):

@@ -219,6 +219,43 @@ class TestRecovery:
         sig0, _ = jfit.laplace_uncertainties(fwd, res0.theta, clean, free)
         assert sig0['properties.mlr_bj'] < 1e-3 * sig['properties.mlr_bj']
 
+    def test_visibility_fit_recovers_params_under_noise(self, model_params):
+        # uv-plane model fitting: recover mlr/T_0 directly from noisy
+        # complex visibilities (no imaging in the loop)
+        p = _small(model_params)
+        rng = np.random.default_rng(3)
+        uvw = rng.normal(0, 2e4, (300, 3))
+        freqs = np.array([1e11, 3e11])
+        true = copy.deepcopy(p)
+        true['properties'].update(mlr_bj=2e-7, T_0=7000.)
+        jm_t = JetModel(true)
+        jm_t.time = 0.0
+        fwd_t, th_t = jfit.build_vis_forward(jm_t, freqs, uvw,
+                                             ('properties.mlr_bj',))
+        vis = np.asarray(fwd_t(th_t))
+        sigma = 0.02 * np.abs(vis).max()
+        vis = vis + (rng.normal(0, sigma, vis.shape) +
+                     1j * rng.normal(0, sigma, vis.shape))
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_visibilities(
+            jm, freqs, uvw, vis, sigma=sigma,
+            free=('properties.mlr_bj', 'properties.T_0'),
+            steps=400, learning_rate=0.05)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(2e-7, rel=0.02)
+        assert res.values['properties.T_0'] == pytest.approx(7000., rel=0.02)
+        # converged loss sits at the chi-squared noise floor:
+        # E[(re^2 + im^2)/sigma^2] = 2 per visibility
+        assert 1.0 < res.loss[-1] < 3.0 < res.loss[0]
+
+    def test_visibility_fit_rejects_dist(self, model_params):
+        jm = JetModel(_small(model_params))
+        with pytest.raises(ValueError, match="pixel scale"):
+            jfit.build_vis_forward(jm, np.array([1e11]),
+                                   np.zeros((4, 3)), ('target.dist',))
+
     def test_light_curve_forward_handles_rb_burst(self, model_params):
         # a 'RB' burst contributes to both jets; the forward at theta0
         # must match the public API light curve exactly

@@ -367,6 +367,52 @@ def fit_map(jm, freq, observed_map, *, errors=None,
                     optimizer)
 
 
+class GridFitResult(NamedTuple):
+    """Outcome of a coarse-grid + gradient-refine fit."""
+    node: Dict[str, float]       # winning grid-node values per path
+    best: 'FitResult'            # gradient fit at the winning node
+    table: list                  # [(node_dict, final_loss)] per node
+
+
+def fit_grid_refine(jm, freqs, observed, *, grid: Dict[str, Sequence],
+                    errors=None,
+                    free: Sequence[str] = ('properties.mlr_bj',
+                                           'properties.T_0'),
+                    steps: int = 200, learning_rate: float = 0.05,
+                    time=None) -> GridFitResult:
+    """Coarse grid over mask-moving geometry parameters + gradient
+    refinement of the smooth ones at every node.
+
+    The jet silhouette is a hard voxel threshold, so the loss along
+    ``inc``/``pa``/``opang``/``epsilon`` is a staircase that defeats
+    pure gradient descent (module docstring).  This is the recommended
+    recipe: enumerate candidate values for those (``grid``, cartesian
+    product), run a short ``fit_sed`` of the smooth ``free`` parameters
+    at each node, and keep the node with the lowest converged loss.
+    """
+    import itertools
+    from ..models.jetmodel import JetModel as _JetModel
+    _check_free(list(grid))
+    t_model = jm.time if time is None else time
+    paths = list(grid)
+    table = []
+    best = None
+    for combo in itertools.product(*(grid[p] for p in paths)):
+        node = dict(zip(paths, (float(v) for v in combo)))
+        q = copy.deepcopy(jm.params)
+        for p, v in node.items():
+            sec, key = p.split('.')
+            q[sec][key] = v
+        jm_node = _JetModel(q, dtype=jnp.float64)
+        jm_node.time = t_model
+        res = fit_sed(jm_node, freqs, observed, errors=errors, free=free,
+                      steps=steps, learning_rate=learning_rate)
+        table.append((node, float(res.loss[-1])))
+        if best is None or table[-1][1] < best[1]:
+            best = (node, table[-1][1], res)
+    return GridFitResult(node=best[0], best=best[2], table=table)
+
+
 # --------------------------------------------------------------------------- #
 # Visibility-space fitting
 # --------------------------------------------------------------------------- #

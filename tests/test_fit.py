@@ -219,6 +219,29 @@ class TestRecovery:
         sig0, _ = jfit.laplace_uncertainties(fwd, res0.theta, clean, free)
         assert sig0['properties.mlr_bj'] < 1e-3 * sig['properties.mlr_bj']
 
+    def test_grid_refine_recovers_inclination(self, model_params):
+        # the recommended recipe for mask-moving geometry: coarse grid
+        # over inc + gradient refinement of mlr at each node
+        p = _small(model_params)
+        pt = copy.deepcopy(p)
+        pt['geometry']['inc'] = 70.
+        pt['properties']['mlr_bj'] = 2e-7
+        jm_true = JetModel(pt)
+        jm_true.time = 0.0
+        obs = np.nansum(jm_true.flux_ff(SED_FREQS), axis=(1, 2))
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_grid_refine(
+            jm, SED_FREQS, obs, grid={'geometry.inc': [50., 70., 90.]},
+            free=('properties.mlr_bj',), steps=250, learning_rate=0.05)
+        assert res.node['geometry.inc'] == 70.
+        assert res.best.values['properties.mlr_bj'] == \
+            pytest.approx(2e-7, rel=1e-3)
+        assert len(res.table) == 3
+        losses = dict((n['geometry.inc'], l) for n, l in res.table)
+        assert losses[70.] < losses[50.] and losses[70.] < losses[90.]
+
     def test_visibility_fit_recovers_params_under_noise(self, model_params):
         # uv-plane model fitting: recover mlr/T_0 directly from noisy
         # complex visibilities (no imaging in the loop)

@@ -279,6 +279,34 @@ class TestRecovery:
             jfit.build_vis_forward(jm, np.array([1e11]),
                                    np.zeros((4, 3)), ('target.dist',))
 
+    def test_light_curve_joint_two_burst_recovery(self, model_params):
+        # two overlapping bursts fitted jointly (6 free parameters)
+        p = _small(model_params)
+        pt = copy.deepcopy(p)
+        pt['ejection'] = {'t_0': np.array([1.0, 2.2]),
+                          'hl': np.array([0.3, 0.5]),
+                          'chi': np.array([3.0, 5.0]),
+                          'which': np.array(['B', 'B'])}
+        jm_true = JetModel(pt)
+        times = np.linspace(0.4, 4.5, 18) * YEAR
+        freqs = np.array([4.4e10])
+        obs = []
+        for t in times:
+            jm_true.time = t
+            obs.append(np.nansum(jm_true.flux_ff(freqs), axis=(1, 2)))
+        obs = np.asarray(obs)
+
+        pg = copy.deepcopy(p)
+        pg['ejection'] = {'t_0': np.array([0.8, 2.6]),
+                          'hl': np.array([0.45, 0.35]),
+                          'chi': np.array([2.0, 3.5]),
+                          'which': np.array(['B', 'B'])}
+        res = jfit.fit_light_curve(JetModel(pg), times, freqs, obs,
+                                   steps=1500, learning_rate=0.02)
+        assert res.t_0 == pytest.approx([1.0, 2.2], abs=5e-3)
+        assert res.hl == pytest.approx([0.3, 0.5], rel=2e-2)
+        assert res.chi == pytest.approx([3.0, 5.0], rel=2e-2)
+
     def test_light_curve_forward_handles_rb_burst(self, model_params):
         # a 'RB' burst contributes to both jets; the forward at theta0
         # must match the public API light curve exactly

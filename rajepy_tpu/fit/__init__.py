@@ -367,6 +367,100 @@ def fit_map(jm, freq, observed_map, *, errors=None,
                     optimizer)
 
 
+class PosteriorResult(NamedTuple):
+    """MCMC posterior samples over the freed parameters."""
+    samples: Dict[str, np.ndarray]   # per-path samples in VALUE space
+    theta_samples: np.ndarray        # (n_kept, p) in optimisation space
+    acceptance: float                # MH acceptance fraction
+
+
+def sample_posterior(forward, theta0, observed, free: Sequence[str], *,
+                     errors=None, cov=None, steps: int = 3000,
+                     burn: int = 500, step_scale: float = 0.6,
+                     seed: int = 0) -> PosteriorResult:
+    """Posterior sampling by preconditioned MALA (Metropolis-adjusted
+    Langevin) with exact gradients — full posteriors where
+    :func:`laplace_uncertainties` gives only the Gaussian approximation.
+
+    The target is the Gaussian likelihood of the fit residuals with flat
+    priors in the transformed (log/linear) parameter space; with
+    ``errors=None`` the log-flux noise scale is estimated once at
+    ``theta0`` (s^2 = RSS/(n-p), as in :func:`laplace_uncertainties`) and
+    held fixed.  ``cov`` (e.g. the Laplace covariance) preconditions the
+    proposal; pass the output of a converged fit's
+    ``laplace_uncertainties`` for unit-free steps.  ``step_scale`` ~0.5-1
+    targets the MALA-optimal ~0.57 acceptance in low dimensions.
+    """
+    obs = jnp.asarray(np.asarray(observed, float).ravel(), jnp.float64)
+    theta0 = jnp.asarray(theta0, jnp.float64)
+    p = theta0.shape[0]
+
+    if errors is None:
+        log_obs = jnp.log(obs)
+
+        def resid(th):
+            return jnp.log(jnp.ravel(forward(th))) - log_obs
+        r0 = resid(theta0)
+        s2 = float(r0 @ r0) / max(obs.size - p, 1)
+    else:
+        err = jnp.asarray(np.asarray(errors, float).ravel(), jnp.float64)
+
+        def resid(th):
+            return (jnp.ravel(forward(th)) - obs) / err
+        s2 = 1.0
+
+    def nll(th):
+        r = resid(th)
+        return 0.5 * (r @ r) / s2
+
+    if cov is None:
+        cov = np.eye(p)
+    # proposal scale: eps^2 C preconditioner, d^(-1/3) MALA dimension rule
+    chol = np.linalg.cholesky(cov + 1e-30 * np.eye(p))
+    eps = step_scale * p ** (-1.0 / 3.0)
+    chol_j = jnp.asarray(chol)
+    cov_j = jnp.asarray(np.asarray(cov, float))
+    grad_nll = jax.grad(nll)
+
+    def drift(th):
+        return th - 0.5 * eps ** 2 * (cov_j @ grad_nll(th))
+
+    def log_q(a, b):
+        # log q(a | b): Gaussian with mean drift(b), covariance eps^2 C
+        d = a - drift(b)
+        sol = jax.scipy.linalg.cho_solve((chol_j, True), d)
+        return -0.5 * (d @ sol) / eps ** 2
+
+    @jax.jit
+    def run(key):
+        def step(carry, k):
+            th, e_th = carry
+            k1, k2 = jax.random.split(k)
+            prop = drift(th) + eps * (chol_j @
+                                      jax.random.normal(k1, (p,)))
+            e_prop = nll(prop)
+            log_alpha = (e_th - e_prop + log_q(th, prop) -
+                         log_q(prop, th))
+            accept = jnp.log(jax.random.uniform(k2)) < log_alpha
+            th = jnp.where(accept, prop, th)
+            e_th = jnp.where(accept, e_prop, e_th)
+            return (th, e_th), (th, accept)
+
+        keys = jax.random.split(key, steps)
+        (_, _), (chain, acc) = lax.scan(step, (theta0, nll(theta0)), keys)
+        return chain, acc
+
+    chain, acc = run(jax.random.PRNGKey(seed))
+    kept = np.asarray(chain)[burn:]
+    samples = {}
+    for i, path in enumerate(free):
+        col = kept[:, i]
+        samples[path] = np.exp(col) if SUPPORTED_FREE[path] == 'log' \
+            else col
+    return PosteriorResult(samples=samples, theta_samples=kept,
+                           acceptance=float(np.mean(np.asarray(acc))))
+
+
 class GridFitResult(NamedTuple):
     """Outcome of a coarse-grid + gradient-refine fit."""
     node: Dict[str, float]       # winning grid-node values per path

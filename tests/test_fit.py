@@ -219,6 +219,35 @@ class TestRecovery:
         sig0, _ = jfit.laplace_uncertainties(fwd, res0.theta, clean, free)
         assert sig0['properties.mlr_bj'] < 1e-3 * sig['properties.mlr_bj']
 
+    def test_posterior_sampling_matches_laplace(self, model_params):
+        # preconditioned MALA on a near-Gaussian posterior: the sample
+        # mean must sit on the MAP and the sample std must reproduce the
+        # Laplace sigma (the analytic check for sampler correctness)
+        p = _small(model_params)
+        true = copy.deepcopy(p)
+        true['properties']['mlr_bj'] = 2e-7
+        jm_t = JetModel(true)
+        jm_t.time = 0.0
+        freqs = np.geomspace(4e10, 3e11, 8)
+        clean = np.nansum(jm_t.flux_ff(freqs), axis=(1, 2))
+        rng = np.random.default_rng(5)
+        noisy = clean * np.exp(rng.normal(0, 0.02, clean.shape))
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        free = ('properties.mlr_bj', 'properties.T_0')
+        res = jfit.fit_sed(jm, freqs, noisy, free=free, steps=400,
+                           learning_rate=0.05)
+        fwd, _ = jfit.build_sed_forward(jm, freqs, free)
+        sig, cov = jfit.laplace_uncertainties(fwd, res.theta, noisy, free)
+        post = jfit.sample_posterior(fwd, res.theta, noisy, free, cov=cov,
+                                     steps=3000, burn=500, seed=1)
+        assert 0.3 < post.acceptance <= 1.0
+        for path in free:
+            s = post.samples[path]
+            assert abs(s.mean() - res.values[path]) < 3 * sig[path]
+            assert s.std() == pytest.approx(sig[path], rel=0.3)
+
     def test_grid_refine_recovers_inclination(self, model_params):
         # the recommended recipe for mask-moving geometry: coarse grid
         # over inc + gradient refinement of mlr at each node

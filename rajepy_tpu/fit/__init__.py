@@ -370,14 +370,29 @@ def fit_map(jm, freq, observed_map, *, errors=None,
 class PosteriorResult(NamedTuple):
     """MCMC posterior samples over the freed parameters."""
     samples: Dict[str, np.ndarray]   # per-path samples in VALUE space
-    theta_samples: np.ndarray        # (n_kept, p) in optimisation space
+    theta_samples: np.ndarray        # (n_chains, n_kept, p) in opt space
     acceptance: float                # MH acceptance fraction
+    r_hat: Dict[str, float]         # split-R-hat convergence per path
+
+
+def _split_r_hat(chains_2d: np.ndarray) -> float:
+    """Gelman split-R-hat for one parameter: (n_chains, n_samples)."""
+    m, n = chains_2d.shape
+    half = n // 2
+    split = chains_2d[:, :2 * half].reshape(2 * m, half)
+    means = split.mean(axis=1)
+    b = half * means.var(ddof=1)
+    w = split.var(axis=1, ddof=1).mean()
+    if w <= 0:
+        return 1.0
+    var_plus = (half - 1) / half * w + b / half
+    return float(np.sqrt(var_plus / w))
 
 
 def sample_posterior(forward, theta0, observed, free: Sequence[str], *,
                      errors=None, cov=None, steps: int = 3000,
                      burn: int = 500, step_scale: float = 0.6,
-                     seed: int = 0) -> PosteriorResult:
+                     seed: int = 0, chains: int = 2) -> PosteriorResult:
     """Posterior sampling by preconditioned MALA (Metropolis-adjusted
     Langevin) with exact gradients — full posteriors where
     :func:`laplace_uncertainties` gives only the Gaussian approximation.
@@ -390,6 +405,10 @@ def sample_posterior(forward, theta0, observed, free: Sequence[str], *,
     proposal; pass the output of a converged fit's
     ``laplace_uncertainties`` for unit-free steps.  ``step_scale`` ~0.5-1
     targets the MALA-optimal ~0.57 acceptance in low dimensions.
+
+    ``chains`` independent chains run vmapped (device-parallel on a
+    mesh) from 2-sigma over-dispersed starts; ``r_hat`` reports the
+    Gelman split-R-hat per parameter (converged chains sit below ~1.01).
     """
     obs = jnp.asarray(np.asarray(observed, float).ravel(), jnp.float64)
     theta0 = jnp.asarray(theta0, jnp.float64)
@@ -431,8 +450,7 @@ def sample_posterior(forward, theta0, observed, free: Sequence[str], *,
         sol = jax.scipy.linalg.cho_solve((chol_j, True), d)
         return -0.5 * (d @ sol) / eps ** 2
 
-    @jax.jit
-    def run(key):
+    def run(key, th0):
         def step(carry, k):
             th, e_th = carry
             k1, k2 = jax.random.split(k)
@@ -447,18 +465,29 @@ def sample_posterior(forward, theta0, observed, free: Sequence[str], *,
             return (th, e_th), (th, accept)
 
         keys = jax.random.split(key, steps)
-        (_, _), (chain, acc) = lax.scan(step, (theta0, nll(theta0)), keys)
+        (_, _), (chain, acc) = lax.scan(step, (th0, nll(th0)), keys)
         return chain, acc
 
-    chain, acc = run(jax.random.PRNGKey(seed))
-    kept = np.asarray(chain)[burn:]
+    # over-dispersed starts: ~2-sigma preconditioned jitter per chain,
+    # so split-R-hat actually tests convergence to the common target
+    root = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(root)
+    jitter = 2.0 * jax.random.normal(k_init, (chains, p)) @ chol_j.T
+    th0s = theta0[None, :] + jitter
+    chain_keys = jax.random.split(k_run, chains)
+    chain, acc = jax.jit(jax.vmap(run))(chain_keys, th0s)
+    kept = np.asarray(chain)[:, burn:, :]            # (chains, n, p)
+    r_hat = {path: _split_r_hat(kept[:, :, i])
+             for i, path in enumerate(free)}
+    flat = kept.reshape(-1, p)
     samples = {}
     for i, path in enumerate(free):
-        col = kept[:, i]
+        col = flat[:, i]
         samples[path] = np.exp(col) if SUPPORTED_FREE[path] == 'log' \
             else col
     return PosteriorResult(samples=samples, theta_samples=kept,
-                           acceptance=float(np.mean(np.asarray(acc))))
+                           acceptance=float(np.mean(np.asarray(acc))),
+                           r_hat=r_hat)
 
 
 class GridFitResult(NamedTuple):

@@ -241,12 +241,14 @@ class TestRecovery:
         fwd, _ = jfit.build_sed_forward(jm, freqs, free)
         sig, cov = jfit.laplace_uncertainties(fwd, res.theta, noisy, free)
         post = jfit.sample_posterior(fwd, res.theta, noisy, free, cov=cov,
-                                     steps=3000, burn=500, seed=1)
+                                     steps=3000, burn=500, seed=1,
+                                     chains=2)
         assert 0.3 < post.acceptance <= 1.0
         for path in free:
             s = post.samples[path]
             assert abs(s.mean() - res.values[path]) < 3 * sig[path]
             assert s.std() == pytest.approx(sig[path], rel=0.3)
+            assert post.r_hat[path] < 1.05   # split-R-hat converged
 
     def test_grid_refine_recovers_inclination(self, model_params):
         # the recommended recipe for mask-moving geometry: coarse grid

@@ -692,7 +692,14 @@ def build_light_curve_forward(jm, times, freqs,
     # burst -> jet-side assignment ('R' in which / 'B' in which)
     sides = [(('R' in w), ('B' in w)) for w in which]
 
-    def forward(theta):
+    # big arrays live in an explicit consts pytree: the fit loop passes
+    # them as runtime arguments to its jit, never closure constants (a
+    # closed-over cube becomes an HLO constant — remote compile services
+    # reject the oversized program at production grids; see CLAUDE.md)
+    consts = dict(base=base, ts=ts, red=red, scale=scale, tbar=tbar,
+                  any_in=any_in, times=times, freqs=freqs)
+
+    def forward_with(theta, c):
         t0_s, sig_s, chi_s = unpack(theta)
         b_t0, b_sig, b_amp, b_red = [], [], [], []
         for i in range(n_b):
@@ -708,14 +715,20 @@ def build_light_curve_forward(jm, times, freqs,
         bred = jnp.asarray(b_red, bool)
 
         def one_epoch(t):
-            chi = _chi_scan(red, t - ts, bt0, bsig, bamp, bred)
-            tau_map = scale[:, None, None] * \
-                jnp.sum(base * chi * chi, axis=rt.LOS_AXIS)[None]
-            fl = rt.flux_ff_maps(freqs, tau_map, tbar, any_in, csize, dist)
+            chi = _chi_scan(c['red'], t - c['ts'], bt0, bsig, bamp, bred)
+            tau_map = c['scale'][:, None, None] * \
+                jnp.sum(c['base'] * chi * chi, axis=rt.LOS_AXIS)[None]
+            fl = rt.flux_ff_maps(c['freqs'], tau_map, c['tbar'],
+                                 c['any_in'], csize, dist)
             return jnp.sum(fl, axis=(1, 2))
 
-        return jax.vmap(one_epoch)(times)
+        return jax.vmap(one_epoch)(c['times'])
 
+    def forward(theta):
+        return forward_with(theta, consts)
+
+    forward.with_consts = forward_with
+    forward.consts = consts
     return forward, theta0, unpack
 
 
@@ -740,13 +753,13 @@ def fit_light_curve(jm, times, freqs, observed, *, errors=None,
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
     @jax.jit
-    def run(theta):
+    def run(theta, consts):
         state = opt.init(theta)
 
         def step(carry, _):
             th, st = carry
             val, grad = jax.value_and_grad(
-                lambda t: loss(forward(t)))(th)
+                lambda t: loss(forward.with_consts(t, consts)))(th)
             updates, st = opt.update(grad, st, th)
             return (optax.apply_updates(th, updates), st), val
 
@@ -754,7 +767,7 @@ def fit_light_curve(jm, times, freqs, observed, *, errors=None,
                                     length=steps)
         return theta, hist
 
-    theta, hist = run(theta0)
+    theta, hist = run(theta0, forward.consts)
     t0_s, sig_s, chi_s = unpack(theta)
     t0 = np.asarray([float(t) for t in t0_s]) / YEAR
     hl = np.asarray([float(s) for s in sig_s]) / YEAR * \

@@ -46,7 +46,7 @@ res = jfit.fit_sed(jm_guess, freqs, observed,
                    steps=500, learning_rate=0.05)
 fwd, _ = jfit.build_sed_forward(jm_guess, freqs,
                                 ('properties.mlr_bj', 'properties.T_0'))
-sig, _ = jfit.laplace_uncertainties(fwd, res.theta, observed,
+sig, _cov = jfit.laplace_uncertainties(fwd, res.theta, observed,
                                     ('properties.mlr_bj',
                                      'properties.T_0'))
 print("SED fit:")
@@ -55,6 +55,16 @@ print(f"  mlr_bj: {res.values['properties.mlr_bj']:.3e} "
 print(f"  T_0:    {res.values['properties.T_0']:.1f} "
       f"+- {sig['properties.T_0']:.1f} (true 6000.0)")
 print(f"  loss:   {res.loss[0]:.3e} -> {res.loss[-1]:.3e}")
+
+# Full posterior around the MAP (preconditioned MALA, 2 chains)
+post = jfit.sample_posterior(fwd, res.theta, observed,
+                             ('properties.mlr_bj', 'properties.T_0'),
+                             cov=_cov, steps=2000, burn=400, chains=2)
+mlr_q = np.percentile(post.samples['properties.mlr_bj'], [16, 50, 84])
+print(f"  posterior mlr_bj: {mlr_q[1]:.3e} "
+      f"[+{mlr_q[2]-mlr_q[1]:.1e} / -{mlr_q[1]-mlr_q[0]:.1e}], "
+      f"acceptance {post.acceptance:.2f}, "
+      f"R-hat {post.r_hat['properties.mlr_bj']:.3f}")
 
 # ----------------------------------------------------------------------- #
 # 2. Light curve: recover an ejection event from 12 epochs at 44 GHz

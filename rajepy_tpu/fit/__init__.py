@@ -145,7 +145,7 @@ def _chi_scan(red, launch_time, t0, sigma, rel_amp, is_red):
 # Forward models
 # --------------------------------------------------------------------------- #
 def build_flux_forward(jm, freqs, free: Sequence[str],
-                       time: float = None):
+                       time: float = None, dtype=None):
     """``(forward, theta0)`` with ``forward(theta) -> (n_chan, nx, nz)``
     flux maps [Jy/pixel], differentiable in every freed parameter.
 
@@ -159,11 +159,11 @@ def build_flux_forward(jm, freqs, free: Sequence[str],
     _check_free(free)
     params = copy.deepcopy(jm.params)
     t_model = float(jm.time if time is None else time)
+    dt = jnp.float64 if dtype is None else dtype
     nx, ny, nz = jm.nx, jm.ny, jm.nz
     xx, yy, zz = G.grid_corner_coords(nx, ny, nz, params['grid']['c_size'])
-    xx, yy, zz = (jnp.asarray(np.asarray(c), jnp.float64)
-                  for c in (xx, yy, zz))
-    freqs = jnp.atleast_1d(jnp.asarray(freqs, jnp.float64))
+    xx, yy, zz = (jnp.asarray(np.asarray(c), dt) for c in (xx, yy, zz))
+    freqs = jnp.atleast_1d(jnp.asarray(freqs, dt))
     reyn = params['power_laws']['q_T'] != 0.0  # classes.py:1388-1393
     has_bursts = jm._has_bursts
     csize = params['grid']['c_size']
@@ -173,14 +173,14 @@ def build_flux_forward(jm, freqs, free: Sequence[str],
     # may move, and chi is a ratio — so the static burst arrays are exact
     if has_bursts:
         burst = jm._burst_tuple()
-        b_t0 = jnp.asarray([b[0] for b in burst], jnp.float64)
+        b_t0 = jnp.asarray([b[0] for b in burst], dt)
         b_sig = jnp.asarray([np.sqrt(1.0 / (2.0 * b[1])) for b in burst],
-                            jnp.float64)
-        b_amp = jnp.asarray([b[2] for b in burst], jnp.float64)
+                            dt)
+        b_amp = jnp.asarray([b[2] for b in burst], dt)
         b_red = jnp.asarray([b[3] for b in burst], jnp.bool_)
 
     def forward(theta):
-        q, rb_frac = _substitute(free, params, theta)
+        q, rb_frac = _substitute(free, params, jnp.asarray(theta, dt))
         f = F.compute_static_fields(q, xx, yy, zz, rb_frac,
                                     with_time=has_bursts)
         nd = f.nd
@@ -199,9 +199,16 @@ def build_flux_forward(jm, freqs, free: Sequence[str],
     return forward, _encode(free, params)
 
 
-def build_sed_forward(jm, freqs, free: Sequence[str], time: float = None):
-    """``forward(theta) -> (n_chan,)`` integrated fluxes [Jy]."""
-    fwd, theta0 = build_flux_forward(jm, freqs, free, time)
+def build_sed_forward(jm, freqs, free: Sequence[str], time: float = None,
+                      dtype=None):
+    """``forward(theta) -> (n_chan,)`` integrated fluxes [Jy].
+
+    ``dtype`` selects the compute precision of the forward (default
+    float64 — the oracle-grade CPU path).  float32 runs the whole
+    forward/backward at TPU-native precision for on-chip fitting of
+    production grids; the optimisation vector stays float64 outside.
+    """
+    fwd, theta0 = build_flux_forward(jm, freqs, free, time, dtype)
 
     def forward(theta):
         return jnp.sum(fwd(theta), axis=(1, 2))

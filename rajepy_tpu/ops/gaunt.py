@@ -99,8 +99,12 @@ def gff(freq, temp, z: float = 1.0):
     jit-compatible (device gather over the resident table).
     """
     x0, y0, step, table = load_vanhoof_table()
-    logg2 = jnp.log10(z ** 2 * _RY_INF / (cnsts.K_B * jnp.asarray(temp)))
-    logu = jnp.log10(cnsts.H * jnp.asarray(freq) /
-                     (cnsts.K_B * jnp.asarray(temp)))
+    # log-sum form, not log-of-ratio: the ratio's reverse-mode JVP squares
+    # k_B*T (~1.9e-38), which sits at the edge of the float32 normal range
+    # and blows the gradient up to inf on the f32 (TPU-fitting) path
+    log_t = jnp.log10(jnp.asarray(temp))
+    logg2 = float(np.log10(z ** 2 * _RY_INF / cnsts.K_B)) - log_t
+    logu = (float(np.log10(cnsts.H / cnsts.K_B)) +
+            jnp.log10(jnp.asarray(freq)) - log_t)
     logg2, logu = jnp.broadcast_arrays(logg2, logu)
     return interp_bicubic(table, x0, y0, step, logg2, logu)

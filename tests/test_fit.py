@@ -77,6 +77,28 @@ class TestForwardParity:
             jfit.build_sed_forward(jm, SED_FREQS, ('properties.n_0',))
 
 
+class TestFloat32Path:
+    def test_f32_forward_and_grad_match_f64(self, model_params):
+        # the TPU-native fitting precision: forward within f32 eps of the
+        # f64 oracle, gradients finite and matching (the gaunt log-sum
+        # form guards against the k_B*T ~ 1e-19 JVP underflow)
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        free = ('properties.mlr_bj', 'properties.T_0')
+        f64, th0 = jfit.build_sed_forward(jm, SED_FREQS, free)
+        f32, _ = jfit.build_sed_forward(jm, SED_FREQS, free,
+                                        dtype=jnp.float32)
+        a, b = np.asarray(f64(th0)), np.asarray(f32(th0))
+        assert b.dtype == np.float32
+        assert b == pytest.approx(a, rel=1e-5)
+        g32 = np.asarray(jax.grad(
+            lambda t: jnp.sum(jnp.log(f32(t))))(th0))
+        g64 = np.asarray(jax.grad(
+            lambda t: jnp.sum(jnp.log(f64(t))))(th0))
+        assert np.all(np.isfinite(g32))
+        assert g32 == pytest.approx(g64, rel=1e-4)
+
+
 class TestGradients:
     def test_grad_matches_finite_difference(self, model_params):
         jm = JetModel(_small(model_params))

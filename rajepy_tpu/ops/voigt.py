@@ -31,6 +31,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _SQRT_PI = 1.7724538509055159
@@ -118,6 +119,7 @@ def _wofz_core(x, y, n_weideman, cf_levels, s_cut):
             jnp.where(far, asym_im, w_im))
 
 
+@jax.custom_jvp
 def wofz(x, y):
     """Faddeeva function ``w(x + iy)`` for ``y >= 0``.
 
@@ -163,6 +165,21 @@ def wofz(x, y):
 
     return (jnp.where(tiny, taylor_re, w_re),
             jnp.where(tiny, taylor_im, w_im))
+
+
+@wofz.defjvp
+def _wofz_jvp(primals, tangents):
+    """Exact derivative via the Faddeeva ODE ``w'(z) = -2 z w(z) +
+    2i/sqrt(pi)`` — one complex multiply on the already-computed primal
+    instead of differentiating through the 128-term Horner recurrence
+    (whose unrolled VJP costs ~100x the forward and dominates RRL fit
+    gradients).  With ``z = x + iy``: d/dx w = w', d/dy w = i w'."""
+    x, y = primals
+    dx, dy = tangents
+    wr, wi = wofz(x, y)
+    dpr = -2.0 * (x * wr - y * wi)                    # Re w'
+    dpi = -2.0 * (x * wi + y * wr) + 2.0 / _SQRT_PI   # Im w'
+    return (wr, wi), (dpr * dx - dpi * dy, dpi * dx + dpr * dy)
 
 
 def voigt_profile(dnu, fwhm_gauss, fwhm_lorentz):

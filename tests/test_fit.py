@@ -29,6 +29,10 @@ def _small(params, n=16):
 # SED is pure blackbody and carries no density information
 SED_FREQS = np.array([6e9, 4.4e10, 1e11, 3e11])
 
+from rajepy_tpu.ops import rrls as _mrrl  # noqa: E402
+
+_H58A_NU0 = _mrrl.rrl_nu_0('H', 58, 1)
+
 
 class TestForwardParity:
     def test_sed_forward_matches_flux_ff(self, model_params):
@@ -76,6 +80,21 @@ class TestForwardParity:
         with pytest.raises(ValueError, match="unsupported free parameter"):
             jfit.build_sed_forward(jm, SED_FREQS, ('properties.n_0',))
 
+    def test_rrl_forward_matches_flux_rrl(self, model_params):
+        # line-only and line+continuum forms both replay the public
+        # flux_rrl chain exactly (bursts active)
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 5))
+        for contsub in (True, False):
+            fwd, th0 = jfit.build_rrl_spectrum_forward(
+                jm, 'H58a', freqs,
+                ('properties.T_0', 'target.v_lsr'), contsub=contsub)
+            ours = np.asarray(fwd(th0))
+            api = np.nansum(jm.flux_rrl('H58a', freqs, contsub=contsub),
+                            axis=(1, 2))
+            assert ours == pytest.approx(api, rel=1e-12)
+
 
 class TestFloat32Path:
     def test_f32_forward_and_grad_match_f64(self, model_params):
@@ -115,6 +134,28 @@ class TestGradients:
             fd = (float(loss(th0.at[i].add(eps))) -
                   float(loss(th0.at[i].add(-eps)))) / (2 * eps)
             assert g[i] == pytest.approx(fd, rel=2e-5, abs=1e-12)
+
+    def test_rrl_grad_matches_finite_difference(self, model_params):
+        # exercises the wofz custom JVP (the Faddeeva-ODE derivative)
+        # through the full line chain: Doppler shift, widths, Voigt,
+        # kappa_L, slab intensity
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        free = ('properties.T_0', 'target.v_lsr', 'properties.mlr_bj')
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 5))
+        fwd, th0 = jfit.build_rrl_spectrum_forward(jm, 'H58a', freqs,
+                                                   free)
+
+        def loss(th):
+            return jnp.sum(fwd(th) * 1e6) ** 2
+
+        g = np.asarray(jax.grad(loss)(th0))
+        assert np.all(np.isfinite(g)) and np.all(g != 0)
+        eps = 1e-5
+        for i in range(len(free)):
+            fd = (float(loss(th0.at[i].add(eps))) -
+                  float(loss(th0.at[i].add(-eps)))) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=5e-5, abs=1e-12)
 
     def test_light_curve_grad_finite(self, model_params):
         jm = JetModel(_small(model_params))
@@ -359,6 +400,34 @@ class TestRecovery:
         assert res.t_0 == pytest.approx([1.0, 2.2], abs=5e-3)
         assert res.hl == pytest.approx([0.3, 0.5], rel=2e-2)
         assert res.chi == pytest.approx([3.0, 5.0], rel=2e-2)
+
+    def test_rrl_spectrum_recovers_temperature_and_velocity(
+            self, model_params):
+        # the two classic line-profile observables: Doppler width -> T_0,
+        # centroid -> systemic velocity.  A continuum SED cannot separate
+        # either; the line profile pins both to optimiser precision.
+        p = _small(model_params)
+        nu0 = _H58A_NU0
+        freqs = nu0 * (1.0 + np.linspace(-4e-4, 4e-4, 17))
+        pt = copy.deepcopy(p)
+        true_t0 = p['properties']['T_0'] * 0.7
+        true_v = 25.0
+        pt['properties']['T_0'] = true_t0
+        pt['target']['v_lsr'] = true_v
+        jm_true = JetModel(pt)
+        jm_true.time = 2.0 * YEAR
+        obs = np.nansum(jm_true.flux_rrl('H58a', freqs, contsub=True),
+                        axis=(1, 2))
+
+        jm = JetModel(p)
+        jm.time = 2.0 * YEAR
+        res = jfit.fit_rrl_spectrum(jm, 'H58a', freqs, obs, steps=700,
+                                    learning_rate=0.2)
+        assert res.values['properties.T_0'] == pytest.approx(true_t0,
+                                                             rel=1e-4)
+        assert res.values['target.v_lsr'] == pytest.approx(true_v,
+                                                           abs=1e-3)
+        assert res.loss[-1] < 1e-12 < res.loss[0]
 
     def test_light_curve_forward_handles_rb_burst(self, model_params):
         # a 'RB' burst contributes to both jets; the forward at theta0

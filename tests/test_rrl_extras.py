@@ -226,6 +226,33 @@ class TestNonLTECoefficients:
         assert ours == pytest.approx(ref, rel=1e-12)
 
 
+class TestWofzDerivative:
+    def test_custom_jvp_matches_finite_difference(self):
+        # wofz carries a custom JVP from the Faddeeva ODE
+        # w'(z) = -2 z w(z) + 2i/sqrt(pi) (ops/voigt.py) — check both
+        # partials of both parts against central differences across the
+        # rational, continued-fraction and small-y regions
+        import jax
+        from rajepy_tpu.ops.voigt import wofz
+        pts = [(0.3, 0.1), (2.0, 1.0), (7.5, 0.02), (12.0, 5.0),
+               (0.5, 4.0), (20.0, 1e-3)]
+        eps = 1e-6
+        for x0, y0 in pts:
+            for part in (0, 1):
+                gx = float(jax.grad(
+                    lambda a: wofz(a, jnp.float64(y0))[part])(
+                        jnp.float64(x0)))
+                fdx = float((wofz(x0 + eps, y0)[part] -
+                             wofz(x0 - eps, y0)[part]) / (2 * eps))
+                assert gx == pytest.approx(fdx, rel=1e-6, abs=1e-10)
+                gy = float(jax.grad(
+                    lambda b: wofz(jnp.float64(x0), b)[part])(
+                        jnp.float64(y0)))
+                fdy = float((wofz(x0, y0 + eps)[part] -
+                             wofz(x0, y0 - eps)[part]) / (2 * eps))
+                assert gy == pytest.approx(fdy, rel=1e-6, abs=1e-10)
+
+
 class TestLineConstants:
     def test_rest_freq_and_widths_parity(self):
         rrrl = _ref_rrls()

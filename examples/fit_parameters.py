@@ -7,9 +7,11 @@ forward-only CASA pipeline cannot:
 
 1. fit mass-loss rate + temperature to an observed SED,
 2. recover ejection-burst parameters (epoch, half-life, amplitude)
-   from a flux light curve.
+   from a flux light curve,
+3. fit an RRL line profile: Doppler width -> temperature, centroid ->
+   systemic velocity (through the custom-JVP Faddeeva function).
 
-Runs on CPU (f64) in ~1 min:
+Runs on CPU (f64) in a few minutes:
 
     JAX_PLATFORM_NAME=cpu python examples/fit_parameters.py
 """
@@ -90,3 +92,28 @@ print("Light-curve fit (true: t_0=1.2 yr, hl=0.4 yr, chi=4.0):")
 print(f"  t_0: {res_lc.t_0[0]:.4f} yr")
 print(f"  hl:  {res_lc.hl[0]:.4f} yr")
 print(f"  chi: {res_lc.chi[0]:.4f}")
+
+# ----------------------------------------------------------------------- #
+# 3. RRL line profile: temperature from the Doppler width, systemic
+#    velocity from the centroid (channels spanning the H58a line)
+# ----------------------------------------------------------------------- #
+from rajepy_tpu.ops import rrls as mrrl                       # noqa: E402
+
+nu0 = mrrl.rrl_nu_0('H', 58, 1)
+chan = nu0 * (1.0 + np.linspace(-4e-4, 4e-4, 17))
+
+line_true = copy.deepcopy(base)
+line_true['properties']['T_0'] = 7000.0
+line_true['target']['v_lsr'] = 25.0            # receding at 25 km/s
+jm_l = JetModel(line_true)
+jm_l.time = 2.0 * YEAR
+spectrum = np.nansum(jm_l.flux_rrl('H58a', chan, contsub=True),
+                     axis=(1, 2))
+
+jm_guess = JetModel(copy.deepcopy(base))        # T_0=1e4, v_lsr=6.2
+jm_guess.time = 2.0 * YEAR
+res_l = jfit.fit_rrl_spectrum(jm_guess, 'H58a', chan, spectrum,
+                              steps=700, learning_rate=0.2)
+print("RRL line-profile fit (true: T_0=7000 K, v_lsr=25 km/s):")
+print(f"  T_0:   {res_l.values['properties.T_0']:.1f} K")
+print(f"  v_lsr: {res_l.values['target.v_lsr']:.3f} km/s")

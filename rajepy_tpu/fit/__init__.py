@@ -747,6 +747,41 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
                     optimizer)
 
 
+def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
+                 free: Sequence[str] = ('properties.T_0',
+                                        'properties.v_0'),
+                 steps: int = 400, learning_rate: float = 0.05,
+                 time=None, contsub: bool = True,
+                 optimizer=None) -> FitResult:
+    """Fit freed parameters to a spatially-resolved RRL channel cube
+    ``observed_cube`` of shape (n_chan, nx, nz) [Jy/pixel].
+
+    Position-velocity structure is the observable here: the jet's LOS
+    velocity field shifts the line differentially along the axis, so a
+    resolved cube constrains the velocity law (``properties.v_0``,
+    ``power_laws.q_v``) that a spatially-integrated spectrum — where
+    red- and blue-shifted emission blend into one profile — cannot
+    separate.  The kinematic inverse problem of the reference's
+    forward-only channel maps (classes.py:1292-1351).
+    """
+    fwd, theta0 = build_rrl_forward(jm, line, freqs, free, time,
+                                    contsub=contsub)
+    obs = jnp.asarray(np.asarray(observed_cube, float), jnp.float64)
+    if errors is None:
+        norm = jnp.sum(obs ** 2)
+
+        def loss(model):
+            return jnp.sum((model - obs) ** 2) / norm
+    else:
+        err = jnp.asarray(np.asarray(errors, float), jnp.float64)
+
+        def loss(model):
+            return jnp.mean(((model - obs) / err) ** 2)
+
+    return _run_fit(fwd, theta0, free, loss, steps, learning_rate,
+                    optimizer)
+
+
 # --------------------------------------------------------------------------- #
 # Light-curve (ejection burst) fitting
 # --------------------------------------------------------------------------- #

@@ -429,6 +429,33 @@ class TestRecovery:
                                                            abs=1e-3)
         assert res.loss[-1] < 1e-12 < res.loss[0]
 
+    def test_rrl_cube_recovers_velocity_law(self, model_params):
+        # position-velocity structure: at off-axis inclination the jet's
+        # LOS velocity shifts the line differentially along the axis, so
+        # a resolved channel cube pins v_0 — which the spatially-
+        # integrated spectrum (red/blue blended) cannot separate
+        p = _small(model_params)
+        p['geometry'].update(inc=60., pa=0.)
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-1.5e-3, 1.5e-3, 15))
+        pt = copy.deepcopy(p)
+        true_v0 = p['properties']['v_0'] * 1.5
+        pt['properties']['v_0'] = true_v0
+        jm_true = JetModel(pt)
+        jm_true.time = 2.0 * YEAR
+        obs = np.nan_to_num(jm_true.flux_rrl('H58a', freqs, contsub=True))
+
+        jm = JetModel(p)
+        jm.time = 2.0 * YEAR
+        res = jfit.fit_rrl_cube(
+            jm, 'H58a', freqs, obs,
+            free=('properties.T_0', 'properties.v_0'),
+            steps=500, learning_rate=0.1)
+        assert res.values['properties.v_0'] == pytest.approx(true_v0,
+                                                             rel=1e-4)
+        assert res.values['properties.T_0'] == pytest.approx(
+            p['properties']['T_0'], rel=1e-4)
+        assert res.loss[-1] < 1e-14 < res.loss[0]
+
     def test_light_curve_forward_handles_rb_burst(self, model_params):
         # a 'RB' burst contributes to both jets; the forward at theta0
         # must match the public API light curve exactly

@@ -29,7 +29,10 @@ and the red/blue density ratio from ``mlr_rj/mlr_bj``.
 
 Positive-definite parameters are optimised in log space; angles and
 power-law indices in linear space.  Optimisation is optax.adam inside a
-single jitted ``lax.scan`` — one compile, every step on device.
+single jitted ``lax.scan`` — one compile, every step on device.  Every
+driver accepts ``n_starts`` (vmapped multi-start chains, best final
+loss wins) with an optional ``mesh`` to shard the starts axis across
+devices.
 
 Caveat — geometry parameters and the voxel mask: the jet silhouette is a
 hard 8-corner threshold (fields.fill_factor_area), so the loss along
@@ -245,13 +248,21 @@ class FitResult(NamedTuple):
 
 
 def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
-             optimizer):
+             optimizer, n_starts: int = 1, start_spread: float = 0.3,
+             seed: int = 0, mesh=None):
+    """Optimisation driver.  ``n_starts > 1`` runs that many optimiser
+    chains vmapped in ONE compiled program — theta0 plus jittered copies
+    (``start_spread`` sigma in the transformed log/linear space, so log
+    parameters jitter multiplicatively) — and keeps the converged chain
+    with the lowest final loss: the cheap insurance against secondary
+    minima (and the staircase plateaus of mask-moving geometry).  With
+    ``mesh``, the starts axis is sharded across its devices, so the
+    multi-start fit runs device-parallel."""
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
     def loss_fn(theta):
         return loss_of_model(forward(theta))
 
-    @jax.jit
     def run(theta):
         state = opt.init(theta)
 
@@ -265,7 +276,28 @@ def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
                                     length=steps)
         return theta, hist, jnp.linalg.norm(jax.grad(loss_fn)(theta))
 
-    theta, hist, gnorm = run(theta0)
+    if n_starts > 1:
+        key = jax.random.PRNGKey(seed)
+        jitter = start_spread * jax.random.normal(
+            key, (n_starts - 1, theta0.shape[0]), theta0.dtype)
+        th0s = jnp.concatenate([theta0[None], theta0[None] + jitter])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = mesh.axis_names[0]    # starts shard over the 1st axis
+            pad = -th0s.shape[0] % mesh.shape[axis]
+            if pad:                      # starts must divide the axis
+                th0s = jnp.concatenate([th0s,
+                                        jnp.broadcast_to(
+                                            th0s[-1:], (pad,) +
+                                            th0s.shape[1:])])
+            th0s = jax.device_put(th0s, NamedSharding(mesh, P(axis)))
+        thetas, hists, gnorms = jax.jit(jax.vmap(run))(th0s)
+        finals = np.asarray(hists[:, -1])
+        best = int(np.nanargmin(np.where(np.isfinite(finals), finals,
+                                         np.inf)))
+        theta, hist, gnorm = thetas[best], hists[best], gnorms[best]
+    else:
+        theta, hist, gnorm = jax.jit(run)(theta0)
     theta_np = np.asarray(theta)
     values = {}
     for i, p in enumerate(free):
@@ -342,7 +374,9 @@ def _sed_loss(observed, errors):
 def fit_sed(jm, freqs, observed, *, errors=None,
             free: Sequence[str] = ('properties.mlr_bj', 'properties.T_0'),
             steps: int = 400, learning_rate: float = 0.05, time=None,
-            optimizer=None) -> FitResult:
+            optimizer=None, n_starts: int = 1,
+            start_spread: float = 0.3, seed: int = 0,
+            mesh=None) -> FitResult:
     """Fit freed parameters to an observed SED (fluxes [Jy] at ``freqs``).
 
     With ``errors=None`` the loss is least-squares in log flux (radio
@@ -351,13 +385,16 @@ def fit_sed(jm, freqs, observed, *, errors=None,
     """
     forward, theta0 = build_sed_forward(jm, freqs, free, time)
     return _run_fit(forward, theta0, free, _sed_loss(observed, errors),
-                    steps, learning_rate, optimizer)
+                    steps, learning_rate, optimizer, n_starts,
+                    start_spread, seed, mesh)
 
 
 def fit_map(jm, freq, observed_map, *, errors=None,
             free: Sequence[str] = ('properties.mlr_bj', 'properties.T_0'),
             steps: int = 400, learning_rate: float = 0.05, time=None,
-            optimizer=None) -> FitResult:
+            optimizer=None, n_starts: int = 1,
+            start_spread: float = 0.3, seed: int = 0,
+            mesh=None) -> FitResult:
     """Fit freed parameters to an observed flux map [Jy/pixel] at one
     frequency (image-plane fitting — morphology constrains geometry
     parameters an SED cannot)."""
@@ -378,7 +415,7 @@ def fit_map(jm, freq, observed_map, *, errors=None,
         return fwd(theta)
 
     return _run_fit(forward, theta0, free, loss, steps, learning_rate,
-                    optimizer)
+                    optimizer, n_starts, start_spread, seed, mesh)
 
 
 class PosteriorResult(NamedTuple):
@@ -601,7 +638,9 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
                      steps: int = 400, learning_rate: float = 0.05,
                      time=None, apply_pb: bool = False,
                      dish_diameter_m: float = 25.0,
-                     optimizer=None) -> FitResult:
+                     optimizer=None, n_starts: int = 1,
+                     start_spread: float = 0.3, seed: int = 0,
+                     mesh=None) -> FitResult:
     """Fit freed parameters directly to observed complex visibilities
     (n_chan, n_vis) — no imaging in the loop.
 
@@ -620,7 +659,7 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
         return jnp.mean((r.real ** 2 + r.imag ** 2) * w)
 
     return _run_fit(forward, theta0, free, loss, steps, learning_rate,
-                    optimizer)
+                    optimizer, n_starts, start_spread, seed, mesh)
 
 
 # --------------------------------------------------------------------------- #
@@ -718,7 +757,9 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
                                             'target.v_lsr'),
                      steps: int = 400, learning_rate: float = 0.05,
                      time=None, contsub: bool = True,
-                     optimizer=None) -> FitResult:
+                     optimizer=None, n_starts: int = 1,
+                     start_spread: float = 0.3, seed: int = 0,
+                     mesh=None) -> FitResult:
     """Fit freed parameters to an observed RRL spectrum (integrated
     fluxes [Jy] at channel frequencies ``freqs`` spanning the line).
 
@@ -744,7 +785,7 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
             return jnp.mean(((model - obs) / err) ** 2)
 
     return _run_fit(forward, theta0, free, loss, steps, learning_rate,
-                    optimizer)
+                    optimizer, n_starts, start_spread, seed, mesh)
 
 
 def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
@@ -752,7 +793,9 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
                                         'properties.v_0'),
                  steps: int = 400, learning_rate: float = 0.05,
                  time=None, contsub: bool = True,
-                 optimizer=None) -> FitResult:
+                 optimizer=None, n_starts: int = 1,
+                 start_spread: float = 0.3, seed: int = 0,
+                 mesh=None) -> FitResult:
     """Fit freed parameters to a spatially-resolved RRL channel cube
     ``observed_cube`` of shape (n_chan, nx, nz) [Jy/pixel].
 
@@ -779,7 +822,7 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
             return jnp.mean(((model - obs) / err) ** 2)
 
     return _run_fit(fwd, theta0, free, loss, steps, learning_rate,
-                    optimizer)
+                    optimizer, n_starts, start_spread, seed, mesh)
 
 
 # --------------------------------------------------------------------------- #

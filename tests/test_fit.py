@@ -429,6 +429,37 @@ class TestRecovery:
                                                            abs=1e-3)
         assert res.loss[-1] < 1e-12 < res.loss[0]
 
+    def test_multi_start_matches_and_deepens_single_start(
+            self, model_params):
+        # n_starts > 1 runs vmapped optimiser chains in one program and
+        # keeps the best final loss — never worse than the single start,
+        # same recovered values; with a mesh the starts axis shards
+        # across devices
+        from rajepy_tpu.parallel import sharding as _sh
+        p = _small(model_params)
+        pt = copy.deepcopy(p)
+        true_mlr = p['properties']['mlr_bj'] * 2.5
+        pt['properties']['mlr_bj'] = true_mlr
+        jm_true = JetModel(pt)
+        jm_true.time = 2.0 * YEAR
+        obs = np.nansum(jm_true.flux_ff(SED_FREQS), axis=(1, 2))
+
+        jm = JetModel(p)
+        jm.time = 2.0 * YEAR
+        kw = dict(free=('properties.mlr_bj',), steps=250,
+                  learning_rate=0.05)
+        res1 = jfit.fit_sed(jm, SED_FREQS, obs, **kw)
+        res4 = jfit.fit_sed(jm, SED_FREQS, obs, n_starts=4, **kw)
+        assert res4.loss[-1] <= res1.loss[-1] * (1 + 1e-9)
+        assert res4.values['properties.mlr_bj'] == \
+            pytest.approx(true_mlr, rel=1e-3)
+        # sharded over the virtual mesh (starts pad 5 -> 8 on 'chan')
+        mesh = _sh.make_mesh(n_los=1, n_chan=8)
+        res_m = jfit.fit_sed(jm, SED_FREQS, obs, n_starts=5, mesh=mesh,
+                             **kw)
+        assert res_m.values['properties.mlr_bj'] == \
+            pytest.approx(true_mlr, rel=1e-3)
+
     def test_rrl_cube_recovers_velocity_law(self, model_params):
         # position-velocity structure: at off-axis inclination the jet's
         # LOS velocity shifts the line differentially along the axis, so

@@ -17,6 +17,8 @@ Entry points
                                              to a flux time series
 ``fit_rrl_spectrum(jm, line, freqs, obs)`` — fit an RRL line profile
                                              (widths → T/n_e, shifts → v)
+``fit_joint(jm, components)``              — one theta against several
+                                             observables at once
 
 Free parameters are named by dotted params-dict paths (e.g.
 ``'properties.mlr_bj'``, ``'properties.T_0'``, ``'geometry.inc'``).
@@ -235,6 +237,7 @@ class FitResult(NamedTuple):
     theta: np.ndarray            # final optimisation vector
     loss: np.ndarray             # loss per step
     model: np.ndarray            # forward model at the fitted parameters
+    #                              (a tuple of arrays for fit_joint)
     grad_norm: float             # |grad| at the final step
 
     def param_dict(self, params: Dict) -> Dict:
@@ -304,7 +307,8 @@ def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
         v = float(theta_np[i])
         values[p] = float(np.exp(v)) if SUPPORTED_FREE[p] == 'log' else v
     return FitResult(values=values, theta=theta_np,
-                     loss=np.asarray(hist), model=np.asarray(forward(theta)),
+                     loss=np.asarray(hist),
+                     model=jax.tree.map(np.asarray, forward(theta)),
                      grad_norm=float(gnorm))
 
 
@@ -354,6 +358,25 @@ def laplace_uncertainties(forward, theta, observed, free: Sequence[str],
         else:
             sigmas[path] = s_theta
     return sigmas, cov
+
+
+def _power_norm_loss(observed, errors):
+    """Least squares normalised by the observed power (for observables
+    that pass through zero — line profiles, maps — where the SED's
+    log-space loss does not apply), or per-point chi-squared with
+    ``errors``."""
+    obs = jnp.asarray(np.asarray(observed, float), jnp.float64)
+    if errors is None:
+        norm = jnp.sum(obs ** 2)
+
+        def loss(model):
+            return jnp.sum((model - obs) ** 2) / norm
+    else:
+        err = jnp.asarray(np.asarray(errors, float), jnp.float64)
+
+        def loss(model):
+            return jnp.mean(((model - obs) / err) ** 2)
+    return loss
 
 
 def _sed_loss(observed, errors):
@@ -667,7 +690,7 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
 # --------------------------------------------------------------------------- #
 def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
                       time: float = None, dtype=None,
-                      contsub: bool = True):
+                      contsub: bool = True, remat: bool = True):
     """``(forward, theta0)`` with ``forward(theta) -> (n_chan, nx, nz)``
     RRL flux maps [Jy/pixel], differentiable in every freed parameter.
 
@@ -688,7 +711,11 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
     forward-only pipeline (classes.py:1292-1351 + CASA) admits no such
     inversion.  ``dtype=float32`` runs the forward at TPU-native
     precision (the XLA ``lax.map`` channel loop — the Pallas tile path
-    has no VJP).
+    has no VJP).  ``remat`` (default on) checkpoints the per-channel
+    opacity body so the backward pass recomputes it instead of storing
+    grid-shaped residuals per channel — required above ~200³ on a 16 GB
+    chip (the unremat VJP wants ~20 GB at 256³ x 17 channels); turn off
+    for small grids if per-step speed matters more than memory.
     """
     _check_free(free)
     params = copy.deepcopy(jm.params)
@@ -725,7 +752,7 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
         tau_c = rt.tau_ff_maps(freqs, f.temp, n_es, ds, f.inside,
                                q['properties']['T_0'], reyn)
         tau_l = rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy, ds,
-                                f.inside)
+                                f.inside, remat=remat)
         tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
         ints = rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l, any_in)
         fl = ints * rt.flux_scale_jy(csize, q['target']['dist'])
@@ -772,20 +799,10 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
     """
     forward, theta0 = build_rrl_spectrum_forward(jm, line, freqs, free,
                                                  time, contsub=contsub)
-    obs = jnp.asarray(np.asarray(observed, float), jnp.float64)
-    if errors is None:
-        norm = jnp.sum(obs ** 2)
-
-        def loss(model):
-            return jnp.sum((model - obs) ** 2) / norm
-    else:
-        err = jnp.asarray(np.asarray(errors, float), jnp.float64)
-
-        def loss(model):
-            return jnp.mean(((model - obs) / err) ** 2)
-
-    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
-                    optimizer, n_starts, start_spread, seed, mesh)
+    return _run_fit(forward, theta0, free,
+                    _power_norm_loss(observed, errors), steps,
+                    learning_rate, optimizer, n_starts, start_spread,
+                    seed, mesh)
 
 
 def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
@@ -809,19 +826,120 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
     """
     fwd, theta0 = build_rrl_forward(jm, line, freqs, free, time,
                                     contsub=contsub)
-    obs = jnp.asarray(np.asarray(observed_cube, float), jnp.float64)
-    if errors is None:
-        norm = jnp.sum(obs ** 2)
+    return _run_fit(fwd, theta0, free,
+                    _power_norm_loss(observed_cube, errors), steps,
+                    learning_rate, optimizer, n_starts, start_spread,
+                    seed, mesh)
 
-        def loss(model):
-            return jnp.sum((model - obs) ** 2) / norm
+
+# --------------------------------------------------------------------------- #
+# Joint multi-observable fitting
+# --------------------------------------------------------------------------- #
+def _component_forward_loss(jm, comp: Dict, free, time, dtype):
+    """(forward, weighted_loss, theta0) for one fit_joint component."""
+    kind = comp['kind']
+    w = float(comp.get('weight', 1.0))
+    errors = comp.get('errors')
+    if kind == 'sed':
+        fwd, th0 = build_sed_forward(jm, comp['freqs'], free, time, dtype)
+        base = _sed_loss(comp['observed'], errors)
+    elif kind == 'map':
+        fwd0, th0 = build_flux_forward(jm, jnp.atleast_1d(comp['freq']),
+                                       free, time, dtype)
+
+        def fwd(theta, _f=fwd0):
+            return _f(theta)[0]
+
+        base = _power_norm_loss(comp['observed'], errors)
+    elif kind == 'rrl_spectrum':
+        fwd, th0 = build_rrl_spectrum_forward(
+            jm, comp['line'], comp['freqs'], free, time, dtype,
+            comp.get('contsub', True))
+        base = _power_norm_loss(comp['observed'], errors)
+    elif kind == 'rrl_cube':
+        fwd, th0 = build_rrl_forward(
+            jm, comp['line'], comp['freqs'], free, time, dtype,
+            comp.get('contsub', True))
+        base = _power_norm_loss(comp['observed'], errors)
+    elif kind == 'visibilities':
+        fwd, th0 = build_vis_forward(
+            jm, comp['freqs'], comp['uvw_m'], free, time,
+            comp.get('apply_pb', False),
+            comp.get('dish_diameter_m', 25.0))
+        obs = jnp.asarray(np.asarray(comp['observed'], complex),
+                          jnp.complex128)
+        sigma = comp.get('sigma')
+        wt = 1.0 if sigma is None else 1.0 / jnp.asarray(
+            sigma, jnp.float64) ** 2
+
+        def base(model, _o=obs, _w=wt):
+            r = model - _o
+            return jnp.mean((r.real ** 2 + r.imag ** 2) * _w)
     else:
-        err = jnp.asarray(np.asarray(errors, float), jnp.float64)
+        raise ValueError(
+            f"unknown joint-fit component kind {kind!r}; supported: "
+            "sed / map / rrl_spectrum / rrl_cube / visibilities")
 
-        def loss(model):
-            return jnp.mean(((model - obs) / err) ** 2)
+    def loss(model, _b=base, _w=w):
+        return _w * _b(model)
 
-    return _run_fit(fwd, theta0, free, loss, steps, learning_rate,
+    return fwd, loss, th0
+
+
+def fit_joint(jm, components: Sequence[Dict], *,
+              free: Sequence[str] = ('properties.mlr_bj',
+                                     'properties.T_0'),
+              steps: int = 400, learning_rate: float = 0.05, time=None,
+              dtype=None, optimizer=None, n_starts: int = 1,
+              start_spread: float = 0.3, seed: int = 0,
+              mesh=None) -> FitResult:
+    """Fit one parameter vector against SEVERAL observables at once —
+    the total loss is the (weighted) sum of each component's native
+    loss, and the exact gradient flows through all of them in one
+    program.
+
+    ``components`` is a sequence of dicts; each has a ``kind`` plus that
+    kind's data (all accept ``errors`` and ``weight``):
+
+    * ``{'kind': 'sed', 'freqs', 'observed'}`` — integrated fluxes [Jy]
+    * ``{'kind': 'map', 'freq', 'observed'}`` — a flux map [Jy/pixel]
+    * ``{'kind': 'rrl_spectrum', 'line', 'freqs', 'observed'
+        [, 'contsub']}`` — an RRL line profile
+    * ``{'kind': 'rrl_cube', 'line', 'freqs', 'observed'
+        [, 'contsub']}`` — a resolved RRL channel cube
+    * ``{'kind': 'visibilities', 'freqs', 'uvw_m', 'observed'
+        [, 'sigma', 'apply_pb', 'dish_diameter_m']}`` — complex
+      visibilities (f64 path; see build_vis_forward)
+
+    This is how degeneracies break: a continuum SED constrains
+    density×temperature along its own ridge, an RRL profile pins the
+    temperature independently (Doppler width) and the velocity
+    (centroid) — jointly they separate what neither can alone.  The
+    multi-epoch × multi-frequency × line run matrix the reference only
+    *simulates* (classes.py:2140-2172) becomes a single coherent
+    inference here.  ``FitResult.model`` is the tuple of fitted model
+    outputs, one per component.
+    """
+    if not components:
+        raise ValueError("fit_joint needs at least one component")
+    fwds, losses = [], []
+    theta0 = None
+    for comp in components:
+        f, l, th0 = _component_forward_loss(jm, comp, free, time, dtype)
+        fwds.append(f)
+        losses.append(l)
+        theta0 = th0
+
+    def forward(theta):
+        return tuple(f(theta) for f in fwds)
+
+    def loss(models):
+        total = losses[0](models[0])
+        for l, m in zip(losses[1:], models[1:]):
+            total = total + l(m)
+        return total
+
+    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
                     optimizer, n_starts, start_spread, seed, mesh)
 
 

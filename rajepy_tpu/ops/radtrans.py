@@ -179,7 +179,8 @@ class RRLCoeffs:
         self.z = cnsts.z_number(element)
 
 
-def tau_rrl_maps(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside):
+def tau_rrl_maps(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside,
+                 remat: bool = False):
     """Collapsed RRL optical-depth maps for all channels: (n_chan, nx, nz).
 
     Per channel (classes.py:1130-1229): Doppler-shift the rest frequency by
@@ -188,6 +189,13 @@ def tau_rrl_maps(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside):
     y.  Channels are processed by ``lax.map`` so only one grid-shaped
     temporary set is live at a time (a (n_chan, nx, ny, nz) cube at 512^3
     would not fit HBM).
+
+    ``remat=True`` wraps the per-channel body in ``jax.checkpoint`` for
+    reverse-mode callers (the fit forwards): without it the lax.map VJP
+    stacks every grid-shaped Voigt/kappa temporary per channel — ~20 GB
+    of HLO temps at 256^3 x 17 channels, over HBM — with it only the
+    collapsed (nx, nz) maps are stored and the channel body recomputes
+    in the backward pass.  Forward-only callers leave it off.
     """
     safe_t = jnp.where(inside, temp, 1.0)
     safe_ne = jnp.where(inside, n_es, 0.0)
@@ -203,7 +211,8 @@ def tau_rrl_maps(coeffs: RRLCoeffs, freqs, temp, n_es, vy, ds_cm, inside):
         tau = jnp.where(inside, kap * ds_cm, 0.0)
         return jnp.sum(tau, axis=LOS_AXIS)
 
-    return lax.map(one_channel, jnp.asarray(freqs))
+    body = jax.checkpoint(one_channel) if remat else one_channel
+    return lax.map(body, jnp.asarray(freqs))
 
 
 def tau_rrl_precompute(coeffs: RRLCoeffs, temp, n_es, vy, ds_cm, inside):

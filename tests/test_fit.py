@@ -460,6 +460,48 @@ class TestRecovery:
         assert res_m.values['properties.mlr_bj'] == \
             pytest.approx(true_mlr, rel=1e-3)
 
+    def test_joint_sed_plus_line_breaks_degeneracy(self, model_params):
+        # one theta fitted against two observables at once: the SED
+        # constrains the density (v_lsr-blind — its gradient through the
+        # continuum is exactly zero), the line profile pins temperature
+        # and velocity; jointly all three recover
+        p = _small(model_params)
+        line_freqs = _H58A_NU0 * (1.0 + np.linspace(-4e-4, 4e-4, 13))
+        pt = copy.deepcopy(p)
+        true_mlr = p['properties']['mlr_bj'] * 2.0
+        pt['properties'].update(mlr_bj=true_mlr, T_0=7000.0)
+        pt['target']['v_lsr'] = 20.0
+        jm_t = JetModel(pt)
+        jm_t.time = 2.0 * YEAR
+        sed_obs = np.nansum(jm_t.flux_ff(SED_FREQS), axis=(1, 2))
+        line_obs = np.nansum(jm_t.flux_rrl('H58a', line_freqs,
+                                           contsub=True), axis=(1, 2))
+
+        jm = JetModel(p)
+        jm.time = 2.0 * YEAR
+        res = jfit.fit_joint(
+            jm,
+            [{'kind': 'sed', 'freqs': SED_FREQS, 'observed': sed_obs},
+             {'kind': 'rrl_spectrum', 'line': 'H58a',
+              'freqs': line_freqs, 'observed': line_obs}],
+            free=('properties.mlr_bj', 'properties.T_0',
+                  'target.v_lsr'),
+            steps=700, learning_rate=0.2)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(true_mlr, rel=1e-4)
+        assert res.values['properties.T_0'] == pytest.approx(7000.0,
+                                                             rel=1e-4)
+        assert res.values['target.v_lsr'] == pytest.approx(20.0,
+                                                           abs=1e-3)
+        assert isinstance(res.model, tuple) and len(res.model) == 2
+        assert res.model[0].shape == (len(SED_FREQS),)
+        assert res.model[1].shape == (len(line_freqs),)
+
+    def test_joint_unknown_kind_raises(self, model_params):
+        jm = JetModel(_small(model_params))
+        with pytest.raises(ValueError, match="unknown joint-fit"):
+            jfit.fit_joint(jm, [{'kind': 'nope', 'observed': [1.0]}])
+
     def test_rrl_cube_recovers_velocity_law(self, model_params):
         # position-velocity structure: at off-axis inclination the jet's
         # LOS velocity shifts the line differentially along the axis, so

@@ -146,22 +146,29 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     imsize += imsize % 2
 
     # small-field (coplanar) validity check: the FFT sampler drops the
-    # w(n-1) phase; warn when the a-priori bound says it matters
+    # w(n-1) phase; when the a-priori bound says it matters
     # (long-baseline configs — VLBA/LOFAR/ngVLA — at wide model fields)
+    # switch the forward model to w-stacking with enough planes to hold
+    # the residual under ~1e-3 per unit flux (CASA's simobserve computes
+    # the full measurement equation; tclean's default 'standard' gridder
+    # images without w-correction, which the imaging stage below matches)
     field_radius_rad = 0.5 * max(nx_m, ny_m) * cell_model_rad
     w_phase = sampler.w_term_max_phase_error(uvw, float(np.max(freqs)),
                                              field_radius_rad)
-    if w_phase > 0.1 and log:
-        log.add_entry(
-            "WARNING",
-            "non-coplanar (w-term) phase error bound {:.2f} rad at the "
-            "field edge exceeds 0.1 rad: the 2-D FFT sampler's "
-            "small-field approximation is breaking down for this "
-            "baseline/field combination (max|w|={:.2e} m, field radius "
-            "{:.1f}\"). Validate against sampler.sample_vis_dft_w or "
-            "shrink the field.".format(
-                w_phase, float(np.max(np.abs(uvw[:, 2]))),
-                field_radius_rad / cnsts.ARCSEC))
+    w_planes = 0
+    if w_phase > 0.1:
+        w_planes = sampler.n_wplanes_for(uvw, float(np.max(freqs)),
+                                         field_radius_rad)
+        if log:
+            log.add_entry(
+                "INFO",
+                "non-coplanar (w-term) phase error bound {:.2f} rad at "
+                "the field edge exceeds 0.1 rad (max|w|={:.2e} m, field "
+                "radius {:.1f}\"): sampling visibilities by w-stacking "
+                "over {} plane(s)".format(
+                    w_phase, float(np.max(np.abs(uvw[:, 2]))),
+                    field_radius_rad / cnsts.ARCSEC, w_planes),
+                timestamp=False)
 
     # --- visibilities per channel --------------------------------------- #
     lam = cnsts.C / freqs
@@ -223,7 +230,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
             jnp.asarray(sky, rdt), cell_model_rad, jnp.asarray(uvw, rdt),
             jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
-            dish_diameter_m=mean_dish)
+            dish_diameter_m=mean_dish, w_planes=w_planes)
         kt.set_result((re_c, im_c, re_n, im_n))
     # keep visibilities as (re, im) float pairs end to end: complex
     # arrays can't cross the device boundary on TPU backends, and a

@@ -35,22 +35,8 @@ def sky_fft(image, pad: int = _PAD):
     return jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(padded)))
 
 
-@partial(jax.jit, static_argnames=('pad',))
-def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD):
-    """Sample the sky model's Fourier transform at (u, v) [wavelengths].
-
-    u is the east-west spatial frequency conjugate to RA offset, v conjugate
-    to Dec offset.  Bilinear interpolation on the padded FFT grid; RA runs
-    along -x in the FITS image (CDELT1 < 0), handled by the caller's sign
-    convention.  Returns complex visibilities [Jy].
-    """
-    # pin every operand to the image's precision: under x64 a python-float
-    # cell size would promote the chain to f64/c128, which TPU rejects
-    rdt = image.dtype
-    cell_rad = jnp.asarray(cell_rad, rdt)
-    u_wav = jnp.asarray(u_wav, rdt)
-    v_wav = jnp.asarray(v_wav, rdt)
-    vis_grid = sky_fft(image, pad=pad)
+def _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav):
+    """Bilinear interpolation of a centred uv grid at (u, v) [wavelengths]."""
     n_big = vis_grid.shape
     du_v = 1.0 / (n_big[0] * cell_rad)   # v axis (dec)
     du_u = 1.0 / (n_big[1] * cell_rad)   # u axis (ra)
@@ -68,6 +54,114 @@ def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD):
     v11 = vis_grid[y0 + 1, x0 + 1]
     return ((1 - ty) * ((1 - tx) * v00 + tx * v01) +
             ty * ((1 - tx) * v10 + tx * v11))
+
+
+@partial(jax.jit, static_argnames=('pad',))
+def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD):
+    """Sample the sky model's Fourier transform at (u, v) [wavelengths].
+
+    u is the east-west spatial frequency conjugate to RA offset, v conjugate
+    to Dec offset.  Bilinear interpolation on the padded FFT grid; RA runs
+    along -x in the FITS image (CDELT1 < 0), handled by the caller's sign
+    convention.  Returns complex visibilities [Jy].
+    """
+    # pin every operand to the image's precision: under x64 a python-float
+    # cell size would promote the chain to f64/c128, which TPU rejects
+    rdt = image.dtype
+    cell_rad = jnp.asarray(cell_rad, rdt)
+    u_wav = jnp.asarray(u_wav, rdt)
+    v_wav = jnp.asarray(v_wav, rdt)
+    vis_grid = sky_fft(image, pad=pad)
+    return _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav)
+
+
+@partial(jax.jit, static_argnames=('n_wplanes', 'pad'))
+def sample_vis_wstack(image, cell_rad: float, u_wav, v_wav, w_wav,
+                      n_wplanes: int = 8, pad: int = _PAD):
+    """Wide-field visibility sampling by w-stacking.
+
+    Handles the non-coplanar measurement equation the plain FFT path drops
+    (see :func:`sample_vis_dft_w`): the sky (with its 1/n Jacobian) is
+    multiplied by the w phase screen ``e^{-2 pi i w_p (n - 1)}`` on each of
+    ``n_wplanes`` planes spanning [min w, max w], each screened sky is
+    FFT'd, and every visibility linearly interpolates between its two
+    bracketing planes (hat weights) after bilinear (u, v) degridding.  The
+    per-plane FFTs run as a ``lax.scan`` so only one padded grid is live
+    at a time.  Residual amplitude error ~ (pi dw (1-cos theta))^2 / 8 per
+    plane spacing dw — :func:`n_wplanes_for` picks the plane count for a
+    target tolerance.  CASA handles w inside simobserve (the reference's
+    delegation at casa/tasks.py:215-277); this is the TPU-native
+    equivalent, batched FFTs instead of per-visibility convolution.
+
+    With ``n_wplanes=1`` this degenerates to a single screen at the mean w
+    (the "w-shift" approximation) — still including the 1/n Jacobian, so
+    it differs from :func:`sample_vis` even at w=0 for wide fields.
+    """
+    ny, nx = image.shape
+    rdt = image.dtype
+    cell_rad = jnp.asarray(cell_rad, rdt)
+    u_wav = jnp.asarray(u_wav, rdt)
+    v_wav = jnp.asarray(v_wav, rdt)
+    w_wav = jnp.asarray(w_wav, rdt)
+
+    l_ax = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_rad
+    m_ax = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_rad
+    ll, mm = jnp.meshgrid(l_ax, m_ax)
+    nn = jnp.sqrt(jnp.maximum(1.0 - ll ** 2 - mm ** 2,
+                              jnp.asarray(1e-12, rdt)))
+    base = image / nn
+    n1 = nn - 1.0
+
+    if n_wplanes == 1:
+        planes = 0.5 * (jnp.min(w_wav) + jnp.max(w_wav))[None]
+        frac_idx = jnp.zeros_like(w_wav)  # hat == 1 everywhere
+    else:
+        w_lo = jnp.min(w_wav)
+        dw = (jnp.max(w_wav) - w_lo) / (n_wplanes - 1)
+        planes = w_lo + dw * jnp.arange(n_wplanes, dtype=rdt)
+        # hat weights are computed in PLANE-INDEX space: with coincident
+        # planes (all w equal -> dw == 0) every visibility maps to
+        # fractional index 0, so only plane 0 carries weight instead of
+        # every duplicate plane overcounting (a w-value-space guard fails
+        # here: no representable epsilon separates planes at |w| ~ 1e8)
+        dw_safe = jnp.maximum(dw, jnp.asarray(1e-30, rdt))
+        frac_idx = (w_wav - w_lo) / dw_safe
+
+    def one_plane(acc, plane):
+        w_p, p_idx = plane
+        ph = (-2.0 * jnp.pi) * w_p * n1
+        img_c = jax.lax.complex(base * jnp.cos(ph), base * jnp.sin(ph))
+        grid = sky_fft(img_c, pad=pad)
+        vis_p = _bilerp_uv(grid, cell_rad, u_wav, v_wav)
+        hat = jnp.clip(1.0 - jnp.abs(frac_idx - p_idx), 0.0, 1.0)
+        return acc + hat * vis_p, None
+
+    acc0 = jnp.zeros(u_wav.shape,
+                     dtype=jax.lax.complex(jnp.zeros((), rdt),
+                                           jnp.zeros((), rdt)).dtype)
+    acc, _ = jax.lax.scan(one_plane, acc0,
+                          (planes, jnp.arange(n_wplanes, dtype=rdt)))
+    return acc
+
+
+def n_wplanes_for(uvw_m, freq_hz: float, field_radius_rad: float,
+                  tol: float = 1e-3, max_planes: int = 128) -> int:
+    """Plane count for :func:`sample_vis_wstack` such that the linear
+    w-interpolation's amplitude error stays below ``tol`` (per unit flux
+    at the field edge): the phase step between adjacent planes is
+    ``dphi = 2 pi dw (1 - cos theta)`` and the hat-interpolation error of
+    ``e^{i phi}`` is ``<= dphi^2 / 8``, so we need
+    ``dphi <= sqrt(8 tol)``.  Returns 1 when even the full w range is
+    within tolerance (a single mean-w screen suffices)."""
+    ws = np.asarray(uvw_m)[:, 2] if np.asarray(uvw_m).shape[1] > 2 else \
+        np.zeros(1)
+    lam = 299792458.0 / float(freq_hz)
+    w_span = float(np.max(ws) - np.min(ws)) / lam
+    span_phase = 2.0 * np.pi * w_span * (1.0 - np.cos(field_radius_rad))
+    dphi_max = np.sqrt(8.0 * tol)
+    if span_phase <= dphi_max:
+        return 1
+    return int(min(np.ceil(span_phase / dphi_max) + 1, max_planes))
 
 
 @jax.jit
@@ -151,10 +245,11 @@ def w_term_max_phase_error(uvw_m, freq_hz: float,
     return 2.0 * np.pi * (w_max_m / lam) * (1.0 - np.cos(theta))
 
 
-@partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size'))
+@partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
+                                   'w_planes'))
 def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
                     dish_diameter_m: float = 25.0, pad: int = _PAD,
-                    batch_size: int = 4):
+                    batch_size: int = 4, w_planes: int = 0):
     """Channel-batched visibility sampling: (n_chan, n_vis) complex.
 
     The scalable replacement for looping :func:`sample_vis` per channel in
@@ -165,9 +260,15 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
     samples at uvw metres scaled to its own wavelength; ``batch_size``
     channels are vmapped per step to fill the chip.
 
+    ``w_planes=0`` (default) is the coplanar small-field path;
+    ``w_planes>=1`` routes through :func:`sample_vis_wstack` for
+    long-baseline/wide-field configurations (``simulate_observation``
+    selects this automatically via :func:`n_wplanes_for` when the
+    :func:`w_term_max_phase_error` bound exceeds 0.1 rad).
+
     Args:
       sky:   (n_chan, ny, nx) sky cube [Jy/pixel]
-      uvw:   (n_vis, >=2) baseline coordinates [m]
+      uvw:   (n_vis, >=2 — >=3 when w_planes >= 1) baseline coords [m]
       freqs: (n_chan,) channel frequencies [Hz]
     """
     sky = jnp.asarray(sky)
@@ -187,6 +288,10 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
         if apply_pb:
             fwhm = 1.2 * lam / dish_diameter_m
             img = img * jnp.exp(-4.0 * jnp.log(2.0) * r2 / fwhm ** 2)
+        if w_planes >= 1:
+            return sample_vis_wstack(
+                img, cell_r, uvw[:, 0] / lam, uvw[:, 1] / lam,
+                uvw[:, 2] / lam, n_wplanes=w_planes, pad=pad)
         return sample_vis(img, cell_r, uvw[:, 0] / lam, uvw[:, 1] / lam,
                           pad=pad)
 
@@ -194,11 +299,13 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
                        batch_size=min(batch_size, sky.shape[0]))
 
 
-@partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size'))
+@partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
+                                   'w_planes'))
 def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
                                apply_pb: bool = False,
                                dish_diameter_m: float = 25.0,
-                               pad: int = _PAD, batch_size: int = 4):
+                               pad: int = _PAD, batch_size: int = 4,
+                               w_planes: int = 0):
     """Channel-batched sampling + thermal noise in ONE compiled program,
     returning real/imag pairs: ``(re_clean, im_clean, re_noisy,
     im_noisy)``.
@@ -210,7 +317,7 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
     """
     vis = sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb=apply_pb,
                           dish_diameter_m=dish_diameter_m, pad=pad,
-                          batch_size=batch_size)
+                          batch_size=batch_size, w_planes=w_planes)
     noisy = add_noise(key, vis, sigma)
     return vis.real, vis.imag, noisy.real, noisy.imag
 

@@ -528,6 +528,120 @@ class TestWTermBound:
         assert err < 0.02  # bilinear degrid (~0.2-1%) + negligible w
 
 
+class TestWStacking:
+    """The w-stacked sampler closes the wide-field gap the coplanar bound
+    only warns about: accuracy vs the exact w-term DFT oracle, the
+    degenerate-plane guards, and the automatic plane-count heuristic used
+    by simulate_observation."""
+
+    def _uvw_synthetic(self, n=96, w_max_m=6.0e6, seed=0, freq=5e9):
+        """u, v small enough to land on the padded FFT grid at the test
+        cell size (the DFT oracles don't care, the gridded sampler
+        clips); w VLBI-sized — exactly the regime w-stacking exists
+        for (a long baseline pointed near the horizon has |w| ~ |b|
+        while its projected (u, v) can stay short)."""
+        rng = np.random.default_rng(seed)
+        uvw = np.stack([rng.uniform(-6e3, 6e3, n),
+                        rng.uniform(-6e3, 6e3, n),
+                        rng.uniform(-w_max_m, w_max_m, n)], axis=1)
+        lam = 299792458.0 / freq
+        return uvw, uvw[:, 0] / lam, uvw[:, 1] / lam, uvw[:, 2] / lam
+
+    def _edge_source_image(self, n=32, cell_rad=2e-6):
+        img = np.zeros((n, n))
+        img[n // 2, n // 2] = 1.0
+        img[2, n - 3] = 1.0
+        return jnp.asarray(img), cell_rad
+
+    def test_wstack_matches_w_dft_on_wide_field(self):
+        """6,000 km |w| at a ~13" field: the coplanar path is badly
+        wrong (w bound >> 0.1 rad) and w-stacking recovers the full
+        measurement equation to ~the degrid floor."""
+        uvw, u, v, w = self._uvw_synthetic()
+        img, cell = self._edge_source_image(cell_rad=2e-6)
+        total = float(np.asarray(img).sum())
+        field_radius = img.shape[0] / 2 * cell * np.sqrt(2.0)
+        assert sampler.w_term_max_phase_error(uvw, 5e9, field_radius) > 0.1
+
+        vis_w = np.asarray(sampler.sample_vis_dft_w(img, cell, u, v, w))
+        vis_nw = np.asarray(sampler.sample_vis_dft(img, cell, u, v))
+        err_cop = np.max(np.abs(vis_nw - vis_w)) / total
+        # pure degrid floor, measured with no w anywhere
+        err_degrid = np.max(np.abs(
+            np.asarray(sampler.sample_vis(img, cell, u, v)) -
+            vis_nw)) / total
+
+        n_pl = sampler.n_wplanes_for(uvw, 5e9, field_radius)
+        assert n_pl > 1
+        vis_ws = np.asarray(sampler.sample_vis_wstack(
+            img, cell, u, v, w, n_wplanes=n_pl))
+        err_wst = np.max(np.abs(vis_ws - vis_w)) / total
+        assert err_cop > 0.05             # the problem is real here
+        assert err_wst < err_cop / 3.0    # and w-stacking removes it...
+        # ...down to the bilinear-degrid floor (the residual w error is
+        # below the interpolation error shared by every FFT path here —
+        # a source 14 px off-centre costs ~5% in bilinear degrid at
+        # pad=4, w or no w)
+        assert err_wst < err_degrid + 2e-3
+
+    def test_constant_w_single_screen_is_exact(self):
+        """With every w identical, one plane IS the full measurement
+        equation (up to degrid error), and extra duplicate planes must
+        not overcount (the dw=0 hat guard)."""
+        _, u, v, w = self._uvw_synthetic()
+        img, cell = self._edge_source_image(cell_rad=2e-6)
+        total = float(np.asarray(img).sum())
+        w_const = jnp.full_like(jnp.asarray(u), 1.0e8)
+        vis_w = np.asarray(sampler.sample_vis_dft_w(img, cell, u, v,
+                                                    w_const))
+        vis_1 = np.asarray(sampler.sample_vis_wstack(
+            img, cell, u, v, w_const, n_wplanes=1))
+        err = np.max(np.abs(vis_1 - vis_w)) / total
+        assert err < 0.06, err  # the bilinear-degrid floor, not a w error
+        # duplicate planes carry zero hat weight: P=4 with dw=0 must
+        # reproduce P=1 exactly, not 4x it (plane-index-space hats; a
+        # w-value epsilon cannot separate planes at |w| ~ 1e8)
+        vis_4 = np.asarray(sampler.sample_vis_wstack(
+            img, cell, u, v, w_const, n_wplanes=4))
+        np.testing.assert_allclose(vis_4, vis_1, rtol=0, atol=1e-9)
+
+    def _config_uvw(self, tscop, cfg, dec=30.0):
+        ant = observatories.read_antenna_config(
+            observatories.cfg_file(tscop, cfg))
+        bl, _ = uvgen.baselines(ant['xyz'])
+        has = np.linspace(-1.0, 1.0, 5)
+        return uvgen.uvw_tracks(bl, has, dec, -100.0).reshape(-1, 3)
+
+    def test_n_wplanes_heuristic(self):
+        uvw_vla = self._config_uvw('VLA', 'A')
+        uvw_vlba = self._config_uvw('VLBA', '0')
+        small = 16 * 1e-6 * np.sqrt(2.0)
+        wide = 16 * 2e-6 * np.sqrt(2.0)
+        # compact array, small field: a single (or mean-w) screen
+        assert sampler.n_wplanes_for(uvw_vla, 5e9, small) == 1
+        # continental baselines, wide field: many planes, monotone in
+        # field radius, capped
+        n1 = sampler.n_wplanes_for(uvw_vlba, 5e9, wide)
+        n2 = sampler.n_wplanes_for(uvw_vlba, 5e9, 2 * wide)
+        assert n1 > 1 and n2 >= n1
+        assert sampler.n_wplanes_for(uvw_vlba, 5e9, 50 * wide,
+                                     max_planes=128) == 128
+
+    def test_cube_w_planes_matches_per_channel_wstack(self):
+        uvw, _, _, _ = self._uvw_synthetic()
+        img, cell = self._edge_source_image(cell_rad=2e-6)
+        freqs = np.array([4.9e9, 5.1e9])
+        sky = jnp.stack([img, 0.5 * img])
+        vis = np.asarray(sampler.sample_vis_cube(
+            sky, cell, jnp.asarray(uvw), jnp.asarray(freqs), w_planes=6))
+        for k, f in enumerate(freqs):
+            lam = 299792458.0 / f
+            ref = np.asarray(sampler.sample_vis_wstack(
+                sky[k], cell, uvw[:, 0] / lam, uvw[:, 1] / lam,
+                uvw[:, 2] / lam, n_wplanes=6))
+            np.testing.assert_allclose(vis[k], ref, rtol=0, atol=1e-10)
+
+
 class TestBatchedClean:
     def test_batched_matches_serial_exactly(self):
         """hogbom_clean_batched must reproduce the serial per-channel

@@ -622,9 +622,9 @@ def build_vis_forward(jm, freqs, uvw_m, free: Sequence[str],
     The interferometric forward model: the differentiable flux maps are
     transposed into the sky frame ((dec, ra) — the save_fits
     orientation, jetmodel.py:1394) and Fourier-sampled by
-    ``synthobs.sampler.sample_vis_cube`` (FFT + bilinear degrid, per
-    channel at its own wavelength, optional primary beam).  Every step —
-    FFT, degrid, beam — is differentiable, so model parameters can be
+    ``synthobs.sampler.sample_vis_cube`` (taper-corrected FFT +
+    Kaiser-Bessel degrid, per channel at its own wavelength, optional
+    primary beam).  Every step — FFT, degrid, beam — is differentiable, so model parameters can be
     fitted *directly to visibilities*, skipping imaging (and its
     non-differentiable CLEAN) entirely: the standard uv-plane
     model-fitting workflow (cf. galario), with exact gradients through

@@ -147,8 +147,41 @@ class TestSampler:
         v = rng.uniform(-2e5, 2e5, 200)
         vis = np.asarray(sampler.sample_vis(jnp.asarray(img), cell,
                                             jnp.asarray(u), jnp.asarray(v)))
-        np.testing.assert_allclose(vis.real, 2.5, rtol=1e-10)
-        np.testing.assert_allclose(vis.imag, 0.0, atol=1e-10)
+        # KB degrid has a ~1e-6 aliasing floor even for this exact case
+        np.testing.assert_allclose(vis.real, 2.5, rtol=1e-5)
+        np.testing.assert_allclose(vis.imag, 0.0, atol=2.5e-5)
+        # the bilinear path IS exact here: a phase-centre point source
+        # yields a constant uv grid, and interpolating a constant is exact
+        vis_bl = np.asarray(sampler.sample_vis(
+            jnp.asarray(img), cell, jnp.asarray(u), jnp.asarray(v),
+            degrid='bilinear'))
+        np.testing.assert_allclose(vis_bl.real, 2.5, rtol=1e-10)
+        np.testing.assert_allclose(vis_bl.imag, 0.0, atol=1e-10)
+
+    def test_kb_degrid_hits_dft_floor(self):
+        """The default Kaiser-Bessel degrid reproduces the exact DFT to
+        ~2e-6 of total flux even for a field-edge source — the case
+        where bilinear degridding loses ~5% (fast phase rotation across
+        uv cells)."""
+        n, cell = 32, 2e-6
+        img = np.zeros((n, n))
+        img[n // 2, n // 2] = 1.0
+        img[2, n - 3] = 1.0
+        img = jnp.asarray(img)
+        rng = np.random.default_rng(1)
+        lam = 299792458.0 / 5e9
+        u = rng.uniform(-6e3, 6e3, 128) / lam
+        v = rng.uniform(-6e3, 6e3, 128) / lam
+        exact = np.asarray(sampler.sample_vis_dft(img, cell, u, v))
+        kb = np.asarray(sampler.sample_vis(img, cell, u, v))
+        bl = np.asarray(sampler.sample_vis(img, cell, u, v,
+                                           degrid='bilinear'))
+        err_kb = np.max(np.abs(kb - exact)) / 2.0
+        err_bl = np.max(np.abs(bl - exact)) / 2.0
+        assert err_kb < 1e-5, err_kb
+        assert err_bl > 1e-2          # what the upgrade buys
+        with pytest.raises(ValueError):
+            sampler.sample_vis(img, cell, u, v, degrid='nearest')
 
     def test_offset_source_phase(self):
         n = 64

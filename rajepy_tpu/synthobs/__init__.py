@@ -60,6 +60,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          max_time_samples: int = 512,
                          niter: int = 500, nsigma: float = 3.0,
                          weighting: str = 'briggs', robust: float = 0.5,
+                         deconvolver: str = 'hogbom',
+                         scales=(0, 3, 10),
+                         smallscalebias: float = 0.0,
                          apply_pb: bool = True,
                          sefd: Optional[float] = None,
                          thermalnoise: str = 'radiometer',
@@ -74,6 +77,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     reference's keys ('ms_clean', 'ms_noisy', 'clean_image').
 
     ``seed`` defaults to simobserve's thermal-noise seed (tasks.py:205).
+
+    ``deconvolver='multiscale'`` swaps the Hogbom minor cycle for
+    :func:`imaging.multiscale_clean` with the given ``scales`` (pixels)
+    and ``smallscalebias`` — tclean's multiscale mode
+    (casa/tasks.py:242-244); continuum (mfs) runs only.
 
     ``thermalnoise='tsys-atm'`` switches the flat catalogue-SEFD
     radiometer noise to the atmosphere-aware model
@@ -246,6 +254,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     if weighting not in ('briggs', 'uniform', 'natural'):
         raise ValueError(f"unknown weighting {weighting!r}")
+    if deconvolver not in ('hogbom', 'multiscale'):
+        raise ValueError(f"unknown deconvolver {deconvolver!r}")
+    if deconvolver == 'multiscale' and cube_mode:
+        raise ValueError("deconvolver='multiscale' is continuum (mfs) "
+                         "only; cube runs use the channel-batched Hogbom")
 
     def image_channels(chan_idx):
         us = (uvw[None, :, 0] / lam[chan_idx, None]).ravel()
@@ -329,10 +342,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             dirty, psf = image_channels(np.arange(n_chan))
             outside = dirty[mask == 0]
             rms = float(np.std(outside)) if outside.size else 0.0
-            mdl, resid, its = imaging.hogbom_clean(
-                jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
-                jnp.asarray(mask, rdt), gain=0.1, niter=niter,
-                threshold=nsigma * rms)
+            if deconvolver == 'multiscale':
+                mdl, resid, its = imaging.multiscale_clean(
+                    jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+                    jnp.asarray(mask, rdt),
+                    scales=tuple(scales), gain=0.1, niter=niter,
+                    threshold=nsigma * rms,
+                    smallscalebias=smallscalebias)
+            else:
+                mdl, resid, its = imaging.hogbom_clean(
+                    jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+                    jnp.asarray(mask, rdt), gain=0.1, niter=niter,
+                    threshold=nsigma * rms)
             beam = imaging.fit_psf_beam(psf, cell_rad)
             beam_kernel = imaging.gaussian_beam_kernel(
                 imsize, cell_rad, beam[0], beam[1], beam[2])

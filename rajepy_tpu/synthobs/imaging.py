@@ -263,6 +263,130 @@ def hogbom_clean_batched(dirty, psf, mask, thresholds, gain: float = 0.1,
     return model, residual, its
 
 
+def _centred_conv2(*fields):
+    """Circular convolution of centre-origin fields via FFT (all centred
+    at n//2; result centred).  Accepts 2+ factors."""
+    acc = None
+    for f in fields:
+        g = jnp.fft.fft2(jnp.fft.ifftshift(f))
+        acc = g if acc is None else acc * g
+    return jnp.fft.fftshift(jnp.fft.ifft2(acc)).real
+
+
+def _ms_scale_kernel(n: int, scale_pix: float, dtype):
+    """Multiscale component shape: a delta for scale 0, else a unit-sum
+    Gaussian of FWHM ``scale_pix`` pixels, centred at n//2."""
+    if scale_pix <= 0:
+        return jnp.zeros((n, n), dtype).at[n // 2, n // 2].set(1.0)
+    sig = scale_pix / 2.3548200450309493
+    ax = jnp.arange(n, dtype=dtype) - n // 2
+    g = jnp.exp(-0.5 * (ax / sig) ** 2)
+    k = g[:, None] * g[None, :]
+    return (k / jnp.sum(k)).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=('scales', 'niter'))
+def multiscale_clean(dirty, psf, mask, scales=(0, 3, 10),
+                     gain: float = 0.1, niter: int = 500,
+                     threshold: float = 0.0,
+                     smallscalebias: float = 0.0):
+    """Multiscale CLEAN (Cornwell 2008) as a bounded ``lax.while_loop``.
+
+    The deconvolver behind tclean's ``deconvolver='multiscale'`` /
+    ``scales`` / ``smallscalebias`` parameters (the reference's typed
+    wrapper exposes them at casa/tasks.py:242-244): each minor cycle
+    peak-finds jointly over per-scale residuals ``D_s = dirty * k_s``
+    (``k_s`` a delta at scale 0, else a Gaussian of FWHM ``scales[s]``
+    pixels) and subtracts the matching cross-scale beam
+    ``P_st = psf * k_s * k_t`` from every scale's residual, so extended
+    jet lobes are absorbed by few large components instead of thousands
+    of deltas.  All scale convolutions are precomputed FFTs; the
+    per-iteration work is one (S, n, n) argmax plus S shifted-beam
+    subtractions (``dynamic_slice`` on the padded cross-beams, as in
+    :func:`hogbom_clean`).
+
+    ``smallscalebias`` (CASA meaning, default 0.0 = unbiased): peak
+    selection weights scale s by ``1 - smallscalebias * scale_s /
+    max(scales)``.
+
+    Returns ``(model_image, residual, n_iterations)`` — the model is a
+    sky image (components already shaped), residual is computed exactly
+    as ``dirty - model * psf``.
+    """
+    if scales[0] != 0:
+        raise ValueError("scales[0] must be 0 (the stop threshold is "
+                         "evaluated on the full-resolution residual)")
+    n = dirty.shape[0]
+    centre = n // 2
+    rdt = dirty.dtype
+    S = len(scales)
+    gain = jnp.asarray(gain, rdt)
+    threshold = jnp.asarray(threshold, rdt)
+
+    ks = jnp.stack([_ms_scale_kernel(n, float(s), rdt) for s in scales])
+    fks = jnp.fft.fft2(jnp.fft.ifftshift(ks, axes=(-2, -1)))
+    fpsf = jnp.fft.fft2(jnp.fft.ifftshift(psf))
+    fdirty = jnp.fft.fft2(jnp.fft.ifftshift(dirty))
+
+    def _ifft_c(f):
+        return jnp.fft.fftshift(jnp.fft.ifft2(f), axes=(-2, -1)).real
+
+    d_stack = _ifft_c(fks * fdirty[None])                     # (S, n, n)
+    p_cross = _ifft_c(fks[:, None] * fks[None, :] *
+                      fpsf[None, None])                       # (S, S, n, n)
+    pss_centre = p_cross[jnp.arange(S), jnp.arange(S), centre, centre]
+    p_pad = jnp.pad(p_cross,
+                    ((0, 0), (0, 0), (n // 2, n // 2), (n // 2, n // 2)))
+
+    max_scale = max(float(s) for s in scales) or 1.0
+    bias = jnp.asarray([1.0 - smallscalebias * float(s) / max_scale
+                        for s in scales], rdt)
+    # scale selection maximises the chi^2 reduction of the greedy step:
+    # subtracting amp*k_s (amp = D_s[p]/P_ss(0)) reduces the residual
+    # power by D_s[p]^2 / P_ss(0) — so weight each scale's residual by
+    # 1/sqrt(P_ss(0)).  Comparing raw smoothed peaks instead always
+    # picks scale 0 (smoothing can only lower a peak).
+    sel_w = bias / jnp.sqrt(pss_centre)
+
+    def peaks_of(d):
+        # stop criterion on the full-resolution (scale-0) residual peak,
+        # the quantity `threshold` is expressed in [Jy/dirty-beam]
+        stop_peak = jnp.max(jnp.abs(d[0] * mask))
+        flat = (jnp.abs(d * mask[None]) *
+                sel_w[:, None, None]).reshape(-1)
+        return stop_peak, jnp.argmax(flat)
+
+    def cond(state):
+        _m, _d, it, peak, _idx = state
+        return (it < niter) & (peak > threshold)
+
+    def body(state):
+        m, d, it, peak, idx = state
+        s = idx // (n * n)
+        py = (idx // n) % n
+        px = idx % n
+        amp = d[s, py, px] / pss_centre[s] * gain
+        m = m.at[s, py, px].add(amp)
+        shifted = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(
+                p, (centre + n // 2 - py, centre + n // 2 - px),
+                (n, n)))(p_pad[s])
+        d = d - amp * shifted
+        peak, idx = peaks_of(d)
+        return m, d, it + 1, peak, idx
+
+    m0 = jnp.zeros((S, n, n), rdt)
+    p0, i0 = peaks_of(d_stack)
+    m, d, its, _, _ = jax.lax.while_loop(
+        cond, body, (m0, d_stack, jnp.asarray(0, jnp.int32), p0, i0))
+
+    fmod = jnp.sum(jnp.fft.fft2(jnp.fft.ifftshift(m, axes=(-2, -1))) *
+                   fks, axis=0)
+    model = jnp.fft.fftshift(jnp.fft.ifft2(fmod)).real
+    residual = dirty - _centred_conv2(model, psf)
+    return model, residual, its
+
+
 @partial(jax.jit, static_argnames=('n_pix', 'support'))
 def grid_and_image_parts(u_wav, v_wav, vis_re, vis_im, weights, n_pix: int,
                          cell_rad: float, support: int = 2):

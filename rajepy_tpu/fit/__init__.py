@@ -615,7 +615,8 @@ def fit_grid_refine(jm, freqs, observed, *, grid: Dict[str, Sequence],
 # --------------------------------------------------------------------------- #
 def build_vis_forward(jm, freqs, uvw_m, free: Sequence[str],
                       time: float = None, apply_pb: bool = False,
-                      dish_diameter_m: float = 25.0):
+                      dish_diameter_m: float = 25.0,
+                      w_planes: int = 0):
     """``(forward, theta0)`` with ``forward(theta) -> (n_chan, n_vis)``
     complex visibilities [Jy] at baseline coordinates ``uvw_m`` [m].
 
@@ -628,8 +629,11 @@ def build_vis_forward(jm, freqs, uvw_m, free: Sequence[str],
     fitted *directly to visibilities*, skipping imaging (and its
     non-differentiable CLEAN) entirely: the standard uv-plane
     model-fitting workflow (cf. galario), with exact gradients through
-    the full jet physics.  CPU/f64 path (complex host arrays; see
-    synthobs notes on the TPU complex boundary).
+    the full jet physics.  ``w_planes >= 1`` routes through the
+    w-stacked sampler (also differentiable) for wide-field/long-baseline
+    data — pick the count with ``synthobs.sampler.n_wplanes_for``.
+    CPU/f64 path (complex host arrays; see synthobs notes on the TPU
+    complex boundary).
     """
     if 'target.dist' in free:
         raise ValueError(
@@ -650,7 +654,7 @@ def build_vis_forward(jm, freqs, uvw_m, free: Sequence[str],
         sky = jnp.transpose(maps, (0, 2, 1))        # (n_chan, dec, ra)
         return _sampler.sample_vis_cube(
             sky, cell_rad, uvw, freqs_arr, apply_pb=apply_pb,
-            dish_diameter_m=dish_diameter_m)
+            dish_diameter_m=dish_diameter_m, w_planes=w_planes)
 
     return forward, theta0
 
@@ -660,7 +664,7 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
                                             'properties.T_0'),
                      steps: int = 400, learning_rate: float = 0.05,
                      time=None, apply_pb: bool = False,
-                     dish_diameter_m: float = 25.0,
+                     dish_diameter_m: float = 25.0, w_planes: int = 0,
                      optimizer=None, n_starts: int = 1,
                      start_spread: float = 0.3, seed: int = 0,
                      mesh=None) -> FitResult:
@@ -672,7 +676,8 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
     sum(|V_model - V_obs|^2 / sigma^2) (unit weights when omitted).
     """
     forward, theta0 = build_vis_forward(jm, freqs, uvw_m, free, time,
-                                        apply_pb, dish_diameter_m)
+                                        apply_pb, dish_diameter_m,
+                                        w_planes)
     obs = jnp.asarray(np.asarray(vis_obs, complex), jnp.complex128)
     w = 1.0 if sigma is None else 1.0 / jnp.asarray(sigma,
                                                     jnp.float64) ** 2

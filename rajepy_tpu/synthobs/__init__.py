@@ -63,6 +63,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          deconvolver: str = 'hogbom',
                          scales=(0, 3, 10),
                          smallscalebias: float = 0.0,
+                         uvtaper_as: Optional[float] = None,
+                         pbcor: bool = False, pblimit: float = 0.2,
                          apply_pb: bool = True,
                          sefd: Optional[float] = None,
                          thermalnoise: str = 'radiometer',
@@ -77,6 +79,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     reference's keys ('ms_clean', 'ms_noisy', 'clean_image').
 
     ``seed`` defaults to simobserve's thermal-noise seed (tasks.py:205).
+
+    ``uvtaper_as`` applies tclean's outer uv taper (casa/tasks.py:254):
+    a Gaussian weight rolloff whose image-plane FWHM is the given
+    arcseconds, trading resolution for surface-brightness sensitivity.
+    ``pbcor=True`` additionally writes a primary-beam-corrected image
+    (``...imaging.pbcor.fits``, NaN below ``pblimit`` — tclean's
+    ``pbcor``/``pblimit``, casa/tasks.py:241-242).
 
     ``deconvolver='multiscale'`` swaps the Hogbom minor cycle for
     :func:`imaging.multiscale_clean` with the given ``scales`` (pixels)
@@ -260,12 +269,23 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         raise ValueError("deconvolver='multiscale' is continuum (mfs) "
                          "only; cube runs use the channel-batched Hogbom")
 
+    def uvtaper_weights(us, vs):
+        """tclean's outer uv taper: Gaussian rolloff in weight whose
+        image-plane FWHM is uvtaper_as arcsec (FWHM_uv =
+        4 ln2 / (pi FWHM_sky))."""
+        if uvtaper_as is None:
+            return np.ones_like(us)
+        theta = float(uvtaper_as) * cnsts.ARCSEC
+        fwhm_uv = 4.0 * np.log(2.0) / (np.pi * theta)
+        return np.exp(-4.0 * np.log(2.0) * (us ** 2 + vs ** 2) /
+                      fwhm_uv ** 2)
+
     def image_channels(chan_idx):
         us = (uvw[None, :, 0] / lam[chan_idx, None]).ravel()
         vs = (uvw[None, :, 1] / lam[chan_idx, None]).ravel()
         vr = re_nn[chan_idx].ravel()
         vi = im_nn[chan_idx].ravel()
-        w0 = np.ones_like(us)
+        w0 = uvtaper_weights(us, vs)
         if weighting == 'briggs':
             wb = np.asarray(imaging.briggs_weights(
                 jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
@@ -301,6 +321,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          f"{imsize}px)", log) as kt:
             _, psf0 = image_channels(np.asarray([n_chan // 2]))
             beam = imaging.fit_psf_beam(psf0, cell_rad)
+            # per-visibility taper evaluated at the run centre frequency
+            # (narrow-fractional-bandwidth cubes; per-channel deviation
+            # ~ (dnu/nu)^2)
+            lam_c = cnsts.C / run.freq
+            w_vis = uvtaper_weights(uvw[:, 0] / lam_c, uvw[:, 1] / lam_c)
             beam_kernel = imaging.gaussian_beam_kernel(
                 imsize, cell_rad, beam[0], beam[1], beam[2])
             n_dev = jax.device_count()
@@ -322,7 +347,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                         mesh, jnp.asarray(uvw, rdt),
                         jnp.asarray(freqs, rdt),
                         jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
-                        jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
+                        jnp.asarray(w_vis, rdt), imsize, cell_rad,
                         jnp.asarray(mask, rdt),
                         jnp.asarray(beam_kernel, rdt),
                         weighting=weighting, robust=robust, gain=0.1,
@@ -331,7 +356,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 restored_j, _dirty_j = imaging.clean_cube(
                     jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
                     jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
-                    jnp.ones(uvw.shape[0], rdt), imsize, cell_rad,
+                    jnp.asarray(w_vis, rdt), imsize, cell_rad,
                     jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
                     weighting=weighting, robust=robust, gain=0.1,
                     niter=niter, nsigma=nsigma)
@@ -403,6 +428,23 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     products = {'ms_clean': clean_vis_file, 'ms_noisy': noisy_vis_file,
                 'clean_image': fitsfile}
+
+    if pbcor:
+        # primary-beam-corrected image (tclean pbcor/pblimit): divide by
+        # the same Gaussian PB the sampler applied, NaN below pblimit
+        yy_i, xx_i = np.mgrid[0:imsize, 0:imsize]
+        r2_i = (((xx_i - imsize // 2) * cell_rad) ** 2 +
+                ((yy_i - imsize // 2) * cell_rad) ** 2)
+        pb_freqs = freqs if cube_mode else np.asarray([run.freq])
+        fwhm = 1.2 * (cnsts.C / pb_freqs) / mean_dish
+        pb = np.exp(-4.0 * np.log(2.0) *
+                    r2_i[None] / fwhm[:, None, None] ** 2)
+        pbc = np.where(pb >= pblimit, restored_cube / pb, np.nan)
+        pbcor_file = fitsfile.replace('.fits', '.pbcor.fits')
+        with KernelTimer("synthobs: pbcor FITS write", log):
+            fitsio.write_fits(pbcor_file,
+                              pbc if cube_mode else pbc[0], out_hdr)
+        products['clean_image_pbcor'] = pbcor_file
 
     # --- imfit (continuum only; classes.py:2690-2840) -------------------- #
     if run.obs_type == 'continuum':

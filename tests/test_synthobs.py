@@ -549,6 +549,68 @@ class TestAtmosphere:
         assert os.path.exists(products['ms_noisy'])
 
 
+class TestTcleanKnobs:
+    """tclean's uvtaper / pbcor / pblimit equivalents in
+    simulate_observation."""
+
+    def _run_obs(self, model_params, tmp_path, sub, **kw):
+        import copy
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / sub)},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        return simulate_observation(pline, pline.runs[0], niter=0, **kw)
+
+    def test_uvtaper_broadens_beam(self, model_params, tmp_path):
+        from rajepy_tpu.io.fits import read_fits
+        p_plain = self._run_obs(model_params, tmp_path, 'plain')
+        p_taper = self._run_obs(model_params, tmp_path, 'taper',
+                                uvtaper_as=1.0)
+        _, h0 = read_fits(p_plain['clean_image'])
+        _, h1 = read_fits(p_taper['clean_image'])
+        # a 1" taper on VLA-B at 22 GHz (~0.3" native beam) dominates
+        # the fitted restoring beam
+        assert h1['BMAJ'] > 1.5 * h0['BMAJ']
+        assert h1['BMAJ'] * 3600.0 > 0.7  # of order the taper FWHM
+
+    def test_pbcor_image(self, model_params, tmp_path):
+        from rajepy_tpu.io.fits import read_fits
+        # the VLA 22 GHz PB (FWHM ~135") only falls to ~0.9 at this
+        # image's corners, so blank at 0.95 to see the cutoff
+        prods = self._run_obs(model_params, tmp_path, 'pbc', pbcor=True,
+                              pblimit=0.95)
+        assert os.path.exists(prods['clean_image_pbcor'])
+        img, hdr = read_fits(prods['clean_image'])
+        pbc, _ = read_fits(prods['clean_image_pbcor'])
+        n = img.shape[-1]
+        c = n // 2
+        # PB = 1 at the phase centre: images agree there
+        np.testing.assert_allclose(pbc[c, c], img[c, c], rtol=1e-6)
+        # blanked outside pblimit, boosted inside
+        assert np.isnan(pbc[0, 0])
+        inner = np.abs(pbc[c + n // 8, c]) >= \
+            np.abs(img[c + n // 8, c]) - 1e-12
+        assert inner
+
+
 class TestWTermBound:
     """Quantify the small-field (coplanar) approximation: the 2-D FFT
     sampler vs the exact w-term measurement equation on the widest

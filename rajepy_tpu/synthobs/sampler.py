@@ -83,8 +83,9 @@ def _kb_correct(image, pad: int, width: int):
 
 def _kb_degrid(vis_grid, cell_rad, u_wav, v_wav, width: int, beta: float):
     """Convolutional degrid: V(u,v) = sum_{ab} kx_a ky_b G[yb, xa] over a
-    width x width neighbourhood (statically unrolled; the W^2 dynamic
-    gathers vectorise over the visibility axis)."""
+    width x width neighbourhood, as ONE flattened (n_vis, W^2) gather
+    plus a weighted row-sum — W^2 separate advanced-indexing ops compile
+    to W^2 serialised gathers on TPU."""
     n_big = vis_grid.shape
     rdt = u_wav.dtype
     du_v = 1.0 / (n_big[0] * cell_rad)
@@ -93,18 +94,21 @@ def _kb_degrid(vis_grid, cell_rad, u_wav, v_wav, width: int, beta: float):
     fy = v_wav / du_v + n_big[0] // 2
     xf = jnp.floor(fx).astype(jnp.int32)
     yf = jnp.floor(fy).astype(jnp.int32)
-    acc = jnp.zeros(u_wav.shape, vis_grid.dtype)
-    offs = range(-(width // 2) + 1, width // 2 + 1)
-    kxs = {a: _kb_kernel_1d(fx - (xf + a).astype(rdt), width, beta)
-           for a in offs}
-    kys = {b: _kb_kernel_1d(fy - (yf + b).astype(rdt), width, beta)
-           for b in offs}
-    for a in offs:
-        xi = jnp.clip(xf + a, 0, n_big[1] - 1)
-        for b in offs:
-            yi = jnp.clip(yf + b, 0, n_big[0] - 1)
-            acc = acc + (kxs[a] * kys[b]) * vis_grid[yi, xi]
-    return acc
+    offs = jnp.arange(width, dtype=jnp.int32) - width // 2 + 1
+    xi = jnp.clip(xf[:, None] + offs[None, :], 0, n_big[1] - 1)
+    yi = jnp.clip(yf[:, None] + offs[None, :], 0, n_big[0] - 1)
+    kx = _kb_kernel_1d(fx[:, None] - (xf[:, None] +
+                                      offs[None, :]).astype(rdt),
+                       width, beta)
+    ky = _kb_kernel_1d(fy[:, None] - (yf[:, None] +
+                                      offs[None, :]).astype(rdt),
+                       width, beta)
+    nv = u_wav.shape[0]
+    idx = (yi[:, :, None] * n_big[1] + xi[:, None, :]).reshape(
+        nv, width * width)
+    wgt = (ky[:, :, None] * kx[:, None, :]).reshape(nv, width * width)
+    vals = jnp.take(vis_grid.reshape(-1), idx)
+    return jnp.sum(wgt * vals, axis=1)
 
 
 def _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav):

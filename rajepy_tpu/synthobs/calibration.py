@@ -1,0 +1,231 @@
+"""Antenna-based gain corruption and self-calibration.
+
+The reference's synthetic observations corrupt with thermal noise only
+(CASA simobserve, /root/reference/casa/tasks.py:196-206); real reductions
+of such data additionally suffer — and then solve for — antenna-based
+complex gain errors (tropospheric phase, electronic amplitude drifts).
+This module supplies the missing half of that workflow, the analogue of
+CASA's ``sm.setgain`` / ``gaincal(gaintype='G')`` / ``applycal``:
+
+* :func:`simulate_gain_errors` — per-antenna complex gain tracks
+  (amplitude and phase AR(1) random walks with a coherence time);
+* :func:`apply_gains` — corrupt (or, with ``invert=True``, correct)
+  visibilities with per-time per-antenna gains;
+* :func:`solve_gains` — StEFCal (Salvini & Wijnholds 2014, A&A 571 A97)
+  antenna-gain solutions against a model visibility set, vectorised over
+  solution intervals with ``vmap`` — the per-interval working set is a
+  dense (n_ant, n_ant) visibility matrix, so the whole multi-interval
+  solve is one small batched device program;
+* :func:`correct_vis` — expand interval solutions to the time axis and
+  apply their inverse (``applycal``).
+
+Array conventions match the rest of :mod:`rajepy_tpu.synthobs`: all
+endpoints take and return (re, im) float pairs — complex arrays cannot
+cross the host<->device boundary on the axon TPU backend — and complex
+arithmetic exists only inside the jitted programs (f32 in -> c64 on TPU).
+Visibilities are shaped ``(..., n_vis)`` (leading channel axes allowed)
+with per-visibility ``ant1``/``ant2``/``t_index`` integer metadata, the
+flattening produced by :func:`simulate_observation` (time-major,
+baseline-minor).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def simulate_gain_errors(seed: int, n_t: int, n_ant: int,
+                         amp_rms: float = 0.0,
+                         phase_rms_deg: float = 0.0,
+                         coherence_s: Optional[float] = None,
+                         t_int_s: Optional[float] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-antenna complex gain error tracks, shape (n_t, n_ant) each.
+
+    Phases (and fractional amplitude offsets) follow stationary AR(1)
+    processes with marginal standard deviations ``phase_rms_deg`` /
+    ``amp_rms``: when ``coherence_s`` and ``t_int_s`` are given the
+    lag-1 correlation is ``exp(-t_int_s / coherence_s)`` (a discretised
+    Ornstein-Uhlenbeck track — adjacent integrations share the same
+    atmosphere); otherwise samples are independent per integration.
+
+    Host-side numpy by design: the track is a few-kB array generated once
+    per observation (an eager device op would cost more in axon tunnel
+    round-trips than the whole computation).
+    """
+    rng = np.random.default_rng(seed)
+    if coherence_s is not None and t_int_s is not None and coherence_s > 0:
+        rho = float(np.exp(-float(t_int_s) / float(coherence_s)))
+    else:
+        rho = 0.0
+
+    def ar1(rms):
+        if rms == 0.0 or n_t == 0:
+            return np.zeros((n_t, n_ant))
+        x = np.empty((n_t, n_ant))
+        x[0] = rng.standard_normal(n_ant)
+        innov = np.sqrt(1.0 - rho ** 2)
+        for t in range(1, n_t):
+            x[t] = rho * x[t - 1] + innov * rng.standard_normal(n_ant)
+        return x * rms
+
+    phase = ar1(np.radians(phase_rms_deg))
+    amp = 1.0 + ar1(amp_rms)
+    return amp * np.cos(phase), amp * np.sin(phase)
+
+
+@partial(jax.jit, static_argnames=('invert',))
+def _apply_gains(vr, vi, g_re, g_im, ant1, ant2, t_index, invert):
+    g = jax.lax.complex(g_re, g_im)
+    f = g[t_index, ant1] * jnp.conj(g[t_index, ant2])
+    v = jax.lax.complex(vr, vi)
+    out = v / f if invert else v * f
+    return out.real, out.imag
+
+
+def apply_gains(vis_re, vis_im, g_re, g_im, ant1, ant2, t_index,
+                invert: bool = False):
+    """Corrupt (or correct) visibilities with per-time antenna gains.
+
+    V'_ij(t) = g_i(t) conj(g_j(t)) V_ij(t); ``invert=True`` divides
+    instead (``applycal``).  ``g_re/g_im``: (n_t, n_ant); ``vis_*``:
+    (..., n_vis) broadcast over leading axes; ``ant1/ant2/t_index``:
+    (n_vis,) int.
+    """
+    dt = jnp.result_type(vis_re)
+    return _apply_gains(jnp.asarray(vis_re), jnp.asarray(vis_im),
+                        jnp.asarray(g_re, dt), jnp.asarray(g_im, dt),
+                        jnp.asarray(ant1, jnp.int32),
+                        jnp.asarray(ant2, jnp.int32),
+                        jnp.asarray(t_index, jnp.int32), bool(invert))
+
+
+def _stefcal_one(R, M, n_iter: int, phase_only: bool, ref_ant: int):
+    """StEFCal ADI iteration for one solution interval.
+
+    R, M: dense hermitian (n_ant, n_ant) observed / model visibility
+    matrices with zero diagonals.  Returns the complex gain vector g with
+    R ~= diag(g) M diag(g)^H, phase-referenced to ``ref_ant``.
+    """
+    n_ant = R.shape[0]
+    cdt = R.dtype
+    g0 = jnp.ones((n_ant,), cdt)
+
+    def body(k, carry):
+        g, g_prev = carry
+        # column j model: R_ij ~= z_ij conj(g_j) with z_ij = g_i M_ij;
+        # least squares for g_j gives sum_i z_ij conj(R_ij) / sum |z_ij|^2
+        z = g[:, None] * M
+        num = jnp.sum(z * jnp.conj(R), axis=0)   # per antenna j
+        den = jnp.sum(jnp.abs(z) ** 2, axis=0)
+        g_new = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                          g)
+        if phase_only:
+            a = jnp.abs(g_new)
+            g_new = jnp.where(a > 0, g_new / jnp.where(a > 0, a, 1.0),
+                              g_new)
+        # ADI averaging on odd steps (Salvini & Wijnholds alg. 2):
+        # plain alternating updates oscillate between two fixed points
+        g_new = jnp.where(k % 2 == 1, 0.5 * (g_new + g), g_new)
+        return g_new, g
+
+    g, _ = jax.lax.fori_loop(0, n_iter, body, (g0, g0))
+    # reference-antenna phase convention: angle(g[ref_ant]) = 0
+    ref = g[ref_ant]
+    ref_phase = jnp.where(jnp.abs(ref) > 0,
+                          ref / jnp.where(jnp.abs(ref) > 0,
+                                          jnp.abs(ref), 1.0),
+                          jnp.asarray(1.0, cdt))
+    return g * jnp.conj(ref_phase)
+
+
+@partial(jax.jit, static_argnames=('n_ant', 'n_sol', 'n_t', 'n_iter',
+                                   'phase_only', 'ref_ant'))
+def _solve_gains(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol, n_t,
+                 n_iter, phase_only, ref_ant):
+    # channel-average first (gaincal 'G' solves one gain per solint from
+    # all channels in the spw); leading axes are channels
+    vr = vr.reshape(-1, vr.shape[-1]).mean(axis=0)
+    vi = vi.reshape(-1, vi.shape[-1]).mean(axis=0)
+    mr = mr.reshape(-1, mr.shape[-1]).mean(axis=0)
+    mi = mi.reshape(-1, mi.shape[-1]).mean(axis=0)
+
+    sol = (t_index.astype(jnp.int32) * n_sol) // n_t
+    flat = (sol * n_ant + ant1) * n_ant + ant2
+    nseg = n_sol * n_ant * n_ant
+
+    def herm_matrix(re, im):
+        sr = jax.ops.segment_sum(re, flat, num_segments=nseg)
+        si = jax.ops.segment_sum(im, flat, num_segments=nseg)
+        cnt = jax.ops.segment_sum(jnp.ones_like(re), flat,
+                                  num_segments=nseg)
+        avg = jax.lax.complex(sr, si) / jnp.maximum(cnt, 1.0)
+        A = avg.reshape(n_sol, n_ant, n_ant)
+        return A + jnp.conj(jnp.swapaxes(A, 1, 2))
+
+    R = herm_matrix(vr, vi)
+    M = herm_matrix(mr, mi)
+    g = jax.vmap(lambda r, m: _stefcal_one(r, m, n_iter, phase_only,
+                                           ref_ant))(R, M)
+    return g.real, g.imag
+
+
+def solve_gains(vis_re, vis_im, mdl_re, mdl_im, ant1, ant2, t_index,
+                n_ant: int, n_t: int, n_sol: int = 1,
+                mode: str = 'amp+phase', n_iter: int = 50,
+                ref_ant: int = 0):
+    """Antenna gain solutions against a model visibility set.
+
+    Splits the time axis into ``n_sol`` equal solution intervals, averages
+    observed and model visibilities per (interval, baseline) — and over
+    any leading channel axes — into dense hermitian (n_ant, n_ant)
+    matrices, and runs the StEFCal alternating solver per interval under
+    ``vmap``.  ``mode='phase'`` constrains |g| = 1 (phase-only selfcal);
+    ``mode='amp+phase'`` solves the full complex gain.
+
+    Returns (g_re, g_im), each (n_sol, n_ant), phase-referenced so
+    antenna ``ref_ant`` has zero phase per interval.
+    """
+    if mode not in ('phase', 'amp+phase'):
+        raise ValueError(f"unknown mode {mode!r}")
+    dt = jnp.result_type(vis_re)
+    return _solve_gains(jnp.asarray(vis_re, dt), jnp.asarray(vis_im, dt),
+                        jnp.asarray(mdl_re, dt), jnp.asarray(mdl_im, dt),
+                        jnp.asarray(ant1, jnp.int32),
+                        jnp.asarray(ant2, jnp.int32),
+                        jnp.asarray(t_index, jnp.int32),
+                        int(n_ant), int(n_sol), int(n_t), int(n_iter),
+                        mode == 'phase', int(ref_ant))
+
+
+def expand_solutions(g_re, g_im, n_t: int):
+    """Map (n_sol, n_ant) interval solutions onto the time axis
+    (n_t, n_ant) with the same equal-interval rule as the solver."""
+    g_re = np.asarray(g_re)
+    n_sol = g_re.shape[0]
+    sol = (np.arange(n_t) * n_sol) // n_t
+    return np.asarray(g_re)[sol], np.asarray(g_im)[sol]
+
+
+def correct_vis(vis_re, vis_im, g_re_sol, g_im_sol, ant1, ant2, t_index,
+                n_t: int):
+    """``applycal``: expand interval solutions to per-time gains and
+    divide them out of the visibilities."""
+    g_re, g_im = expand_solutions(g_re_sol, g_im_sol, n_t)
+    return apply_gains(vis_re, vis_im, g_re, g_im, ant1, ant2, t_index,
+                       invert=True)
+
+
+def vis_metadata(n_t: int, pairs: np.ndarray):
+    """Per-visibility (ant1, ant2, t_index) for the time-major,
+    baseline-minor flattening used by :func:`simulate_observation`
+    (``uvw = concat(per-scan tracks).reshape(-1, 3)``)."""
+    n_bl = pairs.shape[0]
+    ant1 = np.tile(pairs[:, 0], n_t)
+    ant2 = np.tile(pairs[:, 1], n_t)
+    t_index = np.repeat(np.arange(n_t), n_bl)
+    return ant1, ant2, t_index

@@ -1,0 +1,137 @@
+"""Antenna-gain corruption + StEFCal self-calibration tests (CPU)."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from rajepy_tpu.synthobs import calibration as cal
+
+
+def _random_vis(rng, n_ant, n_t, n_chan=1):
+    """Random 'true sky' visibilities on a full antenna-pair set."""
+    pairs = np.stack(np.triu_indices(n_ant, k=1), axis=1)
+    n_bl = pairs.shape[0]
+    ant1, ant2, t_index = cal.vis_metadata(n_t, pairs)
+    # a handful of point sources -> deterministic, well-conditioned
+    # model visibilities with structure across baselines
+    n_src = 5
+    flux = rng.uniform(0.5, 2.0, n_src)
+    pos = rng.uniform(-1.0, 1.0, (n_src, 2))
+    uv = rng.uniform(-500.0, 500.0, (n_t * n_bl, 2))
+    phase = 2 * np.pi * (uv[:, 0][:, None] * pos[None, :, 0] * 1e-3 +
+                         uv[:, 1][:, None] * pos[None, :, 1] * 1e-3)
+    v = (flux[None, :] * np.exp(1j * phase)).sum(axis=1)
+    vr = np.broadcast_to(v.real, (n_chan, v.size)).copy()
+    vi = np.broadcast_to(v.imag, (n_chan, v.size)).copy()
+    return vr, vi, ant1, ant2, t_index, pairs
+
+
+class TestApplyGains:
+    def test_apply_then_invert_roundtrip(self):
+        rng = np.random.default_rng(0)
+        n_ant, n_t = 8, 6
+        vr, vi, a1, a2, tix, _ = _random_vis(rng, n_ant, n_t, n_chan=3)
+        g_re, g_im = cal.simulate_gain_errors(1, n_t, n_ant, amp_rms=0.2,
+                                              phase_rms_deg=40.0)
+        cr, ci = cal.apply_gains(vr, vi, g_re, g_im, a1, a2, tix)
+        rr, ri = cal.apply_gains(cr, ci, g_re, g_im, a1, a2, tix,
+                                 invert=True)
+        np.testing.assert_allclose(np.asarray(rr), vr, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ri), vi, rtol=1e-12)
+
+    def test_identity_gains_are_noop(self):
+        rng = np.random.default_rng(2)
+        vr, vi, a1, a2, tix, _ = _random_vis(rng, 6, 4)
+        g = np.ones((4, 6))
+        cr, ci = cal.apply_gains(vr, vi, g, np.zeros_like(g), a1, a2, tix)
+        np.testing.assert_allclose(np.asarray(cr), vr, rtol=1e-14)
+        np.testing.assert_allclose(np.asarray(ci), vi, rtol=1e-14)
+
+
+class TestGainErrorTracks:
+    def test_rms_and_coherence(self):
+        n_t, n_ant = 4000, 3
+        g_re, g_im = cal.simulate_gain_errors(
+            3, n_t, n_ant, amp_rms=0.1, phase_rms_deg=20.0,
+            coherence_s=600.0, t_int_s=60.0)
+        amp = np.hypot(g_re, g_im)
+        phase = np.arctan2(g_im, g_re)
+        assert abs(np.std(amp) - 0.1) < 0.02
+        assert abs(np.std(np.degrees(phase)) - 20.0) < 3.0
+        # AR(1) lag-1 autocorrelation ~ exp(-1/10)
+        ph = phase - phase.mean(axis=0)
+        r1 = np.mean(ph[1:] * ph[:-1]) / np.mean(ph * ph)
+        assert abs(r1 - np.exp(-0.1)) < 0.05
+
+    def test_zero_rms_is_unity(self):
+        g_re, g_im = cal.simulate_gain_errors(0, 5, 4)
+        np.testing.assert_array_equal(g_re, np.ones((5, 4)))
+        np.testing.assert_array_equal(g_im, np.zeros((5, 4)))
+
+
+class TestStefcal:
+    def _corrupt_and_solve(self, mode, n_sol=1, amp_rms=0.15,
+                           phase_rms_deg=50.0, noise=0.0, seed=4):
+        rng = np.random.default_rng(seed)
+        n_ant, n_t = 10, 8
+        vr, vi, a1, a2, tix, _ = _random_vis(rng, n_ant, n_t)
+        # one true gain per solution interval (piecewise constant so the
+        # solver's model is exact)
+        gs_re, gs_im = cal.simulate_gain_errors(
+            seed + 1, n_sol, n_ant, amp_rms=amp_rms,
+            phase_rms_deg=phase_rms_deg)
+        if mode == 'phase':
+            a = np.hypot(gs_re, gs_im)
+            gs_re, gs_im = gs_re / a, gs_im / a
+        g_re, g_im = cal.expand_solutions(gs_re, gs_im, n_t)
+        cr, ci = cal.apply_gains(vr, vi, g_re, g_im, a1, a2, tix)
+        cr = np.asarray(cr) + noise * rng.standard_normal(cr.shape)
+        ci = np.asarray(ci) + noise * rng.standard_normal(ci.shape)
+        sr, si = cal.solve_gains(cr, ci, vr, vi, a1, a2, tix,
+                                 n_ant=n_ant, n_t=n_t, n_sol=n_sol,
+                                 mode=mode, n_iter=60)
+        sol = np.asarray(sr) + 1j * np.asarray(si)
+        true = gs_re + 1j * gs_im
+        # the solver fixes antenna-0 phase per interval; re-reference truth
+        ref = true[:, :1] / np.abs(true[:, :1])
+        true = true * np.conj(ref)
+        return sol, true
+
+    def test_recovers_amp_phase_gains(self):
+        sol, true = self._corrupt_and_solve('amp+phase')
+        np.testing.assert_allclose(sol, true, atol=1e-9)
+
+    def test_phase_only_recovers_phases(self):
+        sol, true = self._corrupt_and_solve('phase')
+        np.testing.assert_allclose(np.abs(sol), 1.0, atol=1e-9)
+        np.testing.assert_allclose(np.angle(sol), np.angle(true),
+                                   atol=1e-9)
+
+    def test_solution_intervals(self):
+        sol, true = self._corrupt_and_solve('amp+phase', n_sol=4)
+        assert sol.shape == (4, 10)
+        np.testing.assert_allclose(sol, true, atol=1e-9)
+
+    def test_noisy_solution_close(self):
+        sol, true = self._corrupt_and_solve('amp+phase', noise=0.05)
+        assert np.max(np.abs(sol - true)) < 0.05
+
+    def test_correct_vis_restores_data(self):
+        rng = np.random.default_rng(7)
+        n_ant, n_t = 10, 8
+        vr, vi, a1, a2, tix, _ = _random_vis(rng, n_ant, n_t)
+        gs_re, gs_im = cal.simulate_gain_errors(8, 1, n_ant, amp_rms=0.1,
+                                                phase_rms_deg=40.0)
+        g_re, g_im = cal.expand_solutions(gs_re, gs_im, n_t)
+        cr, ci = cal.apply_gains(vr, vi, g_re, g_im, a1, a2, tix)
+        sr, si = cal.solve_gains(np.asarray(cr), np.asarray(ci), vr, vi,
+                                 a1, a2, tix, n_ant=n_ant, n_t=n_t,
+                                 n_sol=1, n_iter=60)
+        fr, fi = cal.correct_vis(np.asarray(cr), np.asarray(ci), sr, si,
+                                 a1, a2, tix, n_t)
+        # corrected data match the truth up to the (unobservable) global
+        # amplitude/phase absorbed by the reference-antenna convention —
+        # here the solve is exact so even that cancels
+        np.testing.assert_allclose(np.asarray(fr), vr, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(fi), vi, atol=1e-8)

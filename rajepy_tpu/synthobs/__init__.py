@@ -33,10 +33,11 @@ from ..ops import geometry as mgeom
 from ..ops import physics as mphys
 from ..utils.misc import casa_imfit_file_to_dict
 from ..utils.profiling import KernelTimer
-from . import imaging, imfit as imfit_mod, observatories, sampler, uvgen
+from . import calibration, imaging, imfit as imfit_mod, observatories, \
+    sampler, uvgen
 
 __all__ = ["simulate_observation", "observatories", "uvgen", "sampler",
-           "imaging", "imfit_mod"]
+           "imaging", "imfit_mod", "calibration"]
 
 
 def _elevation_window(ra_deg, dec_deg, tscop, min_el):
@@ -69,7 +70,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          sefd: Optional[float] = None,
                          thermalnoise: str = 'radiometer',
                          user_pwv: float = 1.0,
-                         t_ground: float = 270.0) -> Dict[str, str]:
+                         t_ground: float = 270.0,
+                         corruption: Optional[Dict] = None,
+                         selfcal: Optional[str] = None,
+                         selfcal_solint_s: Optional[float] = None
+                         ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
     Writes (under ``run.rt_dcy``): the visibility sets
@@ -99,6 +104,20 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     reference conditions — the analogue of CASA simobserve's
     ``thermalnoise='tsys-atm'`` with its ``user_pwv``/``t_ground`` knobs
     (tasks.py:196-206).  Default 'radiometer' (flat).
+
+    ``corruption`` applies antenna-based complex gain errors to the
+    noisy visibilities (the analogue of CASA ``sm.setgain``; the
+    reference corrupts with thermal noise only): a dict with any of
+    ``amp_rms`` (fractional), ``phase_rms_deg``, ``coherence_s`` (AR(1)
+    gain coherence time) and ``seed``.  ``selfcal='phase'`` or
+    ``'amp+phase'`` then runs one self-calibration loop on continuum
+    runs — CLEAN, degrid the CLEAN component model, StEFCal gain solve
+    (:mod:`.calibration`), applycal, re-image — with one gain solution
+    per ``selfcal_solint_s`` seconds of track (default: a single
+    solution for the whole observation).  The restored image product is
+    the post-selfcal image; the corrected visibilities are written as
+    ``SynObs.<cfg>.selfcal.vis.npz`` and the solve is summarised in
+    ``run.results['selfcal']``.
     """
     model = pipeline.model
     log = pipeline.log
@@ -256,6 +275,32 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     re_cn, im_cn = np.asarray(re_c), np.asarray(im_c)
     re_nn, im_nn = np.asarray(re_n), np.asarray(im_n)
 
+    # --- antenna gain corruption (sm.setgain analogue) ------------------- #
+    n_ant = ant['xyz'].shape[0]
+    if corruption:
+        g_re, g_im = calibration.simulate_gain_errors(
+            int(corruption.get('seed', seed + 1)), n_samp, n_ant,
+            amp_rms=float(corruption.get('amp_rms', 0.0)),
+            phase_rms_deg=float(corruption.get('phase_rms_deg', 0.0)),
+            coherence_s=corruption.get('coherence_s'),
+            t_int_s=t_int_eff)
+        ant1, ant2, t_index = calibration.vis_metadata(n_samp, _pairs)
+        with KernelTimer("synthobs: gain corruption", log):
+            re_nn, im_nn = [np.asarray(x) for x in calibration.apply_gains(
+                jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
+                jnp.asarray(g_re, rdt), jnp.asarray(g_im, rdt),
+                ant1, ant2, t_index)]
+        if log:
+            log.add_entry(
+                "INFO",
+                "Applied antenna gain corruption: amp_rms={:.3f}, "
+                "phase_rms={:.1f}deg, coherence={}s over {} antennas x "
+                "{} integrations".format(
+                    float(corruption.get('amp_rms', 0.0)),
+                    float(corruption.get('phase_rms_deg', 0.0)),
+                    corruption.get('coherence_s'), n_ant, n_samp),
+                timestamp=False)
+
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
     # per-channel cube (RRL)
@@ -268,6 +313,12 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     if deconvolver == 'multiscale' and cube_mode:
         raise ValueError("deconvolver='multiscale' is continuum (mfs) "
                          "only; cube runs use the channel-batched Hogbom")
+    if selfcal not in (None, 'phase', 'amp+phase'):
+        raise ValueError(f"unknown selfcal mode {selfcal!r}")
+    if selfcal and cube_mode:
+        raise ValueError("selfcal is continuum (mfs) only: line cubes "
+                         "lack the per-solint SNR for a gain solve; "
+                         "transfer continuum solutions instead")
 
     def uvtaper_weights(us, vs):
         """tclean's outer uv taper: Gaussian rolloff in weight whose
@@ -280,11 +331,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         return np.exp(-4.0 * np.log(2.0) * (us ** 2 + vs ** 2) /
                       fwhm_uv ** 2)
 
-    def image_channels(chan_idx):
+    def image_channels(chan_idx, vr_all=None, vi_all=None):
         us = (uvw[None, :, 0] / lam[chan_idx, None]).ravel()
         vs = (uvw[None, :, 1] / lam[chan_idx, None]).ravel()
-        vr = re_nn[chan_idx].ravel()
-        vi = im_nn[chan_idx].ravel()
+        vr = (re_nn if vr_all is None else vr_all)[chan_idx].ravel()
+        vi = (im_nn if vi_all is None else vi_all)[chan_idx].ravel()
         w0 = uvtaper_weights(us, vs)
         if weighting == 'briggs':
             wb = np.asarray(imaging.briggs_weights(
@@ -313,6 +364,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     mask[max(c0 - half_y, 0):c0 + half_y,
          max(c0 - half_x, 0):c0 + half_x] = 1.0
 
+    re_sc = im_sc = None            # selfcal-corrected visibilities
     if cube_mode:
         # common restoring beam fitted to the central channel's PSF
         # (tclean 'commonbeam' behaviour), then every channel — weighting,
@@ -363,27 +415,88 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             restored_cube = np.asarray(restored_j)
     else:
         # multi-frequency synthesis: all channels on one grid
-        with KernelTimer(f"synthobs: mfs imaging ({imsize}px)", log):
-            dirty, psf = image_channels(np.arange(n_chan))
-            outside = dirty[mask == 0]
-            rms = float(np.std(outside)) if outside.size else 0.0
-            if deconvolver == 'multiscale':
-                mdl, resid, its = imaging.multiscale_clean(
-                    jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
-                    jnp.asarray(mask, rdt),
-                    scales=tuple(scales), gain=0.1, niter=niter,
-                    threshold=nsigma * rms,
-                    smallscalebias=smallscalebias)
-            else:
-                mdl, resid, its = imaging.hogbom_clean(
-                    jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
-                    jnp.asarray(mask, rdt), gain=0.1, niter=niter,
-                    threshold=nsigma * rms)
-            beam = imaging.fit_psf_beam(psf, cell_rad)
-            beam_kernel = imaging.gaussian_beam_kernel(
-                imsize, cell_rad, beam[0], beam[1], beam[2])
-            restored_cube = np.asarray(
-                imaging.restore(mdl, resid, beam_kernel.astype(rdt)))[None]
+        def mfs_image(vr_all, vi_all, label=''):
+            with KernelTimer(f"synthobs: mfs imaging ({imsize}px"
+                             f"{label})", log):
+                dirty, psf = image_channels(np.arange(n_chan),
+                                            vr_all, vi_all)
+                outside = dirty[mask == 0]
+                rms = float(np.std(outside)) if outside.size else 0.0
+                if deconvolver == 'multiscale':
+                    mdl, resid, its = imaging.multiscale_clean(
+                        jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+                        jnp.asarray(mask, rdt),
+                        scales=tuple(scales), gain=0.1, niter=niter,
+                        threshold=nsigma * rms,
+                        smallscalebias=smallscalebias)
+                else:
+                    mdl, resid, its = imaging.hogbom_clean(
+                        jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+                        jnp.asarray(mask, rdt), gain=0.1, niter=niter,
+                        threshold=nsigma * rms)
+                beam = imaging.fit_psf_beam(psf, cell_rad)
+                beam_kernel = imaging.gaussian_beam_kernel(
+                    imsize, cell_rad, beam[0], beam[1], beam[2])
+                restored = np.asarray(
+                    imaging.restore(mdl, resid, beam_kernel.astype(rdt)))
+            return restored, np.asarray(mdl), beam
+
+        def dynamic_range(img):
+            noise = img[mask == 0]
+            sd = float(np.std(noise)) if noise.size else 0.0
+            return float(np.nanmax(img)) / sd if sd > 0 else np.inf
+
+        restored, mdl, beam = mfs_image(re_nn, im_nn)
+        if selfcal:
+            if not np.any(mdl):
+                raise ValueError("selfcal needs a CLEAN component model "
+                                 "to solve against (niter=0 produced an "
+                                 "empty one)")
+            ant1, ant2, t_index = calibration.vis_metadata(n_samp, _pairs)
+            n_sol = 1
+            if selfcal_solint_s:
+                n_sol = int(np.clip(round(run.t_obs / selfcal_solint_s),
+                                    1, n_samp))
+            with KernelTimer(f"synthobs: selfcal ({selfcal}, "
+                             f"{n_sol} solint)", log):
+                us = uvw[None, :, 0] / lam[:, None]
+                vs = uvw[None, :, 1] / lam[:, None]
+                mdl_re, mdl_im = calibration.model_vis(
+                    jnp.asarray(mdl, rdt), cell_rad,
+                    us.ravel(), vs.ravel())
+                mdl_re = np.asarray(mdl_re).reshape(n_chan, -1)
+                mdl_im = np.asarray(mdl_im).reshape(n_chan, -1)
+                g_sol_re, g_sol_im = calibration.solve_gains(
+                    re_nn, im_nn, mdl_re, mdl_im, ant1, ant2, t_index,
+                    n_ant=n_ant, n_t=n_samp, n_sol=n_sol, mode=selfcal)
+                re_sc, im_sc = [np.asarray(x) for x in
+                                calibration.correct_vis(
+                                    jnp.asarray(re_nn, rdt),
+                                    jnp.asarray(im_nn, rdt),
+                                    g_sol_re, g_sol_im,
+                                    ant1, ant2, t_index, n_samp)]
+            dr_before = dynamic_range(restored)
+            restored, mdl, beam = mfs_image(re_sc, im_sc, ', selfcal')
+            dr_after = dynamic_range(restored)
+            g_amp = np.hypot(np.asarray(g_sol_re), np.asarray(g_sol_im))
+            g_phs = np.degrees(np.arctan2(np.asarray(g_sol_im),
+                                          np.asarray(g_sol_re)))
+            run.results['selfcal'] = {
+                'mode': selfcal, 'n_sol': n_sol,
+                'gain_amp_rms': float(np.std(g_amp)),
+                'gain_phase_rms_deg': float(np.std(g_phs)),
+                'dynamic_range_before': dr_before,
+                'dynamic_range_after': dr_after}
+            if log:
+                log.add_entry(
+                    "INFO",
+                    "selfcal ({}, {} solution interval(s)): solved gain "
+                    "rms amp={:.3f} phase={:.1f}deg; image dynamic range "
+                    "{:.1f} -> {:.1f}".format(
+                        selfcal, n_sol, float(np.std(g_amp)),
+                        float(np.std(g_phs)), dr_before, dr_after),
+                    timestamp=False)
+        restored_cube = restored[None]
     bmaj_rad, bmin_rad, bpa_deg = beam
 
     # --- products -------------------------------------------------------- #
@@ -405,6 +518,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                  freqs=freqs, sigma=0.0)
         np.savez(noisy_vis_file, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
                  freqs=freqs, sigma=sigma)
+        if re_sc is not None:
+            selfcal_vis_file = os.path.join(
+                synobs_dcy, f'SynObs.{base}.selfcal.vis.npz')
+            np.savez(selfcal_vis_file, uvw=uvw, vis_re=re_sc,
+                     vis_im=im_sc, freqs=freqs, sigma=sigma)
 
     fitsfile = os.path.join(dcy, f'SynObs.{base}.noisy.imaging.fits')
     out_hdr = fitsio.Header()
@@ -428,6 +546,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     products = {'ms_clean': clean_vis_file, 'ms_noisy': noisy_vis_file,
                 'clean_image': fitsfile}
+    if re_sc is not None:
+        products['ms_selfcal'] = selfcal_vis_file
 
     if pbcor:
         # primary-beam-corrected image (tclean pbcor/pblimit): divide by

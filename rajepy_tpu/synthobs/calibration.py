@@ -37,6 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import sampler
+
 
 def simulate_gain_errors(seed: int, n_t: int, n_ant: int,
                          amp_rms: float = 0.0,
@@ -218,6 +220,23 @@ def correct_vis(vis_re, vis_im, g_re_sol, g_im_sol, ant1, ant2, t_index,
     g_re, g_im = expand_solutions(g_re_sol, g_im_sol, n_t)
     return apply_gains(vis_re, vis_im, g_re, g_im, ant1, ant2, t_index,
                        invert=True)
+
+
+@jax.jit
+def _model_vis_jit(img, cell_rad, u, v):
+    mv = sampler.sample_vis(img, cell_rad, u, v)
+    return mv.real, mv.imag
+
+
+def model_vis(image, cell_rad, u_wav, v_wav):
+    """(re, im) model visibilities of ``image`` at (u, v) [wavelengths]:
+    the Kaiser-Bessel degridding forward model, wrapped so the complex
+    intermediates stay inside the compiled program (they cannot cross the
+    device boundary on the axon TPU backend)."""
+    image = jnp.asarray(image)
+    dt = image.dtype
+    return _model_vis_jit(image, jnp.asarray(cell_rad, dt),
+                          jnp.asarray(u_wav, dt), jnp.asarray(v_wav, dt))
 
 
 def vis_metadata(n_t: int, pairs: np.ndarray):

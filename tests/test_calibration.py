@@ -135,3 +135,65 @@ class TestStefcal:
         # here the solve is exact so even that cancels
         np.testing.assert_allclose(np.asarray(fr), vr, atol=1e-8)
         np.testing.assert_allclose(np.asarray(fi), vi, atol=1e-8)
+
+
+class TestSelfcalEndToEnd:
+    """corruption + selfcal knobs in simulate_observation."""
+
+    def _run_obs(self, model_params, tmp_path, sub, **kw):
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / sub)},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        run = pline.runs[0]
+        return run, simulate_observation(pline, run, **kw)
+
+    def test_selfcal_recovers_dynamic_range(self, model_params, tmp_path):
+        # long-coherence (quasi-static) gain errors, one solint: the
+        # solve should remove nearly all of the corruption
+        corr = {'amp_rms': 0.15, 'phase_rms_deg': 60.0,
+                'coherence_s': 1e5, 'seed': 99}
+        run, products = self._run_obs(
+            model_params, tmp_path, 'sc', corruption=corr,
+            selfcal='amp+phase')
+        sc = run.results['selfcal']
+        assert sc['mode'] == 'amp+phase' and sc['n_sol'] == 1
+        # corruption scatters flux -> low DR; selfcal must recover it
+        assert sc['dynamic_range_after'] > 2 * sc['dynamic_range_before']
+        assert os.path.exists(products['ms_selfcal'])
+        assert run.results.get('imfit') is not None
+
+    def test_selfcal_solint_splitting(self, model_params, tmp_path):
+        corr = {'amp_rms': 0.0, 'phase_rms_deg': 40.0,
+                'coherence_s': 600.0, 'seed': 5}
+        run, _ = self._run_obs(
+            model_params, tmp_path, 'sc2', corruption=corr,
+            selfcal='phase', selfcal_solint_s=240.0)
+        sc = run.results['selfcal']
+        assert sc['n_sol'] == 5          # 1200 s track / 240 s solint
+        assert sc['dynamic_range_after'] > sc['dynamic_range_before']
+        # phase-only mode: solved amplitudes pinned at 1
+        assert sc['gain_amp_rms'] < 1e-6
+
+    def test_bad_modes_raise(self, model_params, tmp_path):
+        with pytest.raises(ValueError, match='selfcal'):
+            self._run_obs(model_params, tmp_path, 'bad',
+                          selfcal='bandpass')

@@ -73,7 +73,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          t_ground: float = 270.0,
                          corruption: Optional[Dict] = None,
                          selfcal: Optional[str] = None,
-                         selfcal_solint_s: Optional[float] = None
+                         selfcal_solint_s: Optional[float] = None,
+                         selfcal_rounds: int = 1
                          ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -114,10 +115,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     runs — CLEAN, degrid the CLEAN component model, StEFCal gain solve
     (:mod:`.calibration`), applycal, re-image — with one gain solution
     per ``selfcal_solint_s`` seconds of track (default: a single
-    solution for the whole observation).  The restored image product is
-    the post-selfcal image; the corrected visibilities are written as
-    ``SynObs.<cfg>.selfcal.vis.npz`` and the solve is summarised in
-    ``run.results['selfcal']``.
+    solution for the whole observation).  ``selfcal_rounds`` iterates
+    the loop with the usual reduction ladder — every round solves
+    phase-only except the last, which uses the requested mode, and each
+    round re-solves against the previous round's (better) CLEAN model.
+    The restored image product is the post-selfcal image; the corrected
+    visibilities are written as ``SynObs.<cfg>.selfcal.vis.npz`` and the
+    solve is summarised in ``run.results['selfcal']``.
     """
     model = pipeline.model
     log = pipeline.log
@@ -457,44 +461,56 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             if selfcal_solint_s:
                 n_sol = int(np.clip(round(run.t_obs / selfcal_solint_s),
                                     1, n_samp))
-            with KernelTimer(f"synthobs: selfcal ({selfcal}, "
-                             f"{n_sol} solint)", log):
-                us = uvw[None, :, 0] / lam[:, None]
-                vs = uvw[None, :, 1] / lam[:, None]
-                mdl_re, mdl_im = calibration.model_vis(
-                    jnp.asarray(mdl, rdt), cell_rad,
-                    us.ravel(), vs.ravel())
-                mdl_re = np.asarray(mdl_re).reshape(n_chan, -1)
-                mdl_im = np.asarray(mdl_im).reshape(n_chan, -1)
-                g_sol_re, g_sol_im = calibration.solve_gains(
-                    re_nn, im_nn, mdl_re, mdl_im, ant1, ant2, t_index,
-                    n_ant=n_ant, n_t=n_samp, n_sol=n_sol, mode=selfcal)
-                re_sc, im_sc = [np.asarray(x) for x in
-                                calibration.correct_vis(
-                                    jnp.asarray(re_nn, rdt),
-                                    jnp.asarray(im_nn, rdt),
-                                    g_sol_re, g_sol_im,
-                                    ant1, ant2, t_index, n_samp)]
+            us = uvw[None, :, 0] / lam[:, None]
+            vs = uvw[None, :, 1] / lam[:, None]
             dr_before = dynamic_range(restored)
-            restored, mdl, beam = mfs_image(re_sc, im_sc, ', selfcal')
-            dr_after = dynamic_range(restored)
+            dr_rounds = []
+            re_sc, im_sc = re_nn, im_nn
+            for rnd in range(int(selfcal_rounds)):
+                # the CASA reduction ladder: phase-only rounds against
+                # progressively better models, the requested mode last
+                mode = (selfcal if rnd == selfcal_rounds - 1 else 'phase')
+                with KernelTimer(f"synthobs: selfcal round {rnd + 1} "
+                                 f"({mode}, {n_sol} solint)", log):
+                    mdl_re, mdl_im = calibration.model_vis(
+                        jnp.asarray(mdl, rdt), cell_rad,
+                        us.ravel(), vs.ravel())
+                    mdl_re = np.asarray(mdl_re).reshape(n_chan, -1)
+                    mdl_im = np.asarray(mdl_im).reshape(n_chan, -1)
+                    g_sol_re, g_sol_im = calibration.solve_gains(
+                        re_sc, im_sc, mdl_re, mdl_im, ant1, ant2,
+                        t_index, n_ant=n_ant, n_t=n_samp, n_sol=n_sol,
+                        mode=mode)
+                    re_sc, im_sc = [np.asarray(x) for x in
+                                    calibration.correct_vis(
+                                        jnp.asarray(re_sc, rdt),
+                                        jnp.asarray(im_sc, rdt),
+                                        g_sol_re, g_sol_im,
+                                        ant1, ant2, t_index, n_samp)]
+                restored, mdl, beam = mfs_image(
+                    re_sc, im_sc, f', selfcal {rnd + 1}')
+                dr_rounds.append(dynamic_range(restored))
             g_amp = np.hypot(np.asarray(g_sol_re), np.asarray(g_sol_im))
             g_phs = np.degrees(np.arctan2(np.asarray(g_sol_im),
                                           np.asarray(g_sol_re)))
             run.results['selfcal'] = {
                 'mode': selfcal, 'n_sol': n_sol,
+                'rounds': int(selfcal_rounds),
                 'gain_amp_rms': float(np.std(g_amp)),
                 'gain_phase_rms_deg': float(np.std(g_phs)),
                 'dynamic_range_before': dr_before,
-                'dynamic_range_after': dr_after}
+                'dynamic_range_rounds': dr_rounds,
+                'dynamic_range_after': dr_rounds[-1]}
             if log:
                 log.add_entry(
                     "INFO",
-                    "selfcal ({}, {} solution interval(s)): solved gain "
-                    "rms amp={:.3f} phase={:.1f}deg; image dynamic range "
-                    "{:.1f} -> {:.1f}".format(
-                        selfcal, n_sol, float(np.std(g_amp)),
-                        float(np.std(g_phs)), dr_before, dr_after),
+                    "selfcal ({}, {} round(s), {} solution interval(s)): "
+                    "final-round gain rms amp={:.3f} phase={:.1f}deg; "
+                    "image dynamic range {:.1f} -> {}".format(
+                        selfcal, selfcal_rounds, n_sol,
+                        float(np.std(g_amp)), float(np.std(g_phs)),
+                        dr_before,
+                        ' -> '.join(f'{d:.1f}' for d in dr_rounds)),
                     timestamp=False)
         restored_cube = restored[None]
     bmaj_rad, bmin_rad, bpa_deg = beam

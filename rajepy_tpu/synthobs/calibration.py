@@ -145,17 +145,9 @@ def _stefcal_one(R, M, n_iter: int, phase_only: bool, ref_ant: int):
     return g * jnp.conj(ref_phase)
 
 
-@partial(jax.jit, static_argnames=('n_ant', 'n_sol', 'n_t', 'n_iter',
-                                   'phase_only', 'ref_ant'))
-def _solve_gains(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol, n_t,
-                 n_iter, phase_only, ref_ant):
-    # channel-average first (gaincal 'G' solves one gain per solint from
-    # all channels in the spw); leading axes are channels
-    vr = vr.reshape(-1, vr.shape[-1]).mean(axis=0)
-    vi = vi.reshape(-1, vi.shape[-1]).mean(axis=0)
-    mr = mr.reshape(-1, mr.shape[-1]).mean(axis=0)
-    mi = mi.reshape(-1, mi.shape[-1]).mean(axis=0)
-
+def _solve_core(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol, n_t,
+                n_iter, phase_only, ref_ant):
+    """Interval-averaged StEFCal solve on 1-D (n_vis,) visibilities."""
     sol = (t_index.astype(jnp.int32) * n_sol) // n_t
     flat = (sol * n_ant + ant1) * n_ant + ant2
     nseg = n_sol * n_ant * n_ant
@@ -176,10 +168,37 @@ def _solve_gains(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol, n_t,
     return g.real, g.imag
 
 
+@partial(jax.jit, static_argnames=('n_ant', 'n_sol', 'n_t', 'n_iter',
+                                   'phase_only', 'ref_ant'))
+def _solve_gains(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol, n_t,
+                 n_iter, phase_only, ref_ant):
+    # channel-average first (gaincal 'G' solves one gain per solint from
+    # all channels in the spw); leading axes are channels
+    vr = vr.reshape(-1, vr.shape[-1]).mean(axis=0)
+    vi = vi.reshape(-1, vi.shape[-1]).mean(axis=0)
+    mr = mr.reshape(-1, mr.shape[-1]).mean(axis=0)
+    mi = mi.reshape(-1, mi.shape[-1]).mean(axis=0)
+    return _solve_core(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol,
+                       n_t, n_iter, phase_only, ref_ant)
+
+
+@partial(jax.jit, static_argnames=('n_ant', 'n_sol', 'n_t', 'n_iter',
+                                   'phase_only', 'ref_ant'))
+def _solve_bandpass(vr, vi, mr, mi, ant1, ant2, t_index, n_ant, n_sol,
+                    n_t, n_iter, phase_only, ref_ant):
+    # per-channel solves (gaincal 'B'): vmap the interval solve over the
+    # leading channel axis — all channels' dense gain matrices in one
+    # batched device program
+    solve = lambda a, b, c, d: _solve_core(a, b, c, d, ant1, ant2,
+                                           t_index, n_ant, n_sol, n_t,
+                                           n_iter, phase_only, ref_ant)
+    return jax.vmap(solve)(vr, vi, mr, mi)
+
+
 def solve_gains(vis_re, vis_im, mdl_re, mdl_im, ant1, ant2, t_index,
                 n_ant: int, n_t: int, n_sol: int = 1,
                 mode: str = 'amp+phase', n_iter: int = 50,
-                ref_ant: int = 0):
+                ref_ant: int = 0, per_channel: bool = False):
     """Antenna gain solutions against a model visibility set.
 
     Splits the time axis into ``n_sol`` equal solution intervals, averages
@@ -189,37 +208,74 @@ def solve_gains(vis_re, vis_im, mdl_re, mdl_im, ant1, ant2, t_index,
     ``vmap``.  ``mode='phase'`` constrains |g| = 1 (phase-only selfcal);
     ``mode='amp+phase'`` solves the full complex gain.
 
-    Returns (g_re, g_im), each (n_sol, n_ant), phase-referenced so
-    antenna ``ref_ant`` has zero phase per interval.
+    ``per_channel=True`` is the bandpass solve (gaincal ``'B'``): no
+    channel averaging — every channel gets its own gain solution (the
+    channel axis is vmapped over the batched interval solve), returned
+    as (n_chan, n_sol, n_ant) and applicable with
+    :func:`apply_bandpass` / :func:`correct_vis`.
+
+    Returns (g_re, g_im), each (n_sol, n_ant) — or (n_chan, n_sol,
+    n_ant) with ``per_channel`` — phase-referenced so antenna
+    ``ref_ant`` has zero phase per interval.
     """
     if mode not in ('phase', 'amp+phase'):
         raise ValueError(f"unknown mode {mode!r}")
     dt = jnp.result_type(vis_re)
-    return _solve_gains(jnp.asarray(vis_re, dt), jnp.asarray(vis_im, dt),
-                        jnp.asarray(mdl_re, dt), jnp.asarray(mdl_im, dt),
-                        jnp.asarray(ant1, jnp.int32),
-                        jnp.asarray(ant2, jnp.int32),
-                        jnp.asarray(t_index, jnp.int32),
-                        int(n_ant), int(n_sol), int(n_t), int(n_iter),
-                        mode == 'phase', int(ref_ant))
+    fn = _solve_bandpass if per_channel else _solve_gains
+    vr = jnp.asarray(vis_re, dt)
+    if per_channel and vr.ndim != 2:
+        raise ValueError("per_channel solve needs (n_chan, n_vis) "
+                         "visibilities")
+    return fn(vr, jnp.asarray(vis_im, dt),
+              jnp.asarray(mdl_re, dt), jnp.asarray(mdl_im, dt),
+              jnp.asarray(ant1, jnp.int32),
+              jnp.asarray(ant2, jnp.int32),
+              jnp.asarray(t_index, jnp.int32),
+              int(n_ant), int(n_sol), int(n_t), int(n_iter),
+              mode == 'phase', int(ref_ant))
+
+
+@partial(jax.jit, static_argnames=('invert',))
+def _apply_gains_pc(vr, vi, g_re, g_im, ant1, ant2, t_index, invert):
+    g = jax.lax.complex(g_re, g_im)                 # (n_chan, n_t, n_ant)
+    f = g[:, t_index, ant1] * jnp.conj(g[:, t_index, ant2])
+    v = jax.lax.complex(vr, vi)
+    out = v / f if invert else v * f
+    return out.real, out.imag
+
+
+def apply_bandpass(vis_re, vis_im, g_re, g_im, ant1, ant2, t_index,
+                   invert: bool = False):
+    """Per-channel variant of :func:`apply_gains`: gains shaped
+    (n_chan, n_t, n_ant) applied to (n_chan, n_vis) visibilities."""
+    dt = jnp.result_type(vis_re)
+    return _apply_gains_pc(jnp.asarray(vis_re), jnp.asarray(vis_im),
+                           jnp.asarray(g_re, dt), jnp.asarray(g_im, dt),
+                           jnp.asarray(ant1, jnp.int32),
+                           jnp.asarray(ant2, jnp.int32),
+                           jnp.asarray(t_index, jnp.int32), bool(invert))
 
 
 def expand_solutions(g_re, g_im, n_t: int):
-    """Map (n_sol, n_ant) interval solutions onto the time axis
-    (n_t, n_ant) with the same equal-interval rule as the solver."""
+    """Map (..., n_sol, n_ant) interval solutions onto the time axis
+    (..., n_t, n_ant) with the same equal-interval rule as the solver."""
     g_re = np.asarray(g_re)
-    n_sol = g_re.shape[0]
+    n_sol = g_re.shape[-2]
     sol = (np.arange(n_t) * n_sol) // n_t
-    return np.asarray(g_re)[sol], np.asarray(g_im)[sol]
+    return np.asarray(g_re)[..., sol, :], np.asarray(g_im)[..., sol, :]
 
 
 def correct_vis(vis_re, vis_im, g_re_sol, g_im_sol, ant1, ant2, t_index,
                 n_t: int):
     """``applycal``: expand interval solutions to per-time gains and
-    divide them out of the visibilities."""
+    divide them out of the visibilities.  Dispatches on the solution
+    shape: (n_sol, n_ant) applies one gain across all channels
+    (gaincal 'G'); (n_chan, n_sol, n_ant) applies each channel its own
+    solution (bandpass 'B')."""
     g_re, g_im = expand_solutions(g_re_sol, g_im_sol, n_t)
-    return apply_gains(vis_re, vis_im, g_re, g_im, ant1, ant2, t_index,
-                       invert=True)
+    fn = apply_bandpass if g_re.ndim == 3 else apply_gains
+    return fn(vis_re, vis_im, g_re, g_im, ant1, ant2, t_index,
+              invert=True)
 
 
 @jax.jit

@@ -173,9 +173,12 @@ class TestSelfcalEndToEnd:
                 'coherence_s': 1e5, 'seed': 99}
         run, products = self._run_obs(
             model_params, tmp_path, 'sc', corruption=corr,
-            selfcal='amp+phase')
+            selfcal='amp+phase', selfcal_rounds=2)
         sc = run.results['selfcal']
         assert sc['mode'] == 'amp+phase' and sc['n_sol'] == 1
+        # two rounds: phase-only first, then amp+phase against the
+        # improved model
+        assert len(sc['dynamic_range_rounds']) == 2
         # corruption scatters flux -> low DR; selfcal must recover it
         assert sc['dynamic_range_after'] > 2 * sc['dynamic_range_before']
         assert os.path.exists(products['ms_selfcal'])
@@ -197,3 +200,39 @@ class TestSelfcalEndToEnd:
         with pytest.raises(ValueError, match='selfcal'):
             self._run_obs(model_params, tmp_path, 'bad',
                           selfcal='bandpass')
+
+
+class TestBandpass:
+    def test_per_channel_solve_recovers_channel_gains(self):
+        rng = np.random.default_rng(11)
+        n_ant, n_t, n_chan = 10, 8, 3
+        vr, vi, a1, a2, tix, _ = _random_vis(rng, n_ant, n_t, n_chan)
+        # distinct gains per channel, piecewise-constant over 2 solints
+        true = np.empty((n_chan, 2, n_ant), complex)
+        gtr = np.empty((n_chan, n_t, n_ant))
+        gti = np.empty((n_chan, n_t, n_ant))
+        for c in range(n_chan):
+            gs_re, gs_im = cal.simulate_gain_errors(
+                20 + c, 2, n_ant, amp_rms=0.1, phase_rms_deg=40.0)
+            true[c] = gs_re + 1j * gs_im
+            gtr[c], gti[c] = cal.expand_solutions(gs_re, gs_im, n_t)
+        cr, ci = cal.apply_bandpass(vr, vi, gtr, gti, a1, a2, tix)
+        sr, si = cal.solve_gains(np.asarray(cr), np.asarray(ci), vr, vi,
+                                 a1, a2, tix, n_ant=n_ant, n_t=n_t,
+                                 n_sol=2, n_iter=60, per_channel=True)
+        sol = np.asarray(sr) + 1j * np.asarray(si)
+        assert sol.shape == (n_chan, 2, n_ant)
+        ref = true[..., :1] / np.abs(true[..., :1])
+        np.testing.assert_allclose(sol, true * np.conj(ref), atol=1e-9)
+        # and correct_vis dispatches on the 3-D solution shape
+        fr, fi = cal.correct_vis(np.asarray(cr), np.asarray(ci), sr, si,
+                                 a1, a2, tix, n_t)
+        np.testing.assert_allclose(np.asarray(fr), vr, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(fi), vi, atol=1e-8)
+
+    def test_per_channel_needs_2d(self):
+        with pytest.raises(ValueError, match='per_channel'):
+            cal.solve_gains(np.zeros(6), np.zeros(6), np.zeros(6),
+                            np.zeros(6), np.zeros(6, int),
+                            np.ones(6, int), np.zeros(6, int),
+                            n_ant=4, n_t=1, per_channel=True)

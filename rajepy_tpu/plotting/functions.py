@@ -503,3 +503,91 @@ def load_fits_hdr_and_data(fits_file: str):
     from ..io.fits import read_fits
     data, hdr = read_fits(fits_file)
     return hdr, data
+
+
+def uv_plot(vis, max_points: int = 100_000, show_plot: bool = False,
+            savefig: Union[bool, str] = False):
+    """uv-coverage + visibility-amplitude diagnostics for a visibility
+    set — the role CASA's ``plotms`` fills after simobserve (the
+    reference, driving CASA, has no in-package equivalent).
+
+    ``vis`` is a ``SynObs.<cfg>[.noisy|.selfcal].vis.npz`` product path
+    (keys ``uvw`` [m], ``vis_re``/``vis_im`` (n_chan, n_vis), ``freqs``
+    [Hz]) or an equivalent mapping.  Left panel: conjugate-symmetrised
+    uv coverage in kilolambda; right: amplitude vs uv distance with a
+    binned median profile.  Points beyond ``max_points`` are decimated
+    with a deterministic stride.
+    """
+    if isinstance(vis, (str, os.PathLike)):
+        vis = np.load(vis)
+    uvw = np.asarray(vis['uvw'], dtype=float)
+    freqs = np.atleast_1d(np.asarray(vis['freqs'], dtype=float))
+    re = np.atleast_2d(np.asarray(vis['vis_re'], dtype=float))
+    im = np.atleast_2d(np.asarray(vis['vis_im'], dtype=float))
+    lam = cnsts.C / freqs
+    u_kl = (uvw[None, :, 0] / lam[:, None]).ravel() / 1e3
+    v_kl = (uvw[None, :, 1] / lam[:, None]).ravel() / 1e3
+    amp = np.hypot(re, im).ravel()
+    uvdist = np.hypot(u_kl, v_kl)
+    step = max(1, u_kl.size // max_points)
+    u_kl, v_kl, amp, uvdist = (a[::step] for a in (u_kl, v_kl, amp,
+                                                   uvdist))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9.6, 4.4))
+    ax1.scatter(np.concatenate([u_kl, -u_kl]),
+                np.concatenate([v_kl, -v_kl]), s=0.5, lw=0,
+                color='cornflowerblue', rasterized=True)
+    ax1.set_xlabel(r'$u$ [k$\lambda$]')
+    ax1.set_ylabel(r'$v$ [k$\lambda$]')
+    ax1.set_aspect('equal', 'datalim')
+    ax1.set_title('uv coverage')
+
+    ax2.scatter(uvdist, amp, s=1.0, lw=0, color='0.55', alpha=0.4,
+                rasterized=True)
+    if uvdist.size:
+        edges = np.linspace(0.0, uvdist.max() * 1.0001, 25)
+        which = np.digitize(uvdist, edges) - 1
+        mids, meds = [], []
+        for b in range(len(edges) - 1):
+            sel = amp[which == b]
+            if sel.size:
+                mids.append(0.5 * (edges[b] + edges[b + 1]))
+                meds.append(np.median(sel))
+        ax2.plot(mids, meds, color='maroon', lw=1.5,
+                 label='binned median')
+        ax2.legend(frameon=False)
+    ax2.set_xlabel(r'uv distance [k$\lambda$]')
+    ax2.set_ylabel('amplitude [Jy]')
+    ax2.set_title('visibility amplitude')
+    fig.tight_layout()
+    _finish(fig, show_plot, savefig)
+    return fig
+
+
+def gain_plot(g_re, g_im, t_sol=None, show_plot: bool = False,
+              savefig: Union[bool, str] = False):
+    """Per-antenna gain-solution tracks (CASA ``plotcal``'s role):
+    amplitude and unwrapped phase vs solution interval for (n_sol,
+    n_ant) solutions from :func:`rajepy_tpu.synthobs.calibration.
+    solve_gains` (a (n_chan, n_sol, n_ant) bandpass solution plots
+    amplitude/phase vs channel instead, one line per antenna, using the
+    first solution interval)."""
+    g = np.asarray(g_re) + 1j * np.asarray(g_im)
+    if g.ndim == 3:                       # bandpass: (n_chan, n_sol, n_ant)
+        g = g[:, 0, :]
+        xlab = 'channel'
+    else:
+        xlab = 'solution interval'
+    x = np.arange(g.shape[0]) if t_sol is None else np.asarray(t_sol)
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, figsize=(7.2, 5.4))
+    for a in range(g.shape[1]):
+        ax1.plot(x, np.abs(g[:, a]), lw=0.8, alpha=0.8)
+        ax2.plot(x, np.degrees(np.unwrap(np.angle(g[:, a]))), lw=0.8,
+                 alpha=0.8)
+    ax1.set_ylabel('|g|')
+    ax2.set_ylabel('gain phase [deg]')
+    ax2.set_xlabel(xlab if t_sol is None else 'time [s]')
+    ax1.set_title(f'{g.shape[1]} antenna gain solutions')
+    fig.tight_layout()
+    _finish(fig, show_plot, savefig)
+    return fig

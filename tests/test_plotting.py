@@ -127,3 +127,38 @@ def test_pipeline_plots_and_timelapse(jm, tmp_path):
     f = str(tmp_path / 'movie.gif')
     pfunc.timelapse_animation(pline, savefig=f)
     assert os.path.exists(f) or os.path.isdir(str(tmp_path / 'movie'))
+
+
+def test_uv_plot(tmp_path):
+    # synthetic visibility set in the SynObs npz product schema
+    rng = np.random.default_rng(0)
+    n_vis = 600
+    uvw = rng.uniform(-3e4, 3e4, (n_vis, 3))
+    freqs = np.array([5e9, 6e9])
+    re = rng.standard_normal((2, n_vis))
+    im = rng.standard_normal((2, n_vis))
+    npz = str(tmp_path / 'vis.npz')
+    np.savez(npz, uvw=uvw, vis_re=re, vis_im=im, freqs=freqs, sigma=0.1)
+    f = str(tmp_path / 'uv.png')
+    pfunc.uv_plot(npz, savefig=f)
+    _check(f)
+    # mapping input + decimation path
+    f2 = str(tmp_path / 'uv2.png')
+    pfunc.uv_plot({'uvw': uvw, 'vis_re': re, 'vis_im': im,
+                   'freqs': freqs}, max_points=100, savefig=f2)
+    _check(f2)
+
+
+def test_gain_plot(tmp_path):
+    rng = np.random.default_rng(1)
+    n_sol, n_ant = 12, 8
+    g_re = 1 + 0.1 * rng.standard_normal((n_sol, n_ant))
+    g_im = 0.1 * rng.standard_normal((n_sol, n_ant))
+    f = str(tmp_path / 'gains.png')
+    pfunc.gain_plot(g_re, g_im, savefig=f)
+    _check(f)
+    # bandpass-shaped solutions
+    f2 = str(tmp_path / 'bp.png')
+    pfunc.gain_plot(g_re[None].repeat(5, 0), g_im[None].repeat(5, 0),
+                    savefig=f2)
+    _check(f2)

@@ -38,3 +38,13 @@ params = {
         'chanws': np.array([1e5]),
     },
 }
+
+# Optional synthetic-observation overrides, forwarded verbatim to
+# rajepy_tpu.synthobs.simulate_observation — e.g. atmosphere-aware noise,
+# tclean knobs, antenna gain corruption and self-calibration:
+# params['synthobs'] = {
+#     'thermalnoise': 'tsys-atm', 'user_pwv': 2.0,
+#     'weighting': 'briggs', 'robust': 0.5, 'niter': 500,
+#     'corruption': {'phase_rms_deg': 30., 'coherence_s': 600.},
+#     'selfcal': 'phase', 'selfcal_solint_s': 300., 'selfcal_rounds': 2,
+# }

@@ -517,8 +517,12 @@ class Pipeline:
                 self.log.add_entry(
                     "INFO", "Running CASA-free synthetic observation "
                             f"({run.tscop[0]} config {run.tscop[1]})")
-                products = simulate_observation(
-                    self, run, min_el=self.params['min_el'])
+                # optional 'synthobs' params section: keyword overrides
+                # forwarded verbatim (thermalnoise/user_pwv, weighting/
+                # robust/niter, uvtaper_as/pbcor, corruption/selfcal...)
+                so_kwargs = dict(self.params.get('synthobs') or {})
+                so_kwargs.setdefault('min_el', self.params['min_el'])
+                products = simulate_observation(self, run, **so_kwargs)
                 run.products.update(products)
                 if run.obs_type == 'continuum' and \
                         'imfit' in run.results and \

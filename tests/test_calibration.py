@@ -236,3 +236,39 @@ class TestBandpass:
                             np.zeros(6), np.zeros(6, int),
                             np.ones(6, int), np.zeros(6, int),
                             n_ant=4, n_t=1, per_channel=True)
+
+
+class TestPipelineSynthobsSection:
+    def test_synthobs_params_forwarded(self, model_params, tmp_path):
+        """An optional 'synthobs' pipeline-params section reaches
+        simulate_observation (corruption + selfcal from a params file)."""
+        import rajepy_tpu
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'pp')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+            'synthobs': {'corruption': {'phase_rms_deg': 50.0,
+                                        'coherence_s': 1e5},
+                         'selfcal': 'phase'},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=True, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        run = pline.runs[0]
+        assert run.completed
+        sc = run.results['selfcal']
+        assert sc['mode'] == 'phase'
+        assert sc['dynamic_range_after'] > sc['dynamic_range_before']
+        assert 'ms_selfcal' in run.products

@@ -690,6 +690,96 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
                     optimizer, n_starts, start_spread, seed, mesh)
 
 
+def fit_closures(jm, freqs, uvw_m, vis_obs, *, n_ant: int, n_t: int,
+                 free: Sequence[str] = ('properties.mlr_bj',),
+                 use_phases: bool = True, use_log_amps: bool = True,
+                 phase_weight: float = 1.0, amp_weight: float = 1.0,
+                 steps: int = 400, learning_rate: float = 0.05,
+                 time=None, apply_pb: bool = False,
+                 dish_diameter_m: float = 25.0, w_planes: int = 0,
+                 optimizer=None, n_starts: int = 1,
+                 start_spread: float = 0.3, seed: int = 0,
+                 mesh=None) -> FitResult:
+    """Gain-robust uv-plane fitting: fit freed parameters to the
+    CLOSURE observables of observed visibilities — closure phases
+    (bispectrum phases over antenna triangles) and log closure
+    amplitudes (quadrangle ratios) — which are exactly immune to
+    antenna-based complex gain corruption
+    (:mod:`rajepy_tpu.synthobs.calibration`).  This is the VLBI
+    workflow for data whose gains cannot be calibrated: where
+    :func:`fit_visibilities` on uncalibrated data converges to a biased
+    optimum, the closure fit sees the true source structure.
+
+    ``vis_obs``: (n_chan, n_t * n_bl) complex in
+    :func:`simulate_observation`'s time-major full-antenna-pair layout
+    (``n_bl = n_ant (n_ant - 1) / 2``), with ``uvw_m`` rows in the same
+    order.  The closure-phase residual is the wrap-free
+    ``1 - cos(phi_model - phi_data)`` via unit bispectrum phasors; the
+    amplitude residual is least-squares in log space.  Closure
+    quantities carry no absolute flux or position information — with
+    structure-only constraints, combine with an SED component through
+    :func:`fit_joint` to pin the flux scale when more than shape
+    parameters are free.
+    """
+    if not (use_phases or use_log_amps):
+        raise ValueError("enable at least one of use_phases / "
+                         "use_log_amps")
+    from ..synthobs import calibration as _cal
+    forward, theta0 = build_vis_forward(jm, freqs, uvw_m, free, time,
+                                        apply_pb, dish_diameter_m,
+                                        w_planes)
+    obs = np.asarray(vis_obs, complex)
+    if obs.ndim == 1:
+        obs = obs[None]
+    n_bl = n_ant * (n_ant - 1) // 2
+    if obs.shape[-1] != n_t * n_bl:
+        raise ValueError(
+            f"vis_obs last axis {obs.shape[-1]} != n_t*n_bl "
+            f"({n_t}x{n_bl}) — closure indexing needs the full "
+            "time-major antenna-pair layout")
+    tab = _cal.baseline_index_table(n_ant)
+    tri = _cal.closure_triangles(n_ant)
+    quad = _cal.closure_quads(n_ant)
+    ij = jnp.asarray(tab[tri[:, 0], tri[:, 1]])
+    jk = jnp.asarray(tab[tri[:, 1], tri[:, 2]])
+    ik = jnp.asarray(tab[tri[:, 0], tri[:, 2]])
+    q_ij = jnp.asarray(tab[quad[:, 0], quad[:, 1]])
+    q_kl = jnp.asarray(tab[quad[:, 2], quad[:, 3]])
+    q_ik = jnp.asarray(tab[quad[:, 0], quad[:, 2]])
+    q_jl = jnp.asarray(tab[quad[:, 1], quad[:, 3]])
+    eps = 1e-30
+
+    def bisp(v):
+        return v[..., ij] * v[..., jk] * jnp.conj(v[..., ik])
+
+    def logclamp(v):
+        a2 = v.real ** 2 + v.imag ** 2
+        return 0.5 * (jnp.log(a2[..., q_ij] + eps) +
+                      jnp.log(a2[..., q_kl] + eps) -
+                      jnp.log(a2[..., q_ik] + eps) -
+                      jnp.log(a2[..., q_jl] + eps))
+
+    v_d = jnp.asarray(obs.reshape(obs.shape[0], n_t, n_bl),
+                      jnp.complex128)
+    b_d = bisp(v_d)
+    bd_unit_conj = jnp.conj(b_d) / (jnp.abs(b_d) + eps)
+    la_d = logclamp(v_d)
+
+    def loss(model):
+        v_m = model.reshape(model.shape[0], n_t, n_bl)
+        total = 0.0
+        if use_phases:
+            b_m = bisp(v_m)
+            total += phase_weight * jnp.mean(
+                1.0 - (b_m * bd_unit_conj).real / (jnp.abs(b_m) + eps))
+        if use_log_amps:
+            total += amp_weight * jnp.mean((logclamp(v_m) - la_d) ** 2)
+        return total
+
+    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
+                    optimizer, n_starts, start_spread, seed, mesh)
+
+
 # --------------------------------------------------------------------------- #
 # RRL line-profile fitting
 # --------------------------------------------------------------------------- #

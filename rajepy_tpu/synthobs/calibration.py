@@ -278,6 +278,99 @@ def correct_vis(vis_re, vis_im, g_re_sol, g_im_sol, ant1, ant2, t_index,
               invert=True)
 
 
+# --------------------------------------------------------------------------- #
+# Closure quantities — gain-immune observables
+# --------------------------------------------------------------------------- #
+def baseline_index_table(n_ant: int) -> np.ndarray:
+    """(n_ant, n_ant) lookup from an (i, j) antenna pair (i < j) to its
+    row in the triu-ordered baseline list of :func:`uvgen.baselines`."""
+    tab = np.full((n_ant, n_ant), -1, dtype=np.int32)
+    i, j = np.triu_indices(n_ant, k=1)
+    tab[i, j] = np.arange(i.size, dtype=np.int32)
+    return tab
+
+
+def closure_triangles(n_ant: int) -> np.ndarray:
+    """All antenna triangles (i < j < k), shape (n_tri, 3).  The full
+    set is redundant (rank n_bl - n_ant + 1) but loses no information
+    and keeps the arrays static-shaped."""
+    from itertools import combinations
+    return np.asarray(list(combinations(range(n_ant), 3)), dtype=np.int32)
+
+
+def closure_quads(n_ant: int) -> np.ndarray:
+    """All antenna quadrangles (i < j < k < l), shape (n_quad, 4), read
+    as the canonical amplitude ratio |V_ij V_kl| / |V_ik V_jl|."""
+    from itertools import combinations
+    return np.asarray(list(combinations(range(n_ant), 4)), dtype=np.int32)
+
+
+@jax.jit
+def _bispectrum_jit(vr, vi, bl_ij, bl_jk, bl_ik):
+    v = jax.lax.complex(vr, vi)              # (..., n_t, n_bl)
+    b = (v[..., bl_ij] * v[..., bl_jk] * jnp.conj(v[..., bl_ik]))
+    return b.real, b.imag
+
+
+def bispectrum(vis_re, vis_im, n_ant: int, n_t: int, triangles=None):
+    """Bispectra B = V_ij V_jk conj(V_ik) over antenna ``triangles``.
+
+    ``vis_*``: (..., n_t * n_bl) in the time-major full-pair layout of
+    :func:`simulate_observation`.  Returns (b_re, b_im), each
+    (..., n_t, n_tri).  Under antenna gains g the bispectrum picks up
+    only the REAL factor |g_i g_j g_k|^2, so its phase — the closure
+    phase — is immune to antenna-based phase corruption.
+    """
+    tri = closure_triangles(n_ant) if triangles is None else \
+        np.asarray(triangles, dtype=np.int32)
+    tab = baseline_index_table(n_ant)
+    bl_ij = jnp.asarray(tab[tri[:, 0], tri[:, 1]])
+    bl_jk = jnp.asarray(tab[tri[:, 1], tri[:, 2]])
+    bl_ik = jnp.asarray(tab[tri[:, 0], tri[:, 2]])
+    vr = jnp.asarray(vis_re)
+    vr = vr.reshape(vr.shape[:-1] + (n_t, -1))
+    vi = jnp.asarray(vis_im).reshape(vr.shape)
+    return _bispectrum_jit(vr, vi, bl_ij, bl_jk, bl_ik)
+
+
+def closure_phases(vis_re, vis_im, n_ant: int, n_t: int, triangles=None):
+    """Closure phases [rad], (..., n_t, n_tri): the bispectrum phases —
+    immune to antenna-based gain phases (VLBI's primary observable when
+    phase calibration is impossible)."""
+    br, bi = bispectrum(vis_re, vis_im, n_ant, n_t, triangles)
+    return np.arctan2(np.asarray(bi), np.asarray(br))
+
+
+@jax.jit
+def _logclamp_jit(vr, vi, bl_ij, bl_kl, bl_ik, bl_jl):
+    v2 = vr ** 2 + vi ** 2                   # |V|^2, (..., n_t, n_bl)
+    eps = jnp.asarray(1e-30, v2.dtype)
+    la = 0.5 * (jnp.log(v2[..., bl_ij] + eps) + jnp.log(v2[..., bl_kl] +
+                                                        eps) -
+                jnp.log(v2[..., bl_ik] + eps) - jnp.log(v2[..., bl_jl] +
+                                                        eps))
+    return la
+
+
+def log_closure_amplitudes(vis_re, vis_im, n_ant: int, n_t: int,
+                           quads=None):
+    """Log closure amplitudes ln(|V_ij||V_kl| / |V_ik||V_jl|) over
+    antenna ``quads``, (..., n_t, n_quad): immune to antenna-based gain
+    AMPLITUDES (each |g| enters numerator and denominator once)."""
+    q = closure_quads(n_ant) if quads is None else \
+        np.asarray(quads, dtype=np.int32)
+    tab = baseline_index_table(n_ant)
+    vr = jnp.asarray(vis_re)
+    vr = vr.reshape(vr.shape[:-1] + (n_t, -1))
+    vi = jnp.asarray(vis_im).reshape(vr.shape)
+    return np.asarray(_logclamp_jit(
+        vr, vi,
+        jnp.asarray(tab[q[:, 0], q[:, 1]]),
+        jnp.asarray(tab[q[:, 2], q[:, 3]]),
+        jnp.asarray(tab[q[:, 0], q[:, 2]]),
+        jnp.asarray(tab[q[:, 1], q[:, 3]])))
+
+
 @jax.jit
 def _model_vis_jit(img, cell_rad, u, v):
     mv = sampler.sample_vis(img, cell_rad, u, v)

@@ -272,3 +272,65 @@ class TestPipelineSynthobsSection:
         assert sc['mode'] == 'phase'
         assert sc['dynamic_range_after'] > sc['dynamic_range_before']
         assert 'ms_selfcal' in run.products
+
+
+class TestClosureQuantities:
+    def _setup(self, seed=0, n_ant=8, n_t=5, n_chan=2):
+        rng = np.random.default_rng(seed)
+        vr, vi, a1, a2, tix, pairs = _random_vis(rng, n_ant, n_t, n_chan)
+        return rng, vr, vi, a1, a2, tix, pairs
+
+    def test_closure_phase_is_gain_phase_immune(self):
+        rng, vr, vi, a1, a2, tix, _ = self._setup()
+        n_ant, n_t = 8, 5
+        # harsh iid per-time phase + amplitude gains
+        g_re, g_im = cal.simulate_gain_errors(1, n_t, n_ant, amp_rms=0.3,
+                                              phase_rms_deg=120.0)
+        cr, ci = cal.apply_gains(vr, vi, g_re, g_im, a1, a2, tix)
+        cp0 = cal.closure_phases(vr, vi, n_ant, n_t)
+        cp1 = cal.closure_phases(np.asarray(cr), np.asarray(ci),
+                                 n_ant, n_t)
+        # identical phases despite 120-deg corruption
+        d = np.angle(np.exp(1j * (cp1 - cp0)))
+        assert np.max(np.abs(d)) < 1e-10
+        assert cp0.shape == (2, n_t, 56)        # C(8,3) triangles
+
+    def test_log_closure_amplitude_is_gain_amp_immune(self):
+        rng, vr, vi, a1, a2, tix, _ = self._setup(seed=3)
+        n_ant, n_t = 8, 5
+        g_re, g_im = cal.simulate_gain_errors(2, n_t, n_ant, amp_rms=0.5,
+                                              phase_rms_deg=90.0)
+        cr, ci = cal.apply_gains(vr, vi, g_re, g_im, a1, a2, tix)
+        la0 = cal.log_closure_amplitudes(vr, vi, n_ant, n_t)
+        la1 = cal.log_closure_amplitudes(np.asarray(cr), np.asarray(ci),
+                                         n_ant, n_t)
+        np.testing.assert_allclose(la1, la0, atol=1e-9)
+        assert la0.shape == (2, n_t, 70)        # C(8,4) quads
+
+    def test_point_source_closures_are_trivial(self):
+        # a point source at the phase centre: all closure phases 0,
+        # all log closure amplitudes 0
+        n_ant, n_t = 6, 3
+        pairs = np.stack(np.triu_indices(n_ant, k=1), axis=1)
+        n_vis = n_t * pairs.shape[0]
+        vr = np.full((1, n_vis), 2.5)
+        vi = np.zeros((1, n_vis))
+        cp = cal.closure_phases(vr, vi, n_ant, n_t)
+        la = cal.log_closure_amplitudes(vr, vi, n_ant, n_t)
+        np.testing.assert_allclose(cp, 0.0, atol=1e-12)
+        np.testing.assert_allclose(la, 0.0, atol=1e-12)
+
+    def test_bispectrum_matches_direct_product(self):
+        rng, vr, vi, a1, a2, tix, pairs = self._setup(seed=5, n_chan=1)
+        n_ant, n_t = 8, 5
+        br, bi = cal.bispectrum(vr, vi, n_ant, n_t)
+        v = (vr + 1j * vi).reshape(1, n_t, -1)
+        tab = cal.baseline_index_table(n_ant)
+        # spot-check triangle (0, 2, 5)
+        tri = cal.closure_triangles(n_ant)
+        k = int(np.flatnonzero((tri == (0, 2, 5)).all(axis=1))[0])
+        expect = (v[:, :, tab[0, 2]] * v[:, :, tab[2, 5]] *
+                  np.conj(v[:, :, tab[0, 5]]))
+        np.testing.assert_allclose(np.asarray(br)[:, :, k] +
+                                   1j * np.asarray(bi)[:, :, k],
+                                   expect, rtol=1e-12)

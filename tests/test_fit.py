@@ -571,3 +571,62 @@ class TestRecovery:
             jm.time = t
             api.append(np.nansum(jm.flux_ff(freqs), axis=(1, 2)))
         assert ours == pytest.approx(np.asarray(api), rel=1e-12)
+
+
+class TestClosureFitting:
+    def test_closure_fit_is_gain_robust(self, model_params):
+        """fit_closures recovers the truth from severely uncalibrated
+        visibilities where fit_visibilities converges to a biased
+        optimum (closure quantities are exactly gain-immune)."""
+        from rajepy_tpu.synthobs import calibration as cal
+        p = _small(model_params)
+        rng = np.random.default_rng(3)
+        n_ant, n_t = 8, 6
+        pairs = np.stack(np.triu_indices(n_ant, k=1), axis=1)
+        a1, a2, tix = cal.vis_metadata(n_t, pairs)
+        uvw = rng.normal(0, 2e4, (n_t * pairs.shape[0], 3))
+        freqs = np.array([5e9, 2.2e10])   # partially optically thick:
+        # mlr moves the tau=1 surface, so closures SEE it (closures are
+        # blind to pure flux rescaling)
+        true = copy.deepcopy(p)
+        true['properties'].update(mlr_bj=2e-7)
+        jm_t = JetModel(true)
+        jm_t.time = 0.0
+        fwd, th = jfit.build_vis_forward(jm_t, freqs, uvw,
+                                         ('properties.mlr_bj',))
+        vis = np.asarray(fwd(th))
+        # severe uncalibrated antenna gains: iid 80-deg phases, 30% amps
+        g_re, g_im = cal.simulate_gain_errors(7, n_t, n_ant, amp_rms=0.3,
+                                              phase_rms_deg=80.0)
+        cr, ci = cal.apply_gains(vis.real, vis.imag, g_re, g_im,
+                                 a1, a2, tix)
+        vis_corr = np.asarray(cr) + 1j * np.asarray(ci)
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_closures(jm, freqs, uvw, vis_corr, n_ant=n_ant,
+                                n_t=n_t, free=('properties.mlr_bj',),
+                                steps=300)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(2e-7, rel=1e-3)
+
+        jm2 = JetModel(copy.deepcopy(p))
+        jm2.time = 0.0
+        res2 = jfit.fit_visibilities(jm2, freqs, uvw, vis_corr,
+                                     free=('properties.mlr_bj',),
+                                     steps=300)
+        err_vis = abs(res2.values['properties.mlr_bj'] / 2e-7 - 1)
+        assert err_vis > 0.3   # the uncalibrated fit is badly biased
+
+    def test_closure_fit_validates_layout(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 0.0
+        with pytest.raises(ValueError, match='time-major'):
+            jfit.fit_closures(jm, np.array([1e10]), np.zeros((10, 3)),
+                              np.zeros((1, 10), complex), n_ant=8,
+                              n_t=6)
+        with pytest.raises(ValueError, match='at least one'):
+            jfit.fit_closures(jm, np.array([1e10]), np.zeros((168, 3)),
+                              np.zeros((1, 168), complex), n_ant=8,
+                              n_t=6, use_phases=False,
+                              use_log_amps=False)

@@ -721,13 +721,24 @@ def fit_closures(jm, freqs, uvw_m, vis_obs, *, n_ant: int, n_t: int,
     :func:`fit_joint` to pin the flux scale when more than shape
     parameters are free.
     """
+    forward, theta0 = build_vis_forward(jm, freqs, uvw_m, free, time,
+                                        apply_pb, dish_diameter_m,
+                                        w_planes)
+    loss = _closure_loss(vis_obs, n_ant, n_t, use_phases, use_log_amps,
+                         phase_weight, amp_weight)
+    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
+                    optimizer, n_starts, start_spread, seed, mesh)
+
+
+def _closure_loss(vis_obs, n_ant: int, n_t: int, use_phases: bool = True,
+                  use_log_amps: bool = True, phase_weight: float = 1.0,
+                  amp_weight: float = 1.0):
+    """``loss(model_vis)`` against the closure observables of
+    ``vis_obs`` (see :func:`fit_closures` for the residual forms)."""
     if not (use_phases or use_log_amps):
         raise ValueError("enable at least one of use_phases / "
                          "use_log_amps")
     from ..synthobs import calibration as _cal
-    forward, theta0 = build_vis_forward(jm, freqs, uvw_m, free, time,
-                                        apply_pb, dish_diameter_m,
-                                        w_planes)
     obs = np.asarray(vis_obs, complex)
     if obs.ndim == 1:
         obs = obs[None]
@@ -776,8 +787,7 @@ def fit_closures(jm, freqs, uvw_m, vis_obs, *, n_ant: int, n_t: int,
             total += amp_weight * jnp.mean((logclamp(v_m) - la_d) ** 2)
         return total
 
-    return _run_fit(forward, theta0, free, loss, steps, learning_rate,
-                    optimizer, n_starts, start_spread, seed, mesh)
+    return loss
 
 
 # --------------------------------------------------------------------------- #
@@ -970,10 +980,23 @@ def _component_forward_loss(jm, comp: Dict, free, time, dtype):
         def base(model, _o=obs, _w=wt):
             r = model - _o
             return jnp.mean((r.real ** 2 + r.imag ** 2) * _w)
+    elif kind == 'closures':
+        # gain-robust structure constraint: closure observables of
+        # uncalibrated visibilities (combine with an 'sed' component to
+        # pin the absolute flux scale closures cannot see)
+        fwd, th0 = build_vis_forward(
+            jm, comp['freqs'], comp['uvw_m'], free, time,
+            comp.get('apply_pb', False),
+            comp.get('dish_diameter_m', 25.0))
+        base = _closure_loss(
+            comp['observed'], comp['n_ant'], comp['n_t'],
+            comp.get('use_phases', True), comp.get('use_log_amps', True),
+            comp.get('phase_weight', 1.0), comp.get('amp_weight', 1.0))
     else:
         raise ValueError(
             f"unknown joint-fit component kind {kind!r}; supported: "
-            "sed / map / rrl_spectrum / rrl_cube / visibilities")
+            "sed / map / rrl_spectrum / rrl_cube / visibilities / "
+            "closures")
 
     def loss(model, _b=base, _w=w):
         return _w * _b(model)

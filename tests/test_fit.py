@@ -630,3 +630,49 @@ class TestClosureFitting:
                               np.zeros((1, 168), complex), n_ant=8,
                               n_t=6, use_phases=False,
                               use_log_amps=False)
+
+
+class TestJointClosures:
+    def test_joint_sed_plus_closures_from_uncalibrated_vis(self,
+                                                           model_params):
+        """A 'closures' component in fit_joint: uncalibrated
+        visibilities contribute their gain-immune structure constraint
+        while an SED component pins the absolute flux scale closures
+        cannot see — two free parameters recovered from data whose
+        gains are 80 deg wrong."""
+        from rajepy_tpu.synthobs import calibration as cal
+        p = _small(model_params)
+        rng = np.random.default_rng(9)
+        n_ant, n_t = 8, 6
+        pairs = np.stack(np.triu_indices(n_ant, k=1), axis=1)
+        a1, a2, tix = cal.vis_metadata(n_t, pairs)
+        uvw = rng.normal(0, 2e4, (n_t * pairs.shape[0], 3))
+        vis_freqs = np.array([5e9, 2.2e10])
+        pt = copy.deepcopy(p)
+        pt['properties'].update(mlr_bj=2e-7, T_0=7000.0)
+        jm_t = JetModel(pt)
+        jm_t.time = 0.0
+        sed_obs = np.nansum(jm_t.flux_ff(SED_FREQS), axis=(1, 2))
+        fwd, th = jfit.build_vis_forward(jm_t, vis_freqs, uvw,
+                                         ('properties.mlr_bj',))
+        vis = np.asarray(fwd(th))
+        g_re, g_im = cal.simulate_gain_errors(4, n_t, n_ant,
+                                              amp_rms=0.3,
+                                              phase_rms_deg=80.0)
+        cr, ci = cal.apply_gains(vis.real, vis.imag, g_re, g_im,
+                                 a1, a2, tix)
+        vis_corr = np.asarray(cr) + 1j * np.asarray(ci)
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_joint(
+            jm,
+            [{'kind': 'sed', 'freqs': SED_FREQS, 'observed': sed_obs},
+             {'kind': 'closures', 'freqs': vis_freqs, 'uvw_m': uvw,
+              'observed': vis_corr, 'n_ant': n_ant, 'n_t': n_t}],
+            free=('properties.mlr_bj', 'properties.T_0'),
+            steps=500, learning_rate=0.1)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(2e-7, rel=0.01)
+        assert res.values['properties.T_0'] == \
+            pytest.approx(7000.0, rel=0.01)

@@ -1017,7 +1017,11 @@ def fit_joint(jm, components: Sequence[Dict], *,
     program.
 
     ``components`` is a sequence of dicts; each has a ``kind`` plus that
-    kind's data (all accept ``errors`` and ``weight``):
+    kind's data (all accept ``errors``, ``weight`` and a per-component
+    ``time`` [s] overriding the fit-level epoch — so observations of
+    DIFFERENT epochs fit one parameter vector jointly, e.g. two maps
+    bracketing an ejection recover the burst parameters that a single
+    epoch cannot see):
 
     * ``{'kind': 'sed', 'freqs', 'observed'}`` — integrated fluxes [Jy]
     * ``{'kind': 'map', 'freq', 'observed'}`` — a flux map [Jy/pixel]
@@ -1043,7 +1047,9 @@ def fit_joint(jm, components: Sequence[Dict], *,
     fwds, losses = [], []
     theta0 = None
     for comp in components:
-        f, l, th0 = _component_forward_loss(jm, comp, free, time, dtype)
+        f, l, th0 = _component_forward_loss(jm, comp, free,
+                                            comp.get('time', time),
+                                            dtype)
         fwds.append(f)
         losses.append(l)
         theta0 = th0

@@ -676,3 +676,35 @@ class TestJointClosures:
             pytest.approx(2e-7, rel=0.01)
         assert res.values['properties.T_0'] == \
             pytest.approx(7000.0, rel=0.01)
+
+
+class TestJointMultiEpoch:
+    def test_per_component_time_overrides(self, model_params):
+        """Components may carry their own epochs: two SEDs bracketing an
+        ejection burst fit one parameter vector, each evaluated at its
+        own time (the burst brightens epoch 2 only)."""
+        p = _small(model_params)
+        p['ejection'] = {'t_0': np.array([1.5]), 'hl': np.array([0.5]),
+                         'chi': np.array([4.0]), 'which': np.array(['R'])}
+        pt = copy.deepcopy(p)
+        pt['properties'].update(mlr_bj=2e-7)
+        jm_t = JetModel(pt)
+        jm_t.time = 0.0
+        sed0 = np.nansum(jm_t.flux_ff(SED_FREQS), axis=(1, 2))
+        jm_t.time = 2.0 * YEAR
+        sed2 = np.nansum(jm_t.flux_ff(SED_FREQS), axis=(1, 2))
+        assert np.all(sed2 > sed0)      # the burst is inside at 2 yr
+
+        jm = JetModel(p)
+        res = jfit.fit_joint(
+            jm,
+            [{'kind': 'sed', 'freqs': SED_FREQS, 'observed': sed0,
+              'time': 0.0},
+             {'kind': 'sed', 'freqs': SED_FREQS, 'observed': sed2,
+              'time': 2.0 * YEAR}],
+            free=('properties.mlr_bj',), steps=300, learning_rate=0.1)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(2e-7, rel=1e-3)
+        # each component really saw its own epoch
+        m0, m2 = (np.asarray(m) for m in res.model)
+        assert np.all(m2 > m0)

@@ -342,12 +342,25 @@ def laplace_uncertainties(forward, theta, observed, free: Sequence[str],
         def resid(th):
             return (jnp.ravel(forward(th)) - obs) / err
 
+    return _gauss_newton_sigmas(resid, theta, free,
+                                estimate_scale=errors is None)
+
+
+def _gauss_newton_sigmas(resid, theta, free: Sequence[str],
+                         estimate_scale: bool = True
+                         ) -> Tuple[Dict[str, float], np.ndarray]:
+    """Gauss-Newton ``(sigmas, cov)`` from an arbitrary residual
+    function ``resid(theta) -> 1-D residuals``.  With
+    ``estimate_scale`` the noise scale is s^2 = RSS/(n - p)
+    (curve_fit's ``absolute_sigma=False``); otherwise the residuals are
+    assumed already whitened."""
+    theta = jnp.asarray(theta, jnp.float64)
     J = np.asarray(jax.jacobian(resid)(theta))          # (n, p)
     r = np.asarray(resid(theta))
     n, p = J.shape
     jtj = J.T @ J
     cov = np.linalg.pinv(jtj)
-    if errors is None:
+    if estimate_scale:
         cov = cov * (float(r @ r) / max(n - p, 1))
     sigmas = {}
     for i, path in enumerate(free):
@@ -730,24 +743,63 @@ def fit_closures(jm, freqs, uvw_m, vis_obs, *, n_ant: int, n_t: int,
                     optimizer, n_starts, start_spread, seed, mesh)
 
 
-def _closure_loss(vis_obs, n_ant: int, n_t: int, use_phases: bool = True,
-                  use_log_amps: bool = True, phase_weight: float = 1.0,
-                  amp_weight: float = 1.0):
-    """``loss(model_vis)`` against the closure observables of
-    ``vis_obs`` (see :func:`fit_closures` for the residual forms)."""
+def closure_uncertainties(jm, freqs, uvw_m, vis_obs, theta,
+                          free: Sequence[str], *, n_ant: int, n_t: int,
+                          use_phases: bool = True,
+                          use_log_amps: bool = True, time=None,
+                          apply_pb: bool = False,
+                          dish_diameter_m: float = 25.0,
+                          w_planes: int = 0
+                          ) -> Tuple[Dict[str, float], np.ndarray]:
+    """Gauss-Newton 1-sigma uncertainties at a :func:`fit_closures`
+    optimum (``theta`` from ``FitResult.theta``).
+
+    Residuals are the wrap-free closure-phase differences via
+    unit-bispectrum cross products (Im(B̂_m conj(B̂_d)) ≈ φ_m − φ_d near
+    the optimum) and the log-closure-amplitude differences.  The two
+    observable families carry different noise scales, so each block is
+    whitened by its own residual RMS before the joint jacobian — the
+    block-wise ``absolute_sigma=False`` convention.  Returns
+    ``(sigmas, cov)`` like :func:`laplace_uncertainties`.
+    """
     if not (use_phases or use_log_amps):
         raise ValueError("enable at least one of use_phases / "
                          "use_log_amps")
+    forward, _ = build_vis_forward(jm, freqs, uvw_m, free, time,
+                                   apply_pb, dish_diameter_m, w_planes)
+    bisp, logclamp = _closure_ops(n_ant)
+    v_d = _closure_data(vis_obs, n_ant, n_t)
+    eps = 1e-30
+    b_d = bisp(v_d)
+    bd_u = b_d / (jnp.abs(b_d) + eps)
+    la_d = logclamp(v_d)
+
+    def blocks(th):
+        v_m = forward(th).reshape(v_d.shape)
+        out = []
+        if use_phases:
+            b_m = bisp(v_m)
+            bm_u = b_m / (jnp.abs(b_m) + eps)
+            out.append(jnp.ravel((bm_u * jnp.conj(bd_u)).imag))
+        if use_log_amps:
+            out.append(jnp.ravel(logclamp(v_m) - la_d))
+        return out
+
+    theta = jnp.asarray(theta, jnp.float64)
+    scales = [max(float(jnp.sqrt(jnp.mean(b ** 2))), 1e-300)
+              for b in blocks(theta)]
+
+    def resid(th):
+        return jnp.concatenate([b / s
+                                for b, s in zip(blocks(th), scales)])
+
+    return _gauss_newton_sigmas(resid, theta, free, estimate_scale=False)
+
+
+def _closure_ops(n_ant: int):
+    """``(bisp, logclamp)`` operating on complex (..., n_t, n_bl)
+    visibility arrays over the full triangle / quadrangle sets."""
     from ..synthobs import calibration as _cal
-    obs = np.asarray(vis_obs, complex)
-    if obs.ndim == 1:
-        obs = obs[None]
-    n_bl = n_ant * (n_ant - 1) // 2
-    if obs.shape[-1] != n_t * n_bl:
-        raise ValueError(
-            f"vis_obs last axis {obs.shape[-1]} != n_t*n_bl "
-            f"({n_t}x{n_bl}) — closure indexing needs the full "
-            "time-major antenna-pair layout")
     tab = _cal.baseline_index_table(n_ant)
     tri = _cal.closure_triangles(n_ant)
     quad = _cal.closure_quads(n_ant)
@@ -770,14 +822,42 @@ def _closure_loss(vis_obs, n_ant: int, n_t: int, use_phases: bool = True,
                       jnp.log(a2[..., q_ik] + eps) -
                       jnp.log(a2[..., q_jl] + eps))
 
-    v_d = jnp.asarray(obs.reshape(obs.shape[0], n_t, n_bl),
-                      jnp.complex128)
+    return bisp, logclamp
+
+
+def _closure_data(vis_obs, n_ant: int, n_t: int):
+    """Validate the layout and return the observed visibilities as a
+    complex (n_chan, n_t, n_bl) device array."""
+    obs = np.asarray(vis_obs, complex)
+    if obs.ndim == 1:
+        obs = obs[None]
+    n_bl = n_ant * (n_ant - 1) // 2
+    if obs.shape[-1] != n_t * n_bl:
+        raise ValueError(
+            f"vis_obs last axis {obs.shape[-1]} != n_t*n_bl "
+            f"({n_t}x{n_bl}) — closure indexing needs the full "
+            "time-major antenna-pair layout")
+    return jnp.asarray(obs.reshape(obs.shape[0], n_t, n_bl),
+                       jnp.complex128)
+
+
+def _closure_loss(vis_obs, n_ant: int, n_t: int, use_phases: bool = True,
+                  use_log_amps: bool = True, phase_weight: float = 1.0,
+                  amp_weight: float = 1.0):
+    """``loss(model_vis)`` against the closure observables of
+    ``vis_obs`` (see :func:`fit_closures` for the residual forms)."""
+    if not (use_phases or use_log_amps):
+        raise ValueError("enable at least one of use_phases / "
+                         "use_log_amps")
+    bisp, logclamp = _closure_ops(n_ant)
+    eps = 1e-30
+    v_d = _closure_data(vis_obs, n_ant, n_t)
     b_d = bisp(v_d)
     bd_unit_conj = jnp.conj(b_d) / (jnp.abs(b_d) + eps)
     la_d = logclamp(v_d)
 
     def loss(model):
-        v_m = model.reshape(model.shape[0], n_t, n_bl)
+        v_m = model.reshape(v_d.shape)
         total = 0.0
         if use_phases:
             b_m = bisp(v_m)

@@ -708,3 +708,47 @@ class TestJointMultiEpoch:
         # each component really saw its own epoch
         m0, m2 = (np.asarray(m) for m in res.model)
         assert np.all(m2 > m0)
+
+
+class TestClosureUncertainties:
+    def test_sigma_covers_noise_driven_error(self, model_params):
+        """Laplace error bars on a gain-robust fit: with thermal noise
+        on the uncalibrated visibilities, the closure fit's deviation
+        from truth is consistent with the reported 1-sigma."""
+        from rajepy_tpu.synthobs import calibration as cal
+        p = _small(model_params)
+        rng = np.random.default_rng(13)
+        n_ant, n_t = 8, 6
+        pairs = np.stack(np.triu_indices(n_ant, k=1), axis=1)
+        a1, a2, tix = cal.vis_metadata(n_t, pairs)
+        uvw = rng.normal(0, 2e4, (n_t * pairs.shape[0], 3))
+        freqs = np.array([5e9, 2.2e10])
+        true = copy.deepcopy(p)
+        true['properties'].update(mlr_bj=2e-7)
+        jm_t = JetModel(true)
+        jm_t.time = 0.0
+        fwd, th = jfit.build_vis_forward(jm_t, freqs, uvw,
+                                         ('properties.mlr_bj',))
+        vis = np.asarray(fwd(th))
+        sigma_n = 0.01 * np.abs(vis).max()
+        vis = vis + (rng.normal(0, sigma_n, vis.shape) +
+                     1j * rng.normal(0, sigma_n, vis.shape))
+        g_re, g_im = cal.simulate_gain_errors(2, n_t, n_ant, amp_rms=0.3,
+                                              phase_rms_deg=80.0)
+        cr, ci = cal.apply_gains(vis.real, vis.imag, g_re, g_im,
+                                 a1, a2, tix)
+        vis_corr = np.asarray(cr) + 1j * np.asarray(ci)
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_closures(jm, freqs, uvw, vis_corr, n_ant=n_ant,
+                                n_t=n_t, free=('properties.mlr_bj',),
+                                steps=300)
+        sig, cov = jfit.closure_uncertainties(
+            jm, freqs, uvw, vis_corr, res.theta,
+            ('properties.mlr_bj',), n_ant=n_ant, n_t=n_t)
+        s = sig['properties.mlr_bj']
+        err = abs(res.values['properties.mlr_bj'] - 2e-7)
+        assert 0 < s < 0.2 * 2e-7          # informative error bar
+        assert err < 4 * s                 # deviation consistent with it
+        assert cov.shape == (1, 1)

@@ -74,7 +74,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          corruption: Optional[Dict] = None,
                          selfcal: Optional[str] = None,
                          selfcal_solint_s: Optional[float] = None,
-                         selfcal_rounds: int = 1
+                         selfcal_rounds: int = 1,
+                         applycal_gains: Optional[str] = None
                          ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -120,8 +121,17 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     phase-only except the last, which uses the requested mode, and each
     round re-solves against the previous round's (better) CLEAN model.
     The restored image product is the post-selfcal image; the corrected
-    visibilities are written as ``SynObs.<cfg>.selfcal.vis.npz`` and the
-    solve is summarised in ``run.results['selfcal']``.
+    visibilities are written as ``SynObs.<cfg>.selfcal.vis.npz``, the
+    cumulative gain solutions as ``SynObs.<cfg>.selfcal.gains.npz``
+    (``products['gains']``) and the solve is summarised in
+    ``run.results['selfcal']``.
+
+    ``applycal_gains`` transfers a gains product from another run to
+    this one before imaging (CASA's applycal-with-a-gaintable): the
+    standard recipe for line cubes, which lack the per-solint SNR to
+    self-calibrate — solve on the continuum, apply to the cube.  The
+    antenna count must match; solutions are stretched over this run's
+    time axis by the solver's equal-interval rule.
     """
     model = pipeline.model
     log = pipeline.log
@@ -305,6 +315,33 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                     corruption.get('coherence_s'), n_ant, n_samp),
                 timestamp=False)
 
+    # --- gain transfer (applycal with a gains product) ------------------- #
+    if applycal_gains:
+        gt = np.load(applycal_gains)
+        g_re_t = np.asarray(gt['g_re'])
+        g_im_t = np.asarray(gt['g_im'])
+        if g_re_t.shape[-1] != n_ant:
+            raise ValueError(
+                f"applycal_gains has {g_re_t.shape[-1]} antennas, this "
+                f"run's array has {n_ant} — gain transfer needs the "
+                "same antenna configuration")
+        ant1, ant2, t_index = calibration.vis_metadata(n_samp, _pairs)
+        with KernelTimer("synthobs: applycal (gain transfer)", log):
+            re_nn, im_nn = [np.asarray(x) for x in
+                            calibration.correct_vis(
+                                jnp.asarray(re_nn, rdt),
+                                jnp.asarray(im_nn, rdt),
+                                g_re_t, g_im_t,
+                                ant1, ant2, t_index, n_samp)]
+        if log:
+            log.add_entry(
+                "INFO",
+                "Applied transferred gain solutions from {} "
+                "({} solution interval(s) stretched over {} "
+                "integrations)".format(os.path.basename(applycal_gains),
+                                       g_re_t.shape[0], n_samp),
+                timestamp=False)
+
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
     # per-channel cube (RRL)
@@ -466,6 +503,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             dr_before = dynamic_range(restored)
             dr_rounds = []
             re_sc, im_sc = re_nn, im_nn
+            # cumulative gain product across rounds (what applycal of a
+            # single 'gain table' must divide out)
+            g_tot = np.ones((n_sol, n_ant), complex)
             for rnd in range(int(selfcal_rounds)):
                 # the CASA reduction ladder: phase-only rounds against
                 # progressively better models, the requested mode last
@@ -487,6 +527,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                                         jnp.asarray(im_sc, rdt),
                                         g_sol_re, g_sol_im,
                                         ant1, ant2, t_index, n_samp)]
+                g_tot = g_tot * (np.asarray(g_sol_re) +
+                                 1j * np.asarray(g_sol_im))
                 restored, mdl, beam = mfs_image(
                     re_sc, im_sc, f', selfcal {rnd + 1}')
                 dr_rounds.append(dynamic_range(restored))
@@ -539,6 +581,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 synobs_dcy, f'SynObs.{base}.selfcal.vis.npz')
             np.savez(selfcal_vis_file, uvw=uvw, vis_re=re_sc,
                      vis_im=im_sc, freqs=freqs, sigma=sigma)
+            gains_file = os.path.join(
+                synobs_dcy, f'SynObs.{base}.selfcal.gains.npz')
+            np.savez(gains_file, g_re=g_tot.real, g_im=g_tot.imag,
+                     n_ant=n_ant, mode=str(selfcal),
+                     t_obs=float(run.t_obs))
 
     fitsfile = os.path.join(dcy, f'SynObs.{base}.noisy.imaging.fits')
     out_hdr = fitsio.Header()
@@ -564,6 +611,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 'clean_image': fitsfile}
     if re_sc is not None:
         products['ms_selfcal'] = selfcal_vis_file
+        products['gains'] = gains_file
 
     if pbcor:
         # primary-beam-corrected image (tclean pbcor/pblimit): divide by

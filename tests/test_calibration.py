@@ -334,3 +334,107 @@ class TestClosureQuantities:
         np.testing.assert_allclose(np.asarray(br)[:, :, k] +
                                    1j * np.asarray(bi)[:, :, k],
                                    expect, rtol=1e-12)
+
+
+class TestGainTransfer:
+    def test_continuum_gains_fix_a_cube_run(self, model_params, tmp_path):
+        """The applycal workflow for line data: solve gains on the
+        continuum (selfcal), transfer the gains product to an RRL cube
+        run observed through the same (deterministic) gain corruption."""
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+        corr = {'phase_rms_deg': 50.0, 'coherence_s': 1e5, 'seed': 77}
+
+        def pparams(sub):
+            return {
+                'min_el': 20.,
+                'dcys': {'model_dcy': str(tmp_path / sub)},
+                'continuum': {'times': np.array([0.]),
+                              'freqs': np.array([2.2e10]),
+                              't_obs': np.array([1200]),
+                              'tscps': np.array([('VLA', 'B')]),
+                              't_ints': np.array([60]),
+                              'bws': np.array([1e8]),
+                              'chanws': np.array([5e7])},
+                'rrls': {'times': np.array([0.]),
+                         'lines': np.array(['H58a']),
+                         't_obs': np.array([1200]),
+                         'tscps': np.array([('VLA', 'B')]),
+                         't_ints': np.array([60]),
+                         'bws': np.array([2e6]),
+                         'chanws': np.array([5e5])},
+            }
+
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams('gt'))
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        cont = next(r for r in pline.runs if r.obs_type == 'continuum')
+        cube = next(r for r in pline.runs if r.obs_type != 'continuum')
+
+        # 1) continuum: corrupt + selfcal -> gains product
+        prod_c = simulate_observation(pline, cont, corruption=corr,
+                                      selfcal='phase')
+        assert os.path.exists(prod_c['gains'])
+
+        def read_vis(path):
+            # successive runs overwrite the same product path: read
+            # eagerly, never hold a lazy NpzFile across runs
+            with np.load(path) as z:
+                return np.array(z['vis_re']), np.array(z['vis_im'])
+
+        # 2) cube observed through the SAME gain screen, no correction
+        prod_raw = simulate_observation(pline, cube, corruption=corr,
+                                        niter=50)
+        bad = dict(zip(('vis_re', 'vis_im'),
+                       read_vis(prod_raw['ms_noisy'])))
+
+        # 3) same cube with the continuum gains transferred
+        prod_fix = simulate_observation(pline, cube, corruption=corr,
+                                        niter=50,
+                                        applycal_gains=prod_c['gains'])
+        fixed = dict(zip(('vis_re', 'vis_im'),
+                         read_vis(prod_fix['ms_noisy'])))
+
+        # 4) reference: the uncorrupted cube observation
+        prod_ref = simulate_observation(pline, cube, niter=50)
+        ref = dict(zip(('vis_re', 'vis_im'),
+                       read_vis(prod_ref['ms_noisy'])))
+
+        err_bad = np.sqrt(np.mean((bad['vis_re'] - ref['vis_re']) ** 2 +
+                                  (bad['vis_im'] - ref['vis_im']) ** 2))
+        err_fix = np.sqrt(np.mean(
+            (fixed['vis_re'] - ref['vis_re']) ** 2 +
+            (fixed['vis_im'] - ref['vis_im']) ** 2))
+        assert err_fix < err_bad / 5     # transfer removes the screen
+
+    def test_antenna_mismatch_raises(self, model_params, tmp_path):
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+        gains = str(tmp_path / 'g.npz')
+        np.savez(gains, g_re=np.ones((1, 5)), g_im=np.zeros((1, 5)))
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'mm')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        with pytest.raises(ValueError, match='antenna'):
+            simulate_observation(pline, pline.runs[0],
+                                 applycal_gains=gains)

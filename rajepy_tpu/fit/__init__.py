@@ -786,7 +786,11 @@ def closure_uncertainties(jm, freqs, uvw_m, vis_obs, theta,
         return out
 
     theta = jnp.asarray(theta, jnp.float64)
-    scales = [max(float(jnp.sqrt(jnp.mean(b ** 2))), 1e-300)
+    # floor the whitening scale well above underflow: exactly-zero
+    # residual blocks (noiseless data at the optimum) would otherwise
+    # blow the jacobian up to inf and NaN the covariance — 1e-12 keeps
+    # J^T J finite in f64 and still reports ~zero sigma for such data
+    scales = [max(float(jnp.sqrt(jnp.mean(b ** 2))), 1e-12)
               for b in blocks(theta)]
 
     def resid(th):
@@ -798,31 +802,13 @@ def closure_uncertainties(jm, freqs, uvw_m, vis_obs, theta,
 
 def _closure_ops(n_ant: int):
     """``(bisp, logclamp)`` operating on complex (..., n_t, n_bl)
-    visibility arrays over the full triangle / quadrangle sets."""
+    visibility arrays over the full triangle / quadrangle sets — thin
+    bindings of the shared cores in :mod:`..synthobs.calibration` so
+    the closure definitions exist exactly once."""
     from ..synthobs import calibration as _cal
-    tab = _cal.baseline_index_table(n_ant)
-    tri = _cal.closure_triangles(n_ant)
-    quad = _cal.closure_quads(n_ant)
-    ij = jnp.asarray(tab[tri[:, 0], tri[:, 1]])
-    jk = jnp.asarray(tab[tri[:, 1], tri[:, 2]])
-    ik = jnp.asarray(tab[tri[:, 0], tri[:, 2]])
-    q_ij = jnp.asarray(tab[quad[:, 0], quad[:, 1]])
-    q_kl = jnp.asarray(tab[quad[:, 2], quad[:, 3]])
-    q_ik = jnp.asarray(tab[quad[:, 0], quad[:, 2]])
-    q_jl = jnp.asarray(tab[quad[:, 1], quad[:, 3]])
-    eps = 1e-30
-
-    def bisp(v):
-        return v[..., ij] * v[..., jk] * jnp.conj(v[..., ik])
-
-    def logclamp(v):
-        a2 = v.real ** 2 + v.imag ** 2
-        return 0.5 * (jnp.log(a2[..., q_ij] + eps) +
-                      jnp.log(a2[..., q_kl] + eps) -
-                      jnp.log(a2[..., q_ik] + eps) -
-                      jnp.log(a2[..., q_jl] + eps))
-
-    return bisp, logclamp
+    idx = _cal.closure_index_arrays(n_ant)
+    return (lambda v: _cal.bisp_core(v, *idx['tri']),
+            lambda v: _cal.logclamp_core(v, *idx['quad']))
 
 
 def _closure_data(vis_obs, n_ant: int, n_t: int):

@@ -518,10 +518,21 @@ class Pipeline:
                     "INFO", "Running CASA-free synthetic observation "
                             f"({run.tscop[0]} config {run.tscop[1]})")
                 # optional 'synthobs' params section: keyword overrides
-                # forwarded verbatim (thermalnoise/user_pwv, weighting/
-                # robust/niter, uvtaper_as/pbcor, corruption/selfcal...)
+                # forwarded to every run (thermalnoise/user_pwv,
+                # weighting/robust/niter, uvtaper_as/pbcor, corruption/
+                # selfcal...).  Continuum-only knobs are stripped for
+                # line-cube runs instead of crashing them: a params file
+                # asking for selfcal/multiscale means "where applicable"
                 so_kwargs = dict(self.params.get('synthobs') or {})
                 so_kwargs.setdefault('min_el', self.params['min_el'])
+                if run.obs_type != 'continuum':
+                    for k in ('selfcal', 'selfcal_solint_s',
+                              'selfcal_rounds'):
+                        so_kwargs.pop(k, None)
+                    if so_kwargs.get('deconvolver') == 'multiscale':
+                        for k in ('deconvolver', 'scales',
+                                  'smallscalebias'):
+                            so_kwargs.pop(k, None)
                 products = simulate_observation(self, run, **so_kwargs)
                 run.products.update(products)
                 if run.obs_type == 'continuum' and \

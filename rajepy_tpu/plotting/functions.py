@@ -529,7 +529,7 @@ def uv_plot(vis, max_points: int = 100_000, show_plot: bool = False,
     v_kl = (uvw[None, :, 1] / lam[:, None]).ravel() / 1e3
     amp = np.hypot(re, im).ravel()
     uvdist = np.hypot(u_kl, v_kl)
-    step = max(1, u_kl.size // max_points)
+    step = max(1, -(-u_kl.size // max_points))   # ceil: honour the cap
     u_kl, v_kl, amp, uvdist = (a[::step] for a in (u_kl, v_kl, amp,
                                                    uvdist))
 
@@ -574,6 +574,10 @@ def gain_plot(g_re, g_im, t_sol=None, show_plot: bool = False,
     first solution interval)."""
     g = np.asarray(g_re) + 1j * np.asarray(g_im)
     if g.ndim == 3:                       # bandpass: (n_chan, n_sol, n_ant)
+        if t_sol is not None:
+            raise ValueError("t_sol does not apply to bandpass-shaped "
+                             "(n_chan, n_sol, n_ant) solutions — the "
+                             "x axis is the channel")
         g = g[:, 0, :]
         xlab = 'channel'
     else:

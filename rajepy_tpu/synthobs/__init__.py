@@ -356,6 +356,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          "only; cube runs use the channel-batched Hogbom")
     if selfcal not in (None, 'phase', 'amp+phase'):
         raise ValueError(f"unknown selfcal mode {selfcal!r}")
+    selfcal_rounds = int(selfcal_rounds)
+    if selfcal and selfcal_rounds < 1:
+        raise ValueError("selfcal_rounds must be >= 1")
     if selfcal and cube_mode:
         raise ValueError("selfcal is continuum (mfs) only: line cubes "
                          "lack the per-solint SNR for a gain solve; "
@@ -372,22 +375,31 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         return np.exp(-4.0 * np.log(2.0) * (us ** 2 + vs ** 2) /
                       fwhm_uv ** 2)
 
+    _wb_cache: Dict = {}      # imaging weights depend on uv only, not on
+    # the visibility values — selfcal re-images per round, so cache them
+
     def image_channels(chan_idx, vr_all=None, vi_all=None):
         us = (uvw[None, :, 0] / lam[chan_idx, None]).ravel()
         vs = (uvw[None, :, 1] / lam[chan_idx, None]).ravel()
         vr = (re_nn if vr_all is None else vr_all)[chan_idx].ravel()
         vi = (im_nn if vi_all is None else vi_all)[chan_idx].ravel()
-        w0 = uvtaper_weights(us, vs)
-        if weighting == 'briggs':
-            wb = np.asarray(imaging.briggs_weights(
-                jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
-                jnp.asarray(w0, rdt), imsize, cell_rad, robust=robust))
-        elif weighting == 'uniform':
-            wb = np.asarray(imaging.briggs_weights(
-                jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
-                jnp.asarray(w0, rdt), imsize, cell_rad, robust=-2.0))
-        else:
-            wb = w0
+        key = (int(np.min(chan_idx)), int(np.max(chan_idx)),
+               int(np.size(chan_idx)))
+        wb = _wb_cache.get(key)
+        if wb is None:
+            w0 = uvtaper_weights(us, vs)
+            if weighting == 'briggs':
+                wb = np.asarray(imaging.briggs_weights(
+                    jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
+                    jnp.asarray(w0, rdt), imsize, cell_rad,
+                    robust=robust))
+            elif weighting == 'uniform':
+                wb = np.asarray(imaging.briggs_weights(
+                    jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
+                    jnp.asarray(w0, rdt), imsize, cell_rad, robust=-2.0))
+            else:
+                wb = w0
+            _wb_cache[key] = wb
         dirty, psf = imaging.grid_and_image_parts(
             jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
             jnp.asarray(vr, rdt), jnp.asarray(vi, rdt),

@@ -126,13 +126,16 @@ def _stefcal_one(R, M, n_iter: int, phase_only: bool, ref_ant: int):
         den = jnp.sum(jnp.abs(z) ** 2, axis=0)
         g_new = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
                           g)
-        if phase_only:
-            a = jnp.abs(g_new)
-            g_new = jnp.where(a > 0, g_new / jnp.where(a > 0, a, 1.0),
-                              g_new)
         # ADI averaging on odd steps (Salvini & Wijnholds alg. 2):
         # plain alternating updates oscillate between two fixed points
         g_new = jnp.where(k % 2 == 1, 0.5 * (g_new + g), g_new)
+        if phase_only:
+            # project AFTER the average: averaging two unit phasors
+            # gives |g| = cos(dphi/2) < 1, and the iterate (hence the
+            # returned solution) must honour the |g| = 1 contract
+            a = jnp.abs(g_new)
+            g_new = jnp.where(a > 0, g_new / jnp.where(a > 0, a, 1.0),
+                              g_new)
         return g_new, g
 
     g, _ = jax.lax.fori_loop(0, n_iter, body, (g0, g0))
@@ -305,10 +308,41 @@ def closure_quads(n_ant: int) -> np.ndarray:
     return np.asarray(list(combinations(range(n_ant), 4)), dtype=np.int32)
 
 
+def closure_index_arrays(n_ant: int):
+    """Baseline-index gather arrays for the full triangle/quadrangle
+    sets: ``{'tri': (ij, jk, ik), 'quad': (ij, kl, ik, jl)}`` — the
+    shared indexing used by the (re, im) endpoints here and by the
+    in-trace fit losses (:mod:`rajepy_tpu.fit`)."""
+    tab = baseline_index_table(n_ant)
+    tri = closure_triangles(n_ant)
+    quad = closure_quads(n_ant)
+    return {
+        'tri': tuple(jnp.asarray(tab[tri[:, a], tri[:, b]])
+                     for a, b in ((0, 1), (1, 2), (0, 2))),
+        'quad': tuple(jnp.asarray(tab[quad[:, a], quad[:, b]])
+                      for a, b in ((0, 1), (2, 3), (0, 2), (1, 3))),
+    }
+
+
+def bisp_core(v, bl_ij, bl_jk, bl_ik):
+    """Bispectrum of complex visibilities (..., n_t, n_bl) over
+    triangle gathers: B = V_ij V_jk conj(V_ik)."""
+    return v[..., bl_ij] * v[..., bl_jk] * jnp.conj(v[..., bl_ik])
+
+
+def logclamp_core(v, q_ij, q_kl, q_ik, q_jl, eps: float = 1e-30):
+    """Log closure amplitudes of complex visibilities (..., n_t, n_bl)
+    over quadrangle gathers: ln(|V_ij||V_kl| / |V_ik||V_jl|)."""
+    a2 = v.real ** 2 + v.imag ** 2
+    return 0.5 * (jnp.log(a2[..., q_ij] + eps) +
+                  jnp.log(a2[..., q_kl] + eps) -
+                  jnp.log(a2[..., q_ik] + eps) -
+                  jnp.log(a2[..., q_jl] + eps))
+
+
 @jax.jit
 def _bispectrum_jit(vr, vi, bl_ij, bl_jk, bl_ik):
-    v = jax.lax.complex(vr, vi)              # (..., n_t, n_bl)
-    b = (v[..., bl_ij] * v[..., bl_jk] * jnp.conj(v[..., bl_ik]))
+    b = bisp_core(jax.lax.complex(vr, vi), bl_ij, bl_jk, bl_ik)
     return b.real, b.imag
 
 
@@ -321,12 +355,14 @@ def bispectrum(vis_re, vis_im, n_ant: int, n_t: int, triangles=None):
     only the REAL factor |g_i g_j g_k|^2, so its phase — the closure
     phase — is immune to antenna-based phase corruption.
     """
-    tri = closure_triangles(n_ant) if triangles is None else \
-        np.asarray(triangles, dtype=np.int32)
-    tab = baseline_index_table(n_ant)
-    bl_ij = jnp.asarray(tab[tri[:, 0], tri[:, 1]])
-    bl_jk = jnp.asarray(tab[tri[:, 1], tri[:, 2]])
-    bl_ik = jnp.asarray(tab[tri[:, 0], tri[:, 2]])
+    if triangles is None:
+        bl_ij, bl_jk, bl_ik = closure_index_arrays(n_ant)['tri']
+    else:
+        tri = np.asarray(triangles, dtype=np.int32)
+        tab = baseline_index_table(n_ant)
+        bl_ij = jnp.asarray(tab[tri[:, 0], tri[:, 1]])
+        bl_jk = jnp.asarray(tab[tri[:, 1], tri[:, 2]])
+        bl_ik = jnp.asarray(tab[tri[:, 0], tri[:, 2]])
     vr = jnp.asarray(vis_re)
     vr = vr.reshape(vr.shape[:-1] + (n_t, -1))
     vi = jnp.asarray(vis_im).reshape(vr.shape)
@@ -343,13 +379,8 @@ def closure_phases(vis_re, vis_im, n_ant: int, n_t: int, triangles=None):
 
 @jax.jit
 def _logclamp_jit(vr, vi, bl_ij, bl_kl, bl_ik, bl_jl):
-    v2 = vr ** 2 + vi ** 2                   # |V|^2, (..., n_t, n_bl)
-    eps = jnp.asarray(1e-30, v2.dtype)
-    la = 0.5 * (jnp.log(v2[..., bl_ij] + eps) + jnp.log(v2[..., bl_kl] +
-                                                        eps) -
-                jnp.log(v2[..., bl_ik] + eps) - jnp.log(v2[..., bl_jl] +
-                                                        eps))
-    return la
+    return logclamp_core(jax.lax.complex(vr, vi), bl_ij, bl_kl, bl_ik,
+                         bl_jl)
 
 
 def log_closure_amplitudes(vis_re, vis_im, n_ant: int, n_t: int,
@@ -357,18 +388,19 @@ def log_closure_amplitudes(vis_re, vis_im, n_ant: int, n_t: int,
     """Log closure amplitudes ln(|V_ij||V_kl| / |V_ik||V_jl|) over
     antenna ``quads``, (..., n_t, n_quad): immune to antenna-based gain
     AMPLITUDES (each |g| enters numerator and denominator once)."""
-    q = closure_quads(n_ant) if quads is None else \
-        np.asarray(quads, dtype=np.int32)
-    tab = baseline_index_table(n_ant)
+    if quads is None:
+        idx = closure_index_arrays(n_ant)['quad']
+    else:
+        q = np.asarray(quads, dtype=np.int32)
+        tab = baseline_index_table(n_ant)
+        idx = (jnp.asarray(tab[q[:, 0], q[:, 1]]),
+               jnp.asarray(tab[q[:, 2], q[:, 3]]),
+               jnp.asarray(tab[q[:, 0], q[:, 2]]),
+               jnp.asarray(tab[q[:, 1], q[:, 3]]))
     vr = jnp.asarray(vis_re)
     vr = vr.reshape(vr.shape[:-1] + (n_t, -1))
     vi = jnp.asarray(vis_im).reshape(vr.shape)
-    return np.asarray(_logclamp_jit(
-        vr, vi,
-        jnp.asarray(tab[q[:, 0], q[:, 1]]),
-        jnp.asarray(tab[q[:, 2], q[:, 3]]),
-        jnp.asarray(tab[q[:, 0], q[:, 2]]),
-        jnp.asarray(tab[q[:, 1], q[:, 3]])))
+    return np.asarray(_logclamp_jit(vr, vi, *idx))
 
 
 @jax.jit

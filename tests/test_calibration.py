@@ -253,12 +253,18 @@ class TestPipelineSynthobsSection:
                           't_ints': np.array([60]),
                           'bws': np.array([1e8]),
                           'chanws': np.array([5e7])},
-            'rrls': {'times': np.array([]), 'lines': None,
-                     't_obs': None, 'tscps': None, 't_ints': None,
-                     'bws': None, 'chanws': None},
+            # a line-cube run in the same pipeline: the selfcal knob
+            # must be stripped for it (continuum-only), not crash it
+            'rrls': {'times': np.array([0.]),
+                     'lines': np.array(['H58a']),
+                     't_obs': np.array([1200]),
+                     'tscps': np.array([('VLA', 'B')]),
+                     't_ints': np.array([60]),
+                     'bws': np.array([2e6]),
+                     'chanws': np.array([5e5])},
             'synthobs': {'corruption': {'phase_rms_deg': 50.0,
                                         'coherence_s': 1e5},
-                         'selfcal': 'phase'},
+                         'selfcal': 'phase', 'niter': 50},
         }
         p = copy.deepcopy(model_params)
         p['grid'].update(n_x=16, n_y=40, n_z=16)
@@ -266,12 +272,16 @@ class TestPipelineSynthobsSection:
         pline = rajepy_tpu.Pipeline(jm, pparams)
         pline.execute(simobserve=True, verbose=False, resume=False,
                       clobber=True, plot=False)
-        run = pline.runs[0]
-        assert run.completed
-        sc = run.results['selfcal']
+        assert all(r.completed for r in pline.runs)
+        cont = next(r for r in pline.runs if r.obs_type == 'continuum')
+        cube = next(r for r in pline.runs if r.obs_type != 'continuum')
+        sc = cont.results['selfcal']
         assert sc['mode'] == 'phase'
         assert sc['dynamic_range_after'] > sc['dynamic_range_before']
-        assert 'ms_selfcal' in run.products
+        assert 'ms_selfcal' in cont.products
+        # the cube run imaged (selfcal stripped, corruption applied)
+        assert 'selfcal' not in cube.results
+        assert os.path.exists(cube.products['clean_image'])
 
 
 class TestClosureQuantities:
@@ -438,3 +448,37 @@ class TestGainTransfer:
         with pytest.raises(ValueError, match='antenna'):
             simulate_observation(pline, pline.runs[0],
                                  applycal_gains=gains)
+
+
+class TestReviewRegressions:
+    def test_selfcal_rounds_zero_raises(self, model_params, tmp_path):
+        from tests.test_calibration import TestSelfcalEndToEnd  # noqa
+        t = TestSelfcalEndToEnd()
+        with pytest.raises(ValueError, match='selfcal_rounds'):
+            t._run_obs(model_params, tmp_path, 'r0',
+                       corruption={'phase_rms_deg': 10.},
+                       selfcal='phase', selfcal_rounds=0)
+
+    def test_phase_only_unit_modulus_even_unconverged(self):
+        rng = np.random.default_rng(21)
+        n_ant, n_t = 10, 4
+        vr, vi, a1, a2, tix, _ = _random_vis(rng, n_ant, n_t)
+        gs_re, gs_im = cal.simulate_gain_errors(22, 1, n_ant,
+                                                phase_rms_deg=60.0)
+        a = np.hypot(gs_re, gs_im)
+        g_re, g_im = cal.expand_solutions(gs_re / a, gs_im / a, n_t)
+        cr, ci = cal.apply_gains(vr, vi, g_re, g_im, a1, a2, tix)
+        # deliberately unconverged (7 iterations, odd so the raw ADI
+        # average would leave |g| < 1 without the post-average project)
+        sr, si = cal.solve_gains(np.asarray(cr), np.asarray(ci), vr, vi,
+                                 a1, a2, tix, n_ant=n_ant, n_t=n_t,
+                                 mode='phase', n_iter=7)
+        np.testing.assert_allclose(np.hypot(np.asarray(sr),
+                                            np.asarray(si)),
+                                   1.0, atol=1e-12)
+
+    def test_gain_plot_t_sol_rejects_bandpass(self):
+        from rajepy_tpu.plotting import functions as pfunc
+        g = np.ones((5, 3, 8))
+        with pytest.raises(ValueError, match='bandpass'):
+            pfunc.gain_plot(g, np.zeros_like(g), t_sol=np.arange(3))

@@ -133,19 +133,11 @@ class JetModel:
         (classes.py:124-142)."""
         if not os.path.exists(py_file):
             raise FileNotFoundError(py_file + " does not exist")
-        dirname = os.path.dirname(os.path.abspath(py_file))
-        added = dirname not in sys.path
-        if added:
-            sys.path.append(dirname)
-        try:
-            modname = os.path.basename(py_file)
-            if modname.endswith('.py'):
-                modname = modname[:-3]
-            mod = __import__(modname)
-            params = mod.params
-        finally:
-            if added:
-                sys.path.remove(dirname)
+        # execute by PATH, not by module import: __import__ caches on
+        # the bare filename, so two different 'model-params.py' files
+        # loaded in one process would silently alias the first
+        import runpy
+        params = runpy.run_path(os.path.abspath(py_file))['params']
         err = check_model_params(params)
         if err is not None:
             raise err

@@ -605,6 +605,99 @@ class JetModel:
                 'x_i': np.asarray(xi), 'v_los': np.asarray(vy),
                 'ff_sum': np.asarray(ffs)}
 
+    def conservation_profiles(self) -> Dict[str, np.ndarray]:
+        """Mass and angular momentum per signed-r slice along the jet —
+        the conservation diagnostics behind the reference's
+        ``diagnostic_plot`` (plotting/functions.py:368-458).
+
+        The reference computes these only for ``inc == 90, pa == 0`` and
+        is dead at head anyway (it reads the commented-out
+        ``JetModel.mass`` property, classes.py:787-835); its generic
+        branch is a per-radius Python loop of whole-grid masked sums.
+        Here the per-cell mass and angular momentum about the jet axis
+        are binned by signed jet radius with one on-device
+        ``segment_sum``, valid for any inclination/position angle (the
+        azimuthal speed comes from the rotation law itself rather than
+        the observer-frame components, so no small-angle assumption).
+
+        Returns ``{'r': bin centres [au], 'mass': kg per csize-thick
+        slice, 'angmom': kg m^2 s^-1 per slice}``.
+        """
+        f = self._ensure_fields()
+        sp = self._static_params()
+        gm = Geometry.from_params(sp)
+        csize = self.csize
+        half = csize / 2.0
+        # static bin layout: |r| is bounded by the grid's half-diagonal
+        r_max = 0.5 * csize * float(np.sqrt(self._nx ** 2 +
+                                            self._ny ** 2 +
+                                            self._nz ** 2)) + csize
+        nbins = 2 * int(np.ceil(r_max / csize))
+        r_lo = -0.5 * nbins * csize
+        cell_vol_cm3 = (csize * cnsts.AU * 1e2) ** 3
+        m_part_kg = sp['properties']['mu'] * cnsts.atomic_mass('H')
+        m_star = sp['target']['M_star']
+
+        def build():
+            def kernel(xx, yy, zz, f, t):
+                from .fields import centre_rwp, effective_radius
+                from ..ops import geometry as geom
+                rr, ww, _ = centre_rwp(gm, xx + half, yy + half,
+                                       zz + half)
+                rr = jnp.broadcast_to(rr, f.ff.shape)
+                ww = jnp.broadcast_to(ww, f.ff.shape)
+                reff = effective_radius(gm, rr, ww)
+                nd = self._nd_chi(f, t)
+                m = nd * f.ff * (cell_vol_cm3 * m_part_kg)      # kg
+                vphi = mphys.v_rot(rr, reff,
+                                   geom.rho(rr, gm.r_0, gm.mod_r_0),
+                                   gm.epsilon, m_star)          # km/s
+                ang = m * (vphi * 1e3) * (ww * cnsts.AU)        # kg m^2/s
+                m = jnp.where(f.inside, m, 0.0).ravel()
+                ang = jnp.where(f.inside, ang, 0.0).ravel()
+                seg = jnp.clip(jnp.floor((rr - r_lo) / csize),
+                               0, nbins - 1).astype(jnp.int32).ravel()
+                return (jax.ops.segment_sum(m, seg, nbins),
+                        jax.ops.segment_sum(ang, seg, nbins))
+            return kernel
+
+        xx, yy, zz = self._grid_coords
+        mp, lp = self._jitted('conservation', build)(xx, yy, zz, f,
+                                                     self.time)
+        rs = r_lo + csize * (np.arange(nbins) + 0.5)
+        return {'r': rs, 'mass': np.asarray(mp), 'angmom': np.asarray(lp)}
+
+    def velocity_midplane(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(v_x, v_z) [km/s] on the mid-LOS plane (y index ny//2),
+        computed and sliced on device so only (nx, nz) maps cross the
+        host boundary.  NaN outside the jet.  Feeds the working velocity
+        quiver in :func:`plotting.functions.model_plot` (the reference's
+        own quiver overlay is disabled as broken,
+        plotting/functions.py:594-637)."""
+        f = self._ensure_fields()
+        sp = self._static_params()
+        gm = Geometry.from_params(sp)
+        half = self.csize / 2.0
+        mid = self._ny // 2
+
+        def build():
+            def kernel(xx, yy, zz, inside):
+                from .fields import (centre_rwp, effective_radius,
+                                     velocity)
+                yy_m = yy[:, mid:mid + 1, :]
+                ins = inside[:, mid:mid + 1, :]
+                rr, ww, pp = centre_rwp(gm, xx + half, yy_m + half,
+                                        zz + half)
+                reff = effective_radius(gm, rr, ww)
+                vx, _, vz = velocity(gm, sp, rr, pp, reff, ins)
+                return vx[:, 0, :], vz[:, 0, :], ins[:, 0, :]
+            return kernel
+
+        xx, yy, zz = self._grid_coords
+        vx, vz, ins = self._jitted('vel_mid', build)(xx, yy, zz, f.inside)
+        pad = np.where(np.asarray(ins), 0.0, np.nan)
+        return np.asarray(vx) + pad, np.asarray(vz) + pad
+
     def _rt_inputs(self):
         """(fields, n_es, ds) — building blocks for custom RT compositions
         (used by the sharding layer and tests).  Runs one jitted kernel."""

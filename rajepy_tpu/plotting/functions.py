@@ -88,25 +88,37 @@ def model_plot(jm, show_plot: bool = False,
                 _los_mean(jm.ion_fraction, jm.los_axis),
                 _los_mean(jm.vel[1], jm.los_axis))
     # the reference displays the LOS velocity in the source frame
-    # (v_lsr subtracted, functions.py:580-582)
+    # (v_lsr subtracted, functions.py:580-582), the ionisation fraction
+    # in per cent on a fixed 0-100 scale (functions.py:566-576) and the
+    # temperature on a fixed 100 K - max(1e4, T_max) log scale
+    # (functions.py:654-660)
     v_los = maps[3] - jm.params['target']['v_lsr']
+    v_lim = np.nanmax(np.abs(v_los[np.isfinite(v_los)])) \
+        if np.isfinite(v_los).any() else 1.0
+    t_max = max(1e4, float(np.nanmax(maps[1][np.isfinite(maps[1])]))
+                if np.isfinite(maps[1]).any() else 1e4)
     panels = [
         (axes[0, 0], maps[0],
-         r'$n_{\rm e}\,[{\rm cm^{-3}}]$', 'viridis_r', True, 'a'),
+         r'$n_{\rm e}\,[{\rm cm^{-3}}]$', 'viridis_r', 'log', 'a'),
         (axes[0, 1], maps[1],
-         r'$T\,[{\rm K}]$', 'plasma', True, 'b'),
-        (axes[1, 0], maps[2],
-         r'$\chi_{\rm i}$', 'cividis', False, 'c'),
+         r'$T\,[{\rm K}]$', 'plasma', LogNorm(vmin=100.0, vmax=t_max),
+         'b'),
+        (axes[1, 0], maps[2] * 100.0,
+         r'$\chi_{\rm i}\,[\%]$', 'cividis',
+         Normalize(vmin=0.0, vmax=100.0), 'c'),
         (axes[1, 1], v_los,
-         r'$v_{\rm LOS}\,[{\rm km\,s^{-1}}]$', 'coolwarm', False, 'd'),
+         r'$v_{\rm LOS}\,[{\rm km\,s^{-1}}]$', 'coolwarm',
+         Normalize(vmin=-v_lim, vmax=v_lim), 'd'),
     ]
-    for ax, img, label, cmap, logscale, letter in panels:
-        finite = img[np.isfinite(img)]
-        if finite.size and logscale and np.nanmax(finite) > 0:
-            norm = LogNorm(vmin=max(np.nanmin(finite[finite > 0]), 1e-30),
-                           vmax=np.nanmax(finite))
-        else:
-            norm = None
+    for ax, img, label, cmap, norm, letter in panels:
+        if norm == 'log':
+            finite = img[np.isfinite(img)]
+            if finite.size and np.nanmax(finite) > 0:
+                norm = LogNorm(vmin=max(np.nanmin(finite[finite > 0]),
+                                        1e-30),
+                               vmax=np.nanmax(finite))
+            else:
+                norm = None
         im = ax.imshow(img.T, origin='lower', extent=extent, norm=norm,
                        cmap=cmap, aspect='equal')
         fig.colorbar(im, ax=ax, label=label, shrink=0.9)
@@ -115,6 +127,31 @@ def model_plot(jm, show_plot: bool = False,
         ax.tick_params(which='both', direction='in', top=True,
                        right=True)
         ax.minorticks_on()
+
+    # velocity-field quiver on the v_LOS panel: mid-LOS-plane (v_x, v_z),
+    # subsampled.  The reference's own quiver overlay is commented out as
+    # broken (functions.py:594-637, "TODO: This is broken"); this is the
+    # working equivalent, with the reference's scale-arrow annotation.
+    if hasattr(jm, 'velocity_midplane'):
+        vx, vz = jm.velocity_midplane()
+        step = max(1, max(vx.shape) // 12)
+        xs_c = np.asarray(jm.xs) + jm.csize / 2.0
+        zs_c = np.asarray(jm.zs) + jm.csize / 2.0
+        xq, zq = np.meshgrid(xs_c[::step], zs_c[::step], indexing='ij')
+        uq = vx[::step, ::step]
+        wq = vz[::step, ::step]
+        spd = np.sqrt(uq ** 2 + wq ** 2)
+        if np.isfinite(spd).any() and np.nanmax(spd) > 0:
+            v_scale = float(np.nanmax(spd))
+            v_scale = (np.ceil(v_scale / 10 ** np.floor(np.log10(v_scale)))
+                       * 10 ** np.floor(np.log10(v_scale)))
+            ax = axes[1, 1]
+            # max arrow length = 0.1 of the subplot height
+            ax.quiver(xq, zq, uq, wq, color='k', scale=v_scale / 0.1,
+                      scale_units='height', width=3e-3)
+            ax.annotate(f'{v_scale:.0f} km/s', (0.05, 0.05),
+                        xycoords='axes fraction', fontsize=6, va='bottom')
+
     fig.supxlabel(r'$\Delta x\,[{\rm au}]$')
     fig.supylabel(r'$\Delta z\,[{\rm au}]$')
     _finish(fig, show_plot, savefig)
@@ -179,9 +216,11 @@ def _rt_plot_body(flux, tau, em, extent, percentile, show_plot, savefig):
     xs = np.linspace(extent[0], extent[1], flux.shape[0])
     zs = np.linspace(extent[2], extent[3], flux.shape[1])
     tau_max = np.nanmax(np.where(np.isfinite(tau), tau, 0.0))
+    # the reference displays flux in mJy/pixel (functions.py:763)
+    flux = flux * 1e3
     for ax, img, label, cmap, letter in [
-            (axes[0], flux, r'$S_\nu\,[{\rm Jy\,pixel^{-1}}]$', 'inferno',
-             'a'),
+            (axes[0], flux, r'$S_\nu\,[{\rm mJy\,pixel^{-1}}]$',
+             'inferno', 'a'),
             (axes[1], tau, r'$\tau_\nu$', 'magma', 'b'),
             (axes[2], em, r'${\rm EM}\,[{\rm pc\,cm^{-6}}]$', 'viridis',
              'c')]:
@@ -355,22 +394,70 @@ def sed_plot(pline, plot_time: float, plot_reynolds: bool = True,
 
 def diagnostic_plot(jm, show_plot: bool = False,
                     savefig: Union[bool, str] = False):
-    """Fill factors and projected areas, summed along each axis
-    (functions.py:368-458)."""
+    """Conservation diagnostics plus grid-occupancy maps
+    (functions.py:368-458).
+
+    Left column: mass and angular momentum per signed-r slice along the
+    jet — the reference's conservation check, which at head is dead code
+    (it reads the commented-out ``JetModel.mass``, classes.py:787-835)
+    and was in any case restricted to ``inc == 90, pa == 0``; here the
+    profiles come from :meth:`JetModel.conservation_profiles` (on-device
+    r-binned segment sums, any geometry).  Steady state should show the
+    mass profile tracking the analytic expectation
+    ``jml * csize / v(r)`` (overlaid when the velocity power laws make
+    it exact), with ejection bursts standing out as moving excursions.
+
+    Right column: LOS-summed fill factors and projected areas (grid
+    occupancy, the reference's fill-factor wall-time log's subject).
+    """
+    prof = jm.conservation_profiles()
+    fig, axes = plt.subplots(2, 2, figsize=(cfg.plots['dims']['text'],
+                                            cfg.plots['dims']['text'] / 1.4),
+                             constrained_layout=True)
+
+    occupied = prof['mass'] > 0
+    axes[0, 0].plot(prof['r'], prof['mass'], 'b-', ds='steps-mid',
+                    label='gridded')
+    # analytic steady-state expectation: the mass in a csize-thick slice
+    # at |r| is (mass flux) x (crossing time) = jml * csize*au / v(r),
+    # exact for q^d_v == 0 (single crossing speed per radius)
+    pl = jm.params['power_laws']
+    if pl['q^d_v'] == 0.0 and not np.any(np.abs(
+            jm.chi_xyz[np.isfinite(jm.chi_xyz)] - 1.0) > 1e-3):
+        from ..ops import geometry as mgeom_ops
+        rs = prof['r']
+        gm_r0 = jm.params['geometry']['r_0']
+        mr0 = float(np.asarray(mgeom_ops.mod_r_0(
+            jm.params['geometry']['opang'],
+            jm.params['geometry']['epsilon'],
+            jm.params['geometry']['w_0'])))
+        v = jm.params['properties']['v_0'] * np.asarray(mgeom_ops.rho(
+            np.abs(rs), gm_r0, mr0)) ** pl['q_v']
+        expect = np.where(np.abs(rs) >= gm_r0,
+                          np.where(rs < 0, jm.ss_jml('R'),
+                                   jm.ss_jml('B')) *
+                          jm.csize * cnsts.AU / (v * 1e3), np.nan)
+        axes[0, 0].plot(rs, expect, 'k--', lw=0.8,
+                        label=r'$\dot{m}\,\Delta r/v(r)$')
+        axes[0, 0].legend(fontsize='x-small')
+    axes[0, 0].set_ylabel(r'$m\,[{\rm kg}]$')
+    axes[1, 0].plot(prof['r'], prof['angmom'], 'r-', ds='steps-mid')
+    axes[1, 0].set_ylabel(r'$L\,[{\rm kg\,m^2\,s^{-1}}]$')
+    axes[1, 0].set_xlabel(r'$r\,[{\rm au}]$')
+    for ax in (axes[0, 0], axes[1, 0]):
+        if occupied.any():
+            ax.set_yscale('log')
+        ax.tick_params(which='both', direction='in', top=True, right=True)
+        ax.minorticks_on()
+
     ff = np.nan_to_num(jm.fill_factor, nan=0.0)
     areas = np.nan_to_num(jm.areas, nan=0.0)
-    fig, axes = plt.subplots(2, 3, figsize=(cfg.plots['dims']['text'],
-                                            cfg.plots['dims']['text'] / 1.6),
-                             constrained_layout=True)
     for row, (arr, name) in enumerate([(ff, 'fill factor'),
                                        (areas, 'projected area')]):
-        for axis, lab in enumerate(['x', 'y', 'z']):
-            img = arr.sum(axis=axis)
-            im = axes[row, axis].imshow(img.T, origin='lower',
-                                        cmap='viridis')
-            axes[row, axis].set_title(f"{name} sum over {lab}",
-                                      fontsize='small')
-            fig.colorbar(im, ax=axes[row, axis], shrink=0.8)
+        img = arr.sum(axis=1)
+        im = axes[row, 1].imshow(img.T, origin='lower', cmap='viridis')
+        axes[row, 1].set_title(f"LOS-summed {name}", fontsize='small')
+        fig.colorbar(im, ax=axes[row, 1], shrink=0.8)
     _finish(fig, show_plot, savefig)
 
 

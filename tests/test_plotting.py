@@ -89,6 +89,42 @@ def test_diagnostic_plot(jm, tmp_path):
     _check(f)
 
 
+def test_conservation_profiles_match_steady_state(jm):
+    """The r-binned mass profile behind diagnostic_plot tracks the
+    analytic steady-state expectation jml * dr / v(r): mass flux through
+    every cross-section is the mass-loss rate, so a csize-thick slice
+    holds jml * (crossing time).  The reference's equivalent diagnostic
+    is dead at head (functions.py:403-404 reads the commented-out
+    JetModel.mass, classes.py:787-835)."""
+    import copy
+    from rajepy_tpu import constants as cnsts
+
+    params = copy.deepcopy(jm.params)
+    params['ejection'] = {'t_0': np.array([]), 'hl': np.array([]),
+                          'chi': np.array([]), 'which': np.array([])}
+    params['grid'] = {'n_x': 32, 'n_y': 32, 'n_z': 96, 'l_z': None,
+                      'c_size': 0.5}
+    # an inclined, rotated jet — the configuration the reference's
+    # diagnostic refuses (functions.py:391-398)
+    params['geometry']['inc'] = 80.0
+    params['geometry']['pa'] = 10.0
+    m = JetModel(params)
+    prof = m.conservation_profiles()
+    rs, mass = prof['r'], prof['mass']
+    v0 = params['properties']['v_0']  # q_v == 0: constant speed
+    for which, sgn in (('B', 1.0), ('R', -1.0)):
+        jml = m.ss_jml(which)
+        expect = jml * m.csize * cnsts.AU / (v0 * 1e3)
+        # bins well inside the grid and away from the launch surface
+        sel = (sgn * rs > 3 * params['geometry']['r_0']) & \
+              (np.abs(rs) < 96 * 0.5 / 3)
+        got = mass[sel]
+        assert got.size > 10
+        np.testing.assert_allclose(got, expect, rtol=0.15)
+    # angular momentum is positive where mass is
+    assert np.all(prof['angmom'][mass > 0] > 0)
+
+
 def test_mass_volume_slices(jm, tmp_path):
     f = str(tmp_path / 'mv.pdf')
     pfunc.plot_mass_volume_slices(jm, savefig=f)

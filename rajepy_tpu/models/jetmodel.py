@@ -605,6 +605,24 @@ class JetModel:
                 'x_i': np.asarray(xi), 'v_los': np.asarray(vy),
                 'ff_sum': np.asarray(ffs)}
 
+    def occupancy_projections(self) -> Dict[str, np.ndarray]:
+        """Fill-factor sums along each grid axis — the three projected
+        silhouettes of :func:`plotting.functions.geometry_plot`
+        (functions.py:1019-1023), reduced on device so only the three
+        2-D maps cross the host boundary."""
+        f = self._ensure_fields()
+
+        def build():
+            def kernel(f):
+                ff = jnp.where(f.ff > FF_MIN, f.ff, 0.0)
+                return (jnp.sum(ff, axis=0), jnp.sum(ff, axis=1),
+                        jnp.sum(ff, axis=2))
+            return kernel
+
+        yz, xz, xy = self._jitted('occ_proj', build)(f)
+        return {'yz': np.asarray(yz), 'xz': np.asarray(xz),
+                'xy': np.asarray(xy)}
+
     def conservation_profiles(self) -> Dict[str, np.ndarray]:
         """Mass and angular momentum per signed-r slice along the jet —
         the conservation diagnostics behind the reference's

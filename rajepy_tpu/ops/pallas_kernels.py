@@ -747,18 +747,25 @@ def scatter_tile_maps(parts, it, kt, n_xt: int, n_zt: int, nx: int,
 # --------------------------------------------------------------------------- #
 # Fused RRL opacity cube
 # --------------------------------------------------------------------------- #
-def _voigt_tau_block(freq_off, amp, rest, scale, yv, hkt, *, n_weid: int,
-                     ell: float, coeffs: tuple, nu0: float):
-    """Per-cell RRL opacity contribution for ONE channel on a whole block:
-    Re[w(x + iy)] via the Weideman rational (centre) / Laplace continued
-    fraction (wings), times the amplitude and stimulated-emission factor.
+def _voigt_re_far(x, y):
+    """Re[w(x + iy)] by the 3-term asymptotic series
+    w(z) ~ i/(sqrt(pi) z) sum_k (2k-1)!!/(2 z^2)^k — 4.4e-7 max abs err
+    over |x|+y > 8 (vs the f32 floor ~3e-8), ONE division instead of the
+    Laplace continued fraction's ten (VPU divisions are the expensive op
+    here).  Inputs must already satisfy |x|+y > 8."""
+    inv = 1.0 / (x * x + y * y)
+    wr2 = 0.5 * (x * x - y * y) * inv * inv   # Re 1/(2 z^2)
+    wi2 = -x * y * inv * inv                  # Im 1/(2 z^2)
+    sr = wr2 * 15.0 + 3.0
+    si = wi2 * 15.0
+    sr, si = sr * wr2 - si * wi2 + 1.0, sr * wi2 + si * wr2
+    sr, si = sr * wr2 - si * wi2 + 1.0, sr * wi2 + si * wr2
+    return (y * sr - x * si) * inv / _SQRT_PI
 
-    Frequencies arrive as offsets from the line centre nu0 so f32 keeps
-    ~10 Hz resolution (absolute ~1.5e10 Hz quantises at ~2 kHz).
-    """
-    x = (freq_off - rest) * scale
-    y = yv
 
+def _voigt_re_mixed(x, y, *, n_weid: int, ell: float, coeffs: tuple):
+    """Re[w(x + iy)]: Weideman rational (centre) / asymptotic series
+    (wings), per-lane select."""
     # Weideman rational, Horner in Z = (L+iz)/(L-iz); one reciprocal
     # serves all four quotients (VPU divisions are the expensive op)
     dr = ell + y
@@ -778,25 +785,15 @@ def _voigt_tau_block(freq_off, amp, rest, scale, yv, hkt, *, n_weid: int,
     inv2_i = 2.0 * inv_r * inv_i
     w_re = 2.0 * (pr * inv2_r - pi * inv2_i) + inv_r / _SQRT_PI
 
-    # wings: 3-term asymptotic series w(z) ~ i/(sqrt(pi) z) sum_k
-    # (2k-1)!!/(2 z^2)^k — 4.4e-7 max abs err over |x|+y > 8 (vs the f32
-    # floor ~3e-8), ONE division instead of the Laplace continued
-    # fraction's ten (VPU divisions are the expensive op here)
     far = (jnp.abs(x) + y) > 8.0
-    xf = jnp.where(far, x, 10.0)
-    yf = jnp.where(far, y, 10.0)
-    inv = 1.0 / (xf * xf + yf * yf)
-    wr2 = 0.5 * (xf * xf - yf * yf) * inv * inv   # Re 1/(2 z^2)
-    wi2 = -xf * yf * inv * inv                    # Im 1/(2 z^2)
-    sr = wr2 * 15.0 + 3.0
-    si = wi2 * 15.0
-    sr, si = sr * wr2 - si * wi2 + 1.0, sr * wi2 + si * wr2
-    sr, si = sr * wr2 - si * wi2 + 1.0, sr * wi2 + si * wr2
-    asym_re = (yf * sr - xf * si) * inv / _SQRT_PI
+    xf = jnp.where(far, x, 10.0)   # clamp near lanes out of the
+    yf = jnp.where(far, y, 10.0)   # asymptotic's singular region
+    return jnp.where(far, _voigt_re_far(xf, yf), w_re)
 
-    re = jnp.where(far, asym_re, w_re)
-    stim = _one_minus_exp_neg((freq_off + nu0) * hkt)
-    return amp * re * stim
+
+# Frequencies arrive at these kernels as offsets from the line centre
+# nu0 so f32 keeps ~10 Hz resolution (absolute ~1.5e10 Hz quantises at
+# ~2 kHz).
 
 
 def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
@@ -819,10 +816,26 @@ def _rrl_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref, hkt_ref,
     hkt = hkt_ref[...]
 
     def channel(c, _):
-        contrib = _voigt_tau_block(freqs_ref[c], amp, rest, scale, yv,
-                                   hkt, n_weid=n_weid, ell=ell,
-                                   coeffs=coeffs, nu0=nu0)
-        out_ref[c, :, :] += jnp.sum(contrib, axis=1)
+        fo = freqs_ref[c]
+        x = (fo - rest) * scale
+        stim = _one_minus_exp_neg((fo + nu0) * hkt)
+
+        # channels far from every cell's line centre in this block take
+        # the 3-term wing series alone — most (block, channel) pairs in a
+        # wide cube are all-far, and the skipped Weideman Horner is ~3x
+        # the remaining per-channel arithmetic
+        all_far = jnp.min(jnp.abs(x) + yv) > 8.0
+
+        @pl.when(all_far)
+        def _wings():
+            out_ref[c, :, :] += jnp.sum(
+                amp * _voigt_re_far(x, yv) * stim, axis=1)
+
+        @pl.when(jnp.logical_not(all_far))
+        def _full():
+            re = _voigt_re_mixed(x, yv, n_weid=n_weid, ell=ell,
+                                 coeffs=coeffs)
+            out_ref[c, :, :] += jnp.sum(amp * re * stim, axis=1)
         return 0
 
     # the jet silhouette covers a small fraction of the cube: skip the
@@ -847,10 +860,22 @@ def _rrl_tiles_kernel(freqs_ref, amp_ref, rest_ref, scale_ref, yv_ref,
     hkt = hkt_ref[0]
 
     def channel(c, _):
-        contrib = _voigt_tau_block(freqs_ref[c], amp, rest, scale, yv,
-                                   hkt, n_weid=n_weid, ell=ell,
-                                   coeffs=coeffs, nu0=nu0)
-        out_ref[0, c, :, :] = jnp.sum(contrib, axis=1)
+        fo = freqs_ref[c]
+        x = (fo - rest) * scale
+        stim = _one_minus_exp_neg((fo + nu0) * hkt)
+        # block-level wing fast path — see _rrl_kernel
+        all_far = jnp.min(jnp.abs(x) + yv) > 8.0
+
+        @pl.when(all_far)
+        def _wings():
+            out_ref[0, c, :, :] = jnp.sum(
+                amp * _voigt_re_far(x, yv) * stim, axis=1)
+
+        @pl.when(jnp.logical_not(all_far))
+        def _full():
+            re = _voigt_re_mixed(x, yv, n_weid=n_weid, ell=ell,
+                                 coeffs=coeffs)
+            out_ref[0, c, :, :] = jnp.sum(amp * re * stim, axis=1)
         return 0
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_chan), channel, 0)

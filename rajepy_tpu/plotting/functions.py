@@ -251,40 +251,84 @@ def _rt_plot_body(flux, tau, em, extent, percentile, show_plot, savefig):
 
 def geometry_plot(jm, show_plot: bool = False,
                   savefig: Union[bool, str] = False):
-    """Grid mid-plane slice with the analytic jet boundary overlaid
-    (functions.py:996-1120)."""
-    fig, ax = plt.subplots(
-        1, 1, figsize=[cfg.plots['dims']['column'] * 2] * 2,
-        constrained_layout=True)
-    extent = (float(np.min(jm.xx)), float(np.max(jm.xx)) + jm.csize,
-              float(np.min(jm.zz)), float(np.max(jm.zz)) + jm.csize)
-    if hasattr(jm, 'diagnostic_maps'):
-        img = jm.diagnostic_maps()['ff_sum']
-    else:
-        img = np.nansum(np.nan_to_num(jm.fill_factor, nan=0.0),
-                        axis=jm.los_axis)
-    ax.imshow(img.T, origin='lower', extent=extent, cmap='Blues',
-              aspect='equal')
+    """Three fill-factor projections of the grid (sums along x, y, z —
+    the reference's panels, functions.py:1019-1056) with axis-triad
+    orientation markers, plus the analytic jet boundary overlaid on the
+    plane-of-sky panel (beyond the reference)."""
+    fig, axes = plt.subplots(
+        1, 3, figsize=(cfg.plots['dims']['text'],
+                       cfg.plots['dims']['text'] * 0.36),
+        sharex=True, sharey=True, constrained_layout=True)
 
-    # analytic projected boundary (for the pa = 0 meridional plane)
+    if hasattr(jm, 'occupancy_projections'):
+        proj = jm.occupancy_projections()
+    else:
+        ff = np.nan_to_num(jm.fill_factor, nan=0.0)
+        proj = {'yz': ff.sum(axis=0), 'xz': ff.sum(axis=1),
+                'xy': ff.sum(axis=2)}
+    cs = jm.csize
+    ext = {
+        'yz': (float(np.min(jm.yy)), float(np.max(jm.yy)) + cs,
+               float(np.min(jm.zz)), float(np.max(jm.zz)) + cs),
+        'xz': (float(np.min(jm.xx)), float(np.max(jm.xx)) + cs,
+               float(np.min(jm.zz)), float(np.max(jm.zz)) + cs),
+        'xy': (float(np.min(jm.xx)), float(np.max(jm.xx)) + cs,
+               float(np.min(jm.yy)), float(np.max(jm.yy)) + cs),
+    }
+    cmap = plt.get_cmap('inferno')
+    lim = max(abs(v) for e in ext.values() for v in e)
+    labels = {'yz': (r'$y$', r'$z$'), 'xz': (r'$x$', r'$z$'),
+              'xy': (r'$x$', r'$y$')}
+    for ax, (key, letter) in zip(axes, (('yz', 'a'), ('xz', 'b'),
+                                        ('xy', 'c'))):
+        ax.set_facecolor(cmap(0.0))
+        ax.imshow(proj[key].T, origin='lower', extent=ext[key],
+                  cmap=cmap, aspect='equal')
+        # grid outline (the imaged region inside the square view)
+        e = ext[key]
+        ax.plot([e[0], e[1], e[1], e[0], e[0]],
+                [e[2], e[2], e[3], e[3], e[2]], 'w:', lw=0.8)
+        ax.plot(0, 0, marker='o', mfc='w', mec='none', ms=2)
+        ax.text(0.95, 0.95, letter, transform=ax.transAxes, ha='right',
+                va='top', color='w')
+        hl, vl = labels[key]
+        ax.annotate(hl, (0.05, 0.05), xycoords='axes fraction',
+                    xytext=(0.16, 0.05), textcoords='axes fraction',
+                    color='w', va='center',
+                    arrowprops=dict(arrowstyle='<-', color='w', lw=1))
+        ax.annotate(vl, (0.05, 0.05), xycoords='axes fraction',
+                    xytext=(0.05, 0.17), textcoords='axes fraction',
+                    color='w', ha='center',
+                    arrowprops=dict(arrowstyle='<-', color='w', lw=1))
+        ax.set_xlim(-lim, lim)
+        ax.set_ylim(-lim, lim)
+        ax.tick_params(which='both', direction='in', color='w',
+                       top=True, right=True)
+        ax.minorticks_on()
+
+    # analytic projected jet boundary on the plane-of-sky (xz) panel:
+    # the axis foreshortens by sin(inc); the half-width perpendicular to
+    # the projected axis stays w(r) (circular cross-section)
     g = jm.params['geometry']
-    rs = np.linspace(g['r_0'], max(abs(extent[2]), abs(extent[3])), 200)
+    rs = np.linspace(g['r_0'], lim, 200)
     w = g['w_0'] * ((rs + g['mod_r_0'] - g['r_0']) /
                     g['mod_r_0']) ** g['epsilon']
     pa = np.radians(g['pa'])
+    si = np.sin(np.radians(g['inc']))
     for sgn_r in (+1, -1):
         for sgn_w in (+1, -1):
-            x = sgn_w * w * np.cos(pa) + sgn_r * rs * np.sin(pa)
-            z = -sgn_w * w * np.sin(pa) + sgn_r * rs * np.cos(pa)
-            ax.plot(x, z, 'r-', lw=0.8)
-    ax.set_xlim(extent[:2])
-    ax.set_ylim(extent[2:])
-    ax.set_xlabel(r'$\Delta x\,[{\rm au}]$')
-    ax.set_ylabel(r'$\Delta z\,[{\rm au}]$')
-    ax.set_title(f"{jm.name}: grid {jm.nx}x{jm.ny}x{jm.nz} @ "
-                 f"{jm.csize} au")
+            x = sgn_w * w * np.cos(pa) + sgn_r * rs * si * np.sin(pa)
+            z = -sgn_w * w * np.sin(pa) + sgn_r * rs * si * np.cos(pa)
+            axes[1].plot(x, z, 'r-', lw=0.6)
+    axes[1].set_xlim(-lim, lim)
+    axes[1].set_ylim(-lim, lim)
+
+    axes[0].set_ylabel(r'$[{\rm au}]$')
+    axes[1].set_xlabel(r'$[{\rm au}]$')
+    axes[1].set_title(f"{jm.name}: grid {jm.nx}x{jm.ny}x{jm.nz} @ "
+                      f"{cs} au", fontsize='small')
     _finish(fig, show_plot, savefig)
-    return fig, ax
+    return fig, axes
 
 
 def jml_profile_plot(inp, ax=None, show_plot: bool = False,

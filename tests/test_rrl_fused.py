@@ -86,3 +86,47 @@ def test_fused_line_profile_shape():
     spectrum = got[:, ix[0], ix[1]]
     assert np.argmax(spectrum) == 16  # centre channel
     assert spectrum[0] < 0.5 * spectrum[16]  # wings fall off
+
+
+def test_wing_fast_path_wide_band():
+    """Channels far out in the line wings take the kernels' block-level
+    all-far branch (pl.when skip of the Weideman Horner); channels at the
+    centre take the mixed branch.  A wide band exercises both in one
+    dispatch and must still match the exact XLA channel map — including
+    tiles where every cell is far for some channels and near for others
+    (the round-2 lesson: dense line-centred tests never take skip
+    branches)."""
+    from rajepy_tpu.ops.pallas_kernels import active_tiles, gather_tiles
+
+    shape = (8, 24, 128)
+    temp, n_es, vy, ds, inside = _fields(shape, seed=11)
+    coeffs = rt.RRLCoeffs('H58a')
+    # centre channel (mixed branch), near-wing, and channels 30-3,000
+    # Doppler widths out (all-far branch everywhere)
+    freqs = coeffs.nu0 + np.array([0.0, 1e6, 1e7, 1e8, 1e9])
+    ref = np.asarray(rt.tau_rrl_maps(coeffs, jnp.asarray(freqs), temp,
+                                     n_es, vy, ds, inside))
+    got = np.asarray(rt.tau_rrl_maps_fused(coeffs, freqs, temp, n_es, vy,
+                                           ds, inside, interpret=True))
+    # the far channels are small but must not be zero (Lorentzian wings)
+    assert np.max(ref[-1]) > 0 and np.max(got[-1]) > 0
+
+    tile = dict(block_x=8, block_z=128, y_chunk=8)
+    ids, seg = active_tiles(inside, **tile)
+    f32 = jnp.float32
+    ids_d = jnp.asarray(ids)
+    got_t = np.asarray(rt.tau_rrl_maps_tiles(
+        coeffs, freqs,
+        gather_tiles(temp.astype(f32), ids_d, fill=1.0, **tile),
+        gather_tiles(n_es.astype(f32), ids_d, **tile),
+        gather_tiles(vy.astype(f32), ids_d, **tile),
+        gather_tiles(ds.astype(f32), ids_d, **tile),
+        gather_tiles(inside, ids_d, fill=False, **tile),
+        jnp.asarray(seg), shape[0], shape[2], interpret=True))
+
+    for g in (got, got_t):
+        # per-channel relative envelope: wing channels are tiny in
+        # absolute terms, so normalise per channel
+        for c in range(len(freqs)):
+            denom = np.maximum(np.abs(ref[c]), ref[c].max() * 1e-3)
+            assert np.max(np.abs(g[c] - ref[c]) / denom) < 2e-3, c

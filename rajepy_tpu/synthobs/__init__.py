@@ -75,7 +75,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          selfcal: Optional[str] = None,
                          selfcal_solint_s: Optional[float] = None,
                          selfcal_rounds: int = 1,
-                         applycal_gains: Optional[str] = None
+                         applycal_gains: Optional[str] = None,
+                         save_products: tuple = ()
                          ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -132,6 +133,17 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     self-calibrate — solve on the continuum, apply to the cube.  The
     antenna count must match; solutions are stretched over this run's
     time axis by the solver's equal-interval rule.
+
+    ``save_products`` exports tclean's auxiliary images alongside the
+    restored one (the reference keeps CASA's ``.psf``/``.residual``/
+    ``.model`` directories, README "Data products"): any of ``'psf'``,
+    ``'dirty'``, ``'model'``, ``'residual'``, written as
+    ``...imaging.<name>.fits`` and added to the products dict.  Cube
+    runs support ``'psf'`` (common-beam plane) and ``'dirty'``;
+    ``'model'``/``'residual'`` are mfs-only (per-channel CLEAN state is
+    not drained from the device — a 1,000-channel residual cube is
+    another GB of host traffic; re-image from the saved visibility
+    products if needed).  Default: none.
     """
     model = pipeline.model
     log = pipeline.log
@@ -418,6 +430,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
          max(c0 - half_x, 0):c0 + half_x] = 1.0
 
     re_sc = im_sc = None            # selfcal-corrected visibilities
+    extra_maps = {}                 # save_products captures (last imaging)
     if cube_mode:
         # common restoring beam fitted to the central channel's PSF
         # (tclean 'commonbeam' behaviour), then every channel — weighting,
@@ -448,7 +461,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                                 f"{n_dev} devices (channel-sharded "
                                 "CLEAN)", timestamp=False)
                 with mesh:
-                    restored_j, _dirty_j = pshard.sharded_clean_cube(
+                    restored_j, dirty_j = pshard.sharded_clean_cube(
                         mesh, jnp.asarray(uvw, rdt),
                         jnp.asarray(freqs, rdt),
                         jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
@@ -458,7 +471,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                         weighting=weighting, robust=robust, gain=0.1,
                         niter=niter, nsigma=nsigma)
             else:
-                restored_j, _dirty_j = imaging.clean_cube(
+                restored_j, dirty_j = imaging.clean_cube(
                     jnp.asarray(uvw[:, :2], rdt), jnp.asarray(freqs, rdt),
                     jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
                     jnp.asarray(w_vis, rdt), imsize, cell_rad,
@@ -466,6 +479,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                     weighting=weighting, robust=robust, gain=0.1,
                     niter=niter, nsigma=nsigma)
             restored_cube = np.asarray(restored_j)
+            if save_products:
+                extra_maps['psf'] = np.asarray(psf0)
+                if 'dirty' in save_products:
+                    extra_maps['dirty'] = np.asarray(dirty_j)
     else:
         # multi-frequency synthesis: all channels on one grid
         def mfs_image(vr_all, vi_all, label=''):
@@ -492,6 +509,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                     imsize, cell_rad, beam[0], beam[1], beam[2])
                 restored = np.asarray(
                     imaging.restore(mdl, resid, beam_kernel.astype(rdt)))
+                if save_products:
+                    extra_maps.update(
+                        psf=np.asarray(psf), dirty=np.asarray(dirty),
+                        model=np.asarray(mdl),
+                        residual=np.asarray(resid))
             return restored, np.asarray(mdl), beam
 
         def dynamic_range(img):
@@ -641,6 +663,27 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             fitsio.write_fits(pbcor_file,
                               pbc if cube_mode else pbc[0], out_hdr)
         products['clean_image_pbcor'] = pbcor_file
+
+    if save_products:
+        # tclean's auxiliary images (the reference keeps CASA's .psf/
+        # .residual/.model artefacts, README "Data products")
+        bunits = {'psf': '', 'dirty': 'Jy/beam', 'model': 'Jy/pixel',
+                  'residual': 'Jy/beam'}
+        for name in save_products:
+            arr = extra_maps.get(name)
+            if arr is None:
+                if log:
+                    log.add_entry(
+                        "WARNING",
+                        f"save_products: '{name}' is not available from "
+                        f"{'cube' if cube_mode else 'mfs'} imaging",
+                        timestamp=False)
+                continue
+            out_hdr['BUNIT'] = bunits.get(name, '')
+            pfile = fitsfile.replace('.fits', f'.{name}.fits')
+            with KernelTimer(f"synthobs: {name} FITS write", log):
+                fitsio.write_fits(pfile, arr, out_hdr)
+            products[name] = pfile
 
     # --- imfit (continuum only; classes.py:2690-2840) -------------------- #
     if run.obs_type == 'continuum':

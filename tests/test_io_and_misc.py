@@ -416,3 +416,47 @@ class TestCasaCompat:
         out = capsys.readouterr().out
         assert 'casa --nogui --nologger --agg' in out
         assert os.path.exists(str(tmp_path / sc.casafile))
+
+    def test_script_executes_through_casa_binary(self, tmp_path,
+                                                 monkeypatch):
+        """The subprocess hand-off contract (_interface.py:63-81), tested
+        against a stub ``casa`` on PATH: the stub receives the
+        reference's exact flag set, writes the requested logfile and
+        actually EXECUTES the rendered script (with a vp-tool shim), so
+        the emitted os/shutil tasks must be valid runnable Python."""
+        import stat
+        import textwrap
+        from rajepy_tpu.casa_compat import Mkdir, Rmdir, Script
+
+        bindir = tmp_path / 'bin'
+        bindir.mkdir()
+        stub = bindir / 'casa'
+        stub.write_text(textwrap.dedent('''\
+            #!/usr/bin/env python3
+            import sys
+            args = sys.argv[1:]
+            assert args[:3] == ['--nogui', '--nologger', '--agg'], args
+            log = args[args.index('--logfile') + 1]
+            script = args[args.index('-c') + 1]
+            class _VP:
+                def setpbgauss(self, **kw):
+                    pass
+            with open(log, 'w') as f:
+                f.write('stub casa ran %s\\n' % script)
+            src = open(script).read()
+            exec(compile(src, script, 'exec'), {'vp': _VP()})
+        '''))
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv('PATH', f"{bindir}:{os.environ['PATH']}")
+
+        work = tmp_path / 'work'
+        work.mkdir()
+        (work / 'togo').mkdir()
+        sc = Script()
+        sc.add_task(Mkdir(name=str(work / 'made_by_casa')))
+        sc.add_task(Rmdir(path=str(work / 'togo')))
+        res = sc.execute(dcy=str(work), dryrun=False)
+        assert res is not None and res.returncode == 0
+        assert (work / 'made_by_casa').is_dir()   # Mkdir task ran
+        assert not (work / 'togo').exists()       # Rmdir task ran
+        assert 'stub casa ran' in (work / sc.logfile).read_text()

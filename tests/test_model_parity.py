@@ -121,6 +121,15 @@ class TestFieldParity:
         for o, r in zip(ours.vel, ref.vel):
             _nan_allclose(o, r, rtol=1e-9, atol=1e-12)
 
+    def test_velocity_midplane_matches_full_field(self, pair):
+        # the device-sliced quiver maps equal the full vel property's
+        # mid-LOS plane
+        ours, _ = pair
+        vx, vz = ours.velocity_midplane()
+        mid = ours.ny // 2
+        _nan_allclose(vx, ours.vel[0][:, mid, :], rtol=1e-12)
+        _nan_allclose(vz, ours.vel[2][:, mid, :], rtol=1e-12)
+
     def test_travel_time_and_chi(self, model_params):
         _need_reference()
         p = small_grid(model_params, n=(12, 24, 12))

@@ -864,3 +864,77 @@ class TestMatmulGridding:
         np.testing.assert_allclose(np.asarray(psf_m), np.asarray(psf_s),
                                    rtol=1e-10, atol=1e-13)
 
+
+
+class TestSaveProducts:
+    """tclean's auxiliary images via save_products (the reference keeps
+    CASA's .psf/.residual/.model artefacts, README 'Data products')."""
+
+    def _pipeline(self, model_params, tmp_path, sub, continuum=True):
+        import copy
+        import rajepy_tpu
+        cont = {'times': np.array([0.]), 'freqs': np.array([6e9]),
+                't_obs': np.array([1200]),
+                'tscps': np.array([('VLA', 'B')]),
+                't_ints': np.array([60]), 'bws': np.array([1e8]),
+                'chanws': np.array([5e7])}
+        rrl = {'times': np.array([0.]), 'lines': np.array(['H58a']),
+               't_obs': np.array([1200]),
+               'tscps': np.array([('VLA', 'B')]),
+               't_ints': np.array([60]), 'bws': np.array([1e7]),
+               'chanws': np.array([2e6])}
+        empty_c = {'times': np.array([]), 'freqs': None, 't_obs': None,
+                   'tscps': None, 't_ints': None, 'bws': None,
+                   'chanws': None}
+        empty_r = {'times': np.array([]), 'lines': None, 't_obs': None,
+                   'tscps': None, 't_ints': None, 'bws': None,
+                   'chanws': None}
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / sub)},
+            'continuum': cont if continuum else empty_c,
+            'rrls': empty_r if continuum else rrl,
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        return pline, pline.runs[0]
+
+    def test_mfs_products(self, model_params, tmp_path):
+        from rajepy_tpu.io import fits as fitsio
+        from rajepy_tpu.synthobs import simulate_observation
+        pline, run = self._pipeline(model_params, tmp_path, 'mfs')
+        products = simulate_observation(
+            pline, run, niter=50,
+            save_products=('psf', 'dirty', 'model', 'residual'))
+        for name in ('psf', 'dirty', 'model', 'residual'):
+            assert name in products
+            data, hdr = fitsio.read_fits(products[name])
+            assert data.ndim == 2 and np.isfinite(data).all()
+        psf, _ = fitsio.read_fits(products['psf'])
+        assert psf.max() == pytest.approx(1.0, rel=1e-5)  # unit peak
+        # restored = model*beam + residual: dirty peak >= residual peak
+        # inside the mask after 50 minor cycles
+        dirty, _ = fitsio.read_fits(products['dirty'])
+        resid, _ = fitsio.read_fits(products['residual'])
+        assert np.abs(resid).max() <= np.abs(dirty).max()
+
+    def test_cube_products_and_unavailable_warning(self, model_params,
+                                                   tmp_path):
+        from rajepy_tpu.io import fits as fitsio
+        from rajepy_tpu.synthobs import simulate_observation
+        pline, run = self._pipeline(model_params, tmp_path, 'cube',
+                                    continuum=False)
+        products = simulate_observation(
+            pline, run, niter=0,
+            save_products=('psf', 'dirty', 'model'))
+        assert 'psf' in products and 'dirty' in products
+        assert 'model' not in products  # mfs-only, logged as WARNING
+        dirty, _ = fitsio.read_fits(products['dirty'])
+        assert dirty.ndim == 3
+        assert dirty.shape[0] == len(run.chan_freqs)
+        psf, _ = fitsio.read_fits(products['psf'])
+        assert psf.ndim == 2

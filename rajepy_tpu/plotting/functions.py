@@ -149,7 +149,7 @@ def model_plot(jm, show_plot: bool = False,
             # max arrow length = 0.1 of the subplot height
             ax.quiver(xq, zq, uq, wq, color='k', scale=v_scale / 0.1,
                       scale_units='height', width=3e-3)
-            ax.annotate(f'{v_scale:.0f} km/s', (0.05, 0.05),
+            ax.annotate(f'{v_scale:.3g} km/s', (0.05, 0.05),
                         xycoords='axes fraction', fontsize=6, va='bottom')
 
     fig.supxlabel(r'$\Delta x\,[{\rm au}]$')
@@ -310,11 +310,14 @@ def geometry_plot(jm, show_plot: bool = False,
     # the axis foreshortens by sin(inc); the half-width perpendicular to
     # the projected axis stays w(r) (circular cross-section)
     g = jm.params['geometry']
-    rs = np.linspace(g['r_0'], lim, 200)
-    w = g['w_0'] * ((rs + g['mod_r_0'] - g['r_0']) /
-                    g['mod_r_0']) ** g['epsilon']
     pa = np.radians(g['pa'])
     si = np.sin(np.radians(g['inc']))
+    # deprojected radii must reach lim / sin(inc) for the projected
+    # boundary to span the silhouette of an inclined jet
+    r_far = lim / max(si, 0.1)
+    rs = np.linspace(g['r_0'], r_far, 200)
+    w = g['w_0'] * ((rs + g['mod_r_0'] - g['r_0']) /
+                    g['mod_r_0']) ** g['epsilon']
     for sgn_r in (+1, -1):
         for sgn_w in (+1, -1):
             x = sgn_w * w * np.cos(pa) + sgn_r * rs * si * np.sin(pa)
@@ -466,15 +469,14 @@ def diagnostic_plot(jm, show_plot: bool = False,
     # at |r| is (mass flux) x (crossing time) = jml * csize*au / v(r),
     # exact for q^d_v == 0 (single crossing speed per radius)
     pl = jm.params['power_laws']
-    if pl['q^d_v'] == 0.0 and not np.any(np.abs(
-            jm.chi_xyz[np.isfinite(jm.chi_xyz)] - 1.0) > 1e-3):
+    # overlay only when steady state is guaranteed (no ejection events:
+    # testing chi over the grid would pull full cubes through a remote
+    # tunnel just to label a dashed line)
+    if pl['q^d_v'] == 0.0 and not getattr(jm, 'ejections', {}):
         from ..ops import geometry as mgeom_ops
         rs = prof['r']
         gm_r0 = jm.params['geometry']['r_0']
-        mr0 = float(np.asarray(mgeom_ops.mod_r_0(
-            jm.params['geometry']['opang'],
-            jm.params['geometry']['epsilon'],
-            jm.params['geometry']['w_0'])))
+        mr0 = jm.params['geometry']['mod_r_0']
         v = jm.params['properties']['v_0'] * np.asarray(mgeom_ops.rho(
             np.abs(rs), gm_r0, mr0)) ** pl['q_v']
         expect = np.where(np.abs(rs) >= gm_r0,

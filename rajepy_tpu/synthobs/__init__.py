@@ -145,6 +145,12 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     another GB of host traffic; re-image from the saved visibility
     products if needed).  Default: none.
     """
+    if isinstance(save_products, str):
+        save_products = (save_products,)
+    unknown = set(save_products) - {'psf', 'dirty', 'model', 'residual'}
+    if unknown:
+        raise ValueError(f"save_products: unknown name(s) {sorted(unknown)}"
+                         " — choose from psf/dirty/model/residual")
     model = pipeline.model
     log = pipeline.log
     tscop, t_cfg = run.tscop

@@ -642,6 +642,14 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     out_hdr['BMAJ'] = np.degrees(bmaj_rad)
     out_hdr['BMIN'] = np.degrees(bmin_rad)
     out_hdr['BPA'] = bpa_deg
+    if cube_mode:
+        # spectral axis, as CASA exportfits writes for tclean cubes
+        out_hdr['CTYPE3'] = 'FREQ'
+        out_hdr['CRPIX3'] = 1.0
+        out_hdr['CRVAL3'] = float(freqs[0])
+        out_hdr['CDELT3'] = float(freqs[1] - freqs[0]) if len(freqs) > 1 \
+            else float(run.chanwidth)
+        out_hdr['CUNIT3'] = 'Hz'
     with KernelTimer("synthobs: image FITS write", log):
         fitsio.write_fits(
             fitsfile,

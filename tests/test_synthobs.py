@@ -938,3 +938,10 @@ class TestSaveProducts:
         assert dirty.shape[0] == len(run.chan_freqs)
         psf, _ = fitsio.read_fits(products['psf'])
         assert psf.ndim == 2
+        # the restored cube carries a spectral axis (CASA exportfits
+        # writes one for tclean cubes)
+        _, hdr = fitsio.read_fits(products['clean_image'])
+        assert hdr['CTYPE3'] == 'FREQ'
+        assert hdr['CRVAL3'] == pytest.approx(run.chan_freqs[0])
+        assert hdr['CDELT3'] == pytest.approx(
+            run.chan_freqs[1] - run.chan_freqs[0])

@@ -57,3 +57,14 @@ t0 = time.perf_counter()
 lc = analysis.light_curve(jm, np.linspace(0., 3., 25), [6e9, 2.2e10])
 print(f"25-epoch light curve: {time.perf_counter()-t0:.1f}s; "
       f"6GHz range {lc[:,0].min():.3e} - {lc[:,0].max():.3e} Jy")
+
+# conservation diagnostics (mass / angular momentum per r-slice, any
+# inclination) and the three-projection occupancy maps — the device-side
+# reductions behind plotting.diagnostic_plot / geometry_plot
+t0 = time.perf_counter()
+prof = jm.conservation_profiles()
+proj = jm.occupancy_projections()
+print(f"conservation + occupancy diagnostics: "
+      f"{time.perf_counter()-t0:.1f}s; total jet mass "
+      f"{prof['mass'].sum():.3e} kg over "
+      f"{int((prof['mass'] > 0).sum())} r-bins")

@@ -104,4 +104,9 @@ def load_pipeline_state(path: str) -> Dict:
     with open(path, 'rt') as f:
         meta = json.load(f)
     meta['params'] = _params_from_jsonable(meta['params'])
+    for entry in meta.get('runs', []):
+        # results were encoded with _params_to_jsonable on save — decode
+        # symmetrically or ndarrays come back as {'__ndarray__': ...}
+        if entry.get('results') is not None:
+            entry['results'] = _params_from_jsonable(entry['results'])
     return meta

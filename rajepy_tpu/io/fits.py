@@ -31,6 +31,12 @@ def _format_value(value) -> str:
         return str(int(value))
     if isinstance(value, (float, np.floating)):
         v = float(value)
+        if not np.isfinite(v):
+            # the FITS standard has no non-finite card values; write the
+            # tokens our reader (and astropy, with a warning) parse back
+            # via float() rather than crashing the whole product write on
+            # int(nan) (e.g. a degenerate beam fit, an inf dynamic range)
+            return 'NaN' if np.isnan(v) else ('INF' if v > 0 else '-INF')
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         # fixed-width scientific, 17 significant digits: round-trips any
@@ -151,6 +157,18 @@ class _CommentProxy(dict):
 
     def __setitem__(self, key, value):
         self._header.set_comment(key, value)
+
+    def __getitem__(self, key):
+        # comments live in the header's cards, not in this dict — read
+        # them back from there (astropy's hdr.comments[key] contract)
+        key = key.upper()
+        for k, _, c in self._header._cards:
+            if k == key:
+                return c
+        raise KeyError(key)
+
+    def __contains__(self, key):
+        return any(k == key.upper() for k, _, _ in self._header._cards)
 
 
 def _split72(text: str) -> List[str]:

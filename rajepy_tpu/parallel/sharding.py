@@ -214,8 +214,12 @@ def sharded_clean_cube(mesh: Mesh, uvw_m, freqs, vis_re, vis_im, weights,
                        P(None, None)),
              out_specs=(P('chan', None, None), P('chan', None, None)))
     def step(uvw_l, freqs_l, re_l, im_l, w_l, mask_l, kern_l):
+        # each shard sees at most per_dev_chunk channels by construction;
+        # forward that bound so the inner call never takes its (trace-
+        # incompatible) host-chunking branch when per_dev_chunk > 256
         return imaging.clean_cube(uvw_l, freqs_l, re_l, im_l, w_l, n_pix,
                                   cell_rad, mask_l, kern_l,
+                                  chan_chunk=per_dev_chunk,
                                   **clean_kwargs)
 
     step_j = jax.jit(step)

@@ -51,7 +51,13 @@ def briggs_weights(u_wav, v_wav, weights, n_pix: int, cell_rad: float,
     gu = jnp.clip(gu, 0, n_pix - 1)
     gv = jnp.clip(gv, 0, n_pix - 1)
     w_k = dens[gv, gu]
-    f2 = (5.0 * 10.0 ** -robust) ** 2 / (jnp.sum(w_k ** 2) /
+    # sum W_k^2 over uv CELLS == sum_i w_i * W_cell(i) over visibilities
+    # (W_cell = sum of weights in the cell); summing W_k^2 per visibility
+    # instead would weight each cell by its occupancy a second time and
+    # make the effective robust drift with track length.  The conjugate
+    # symmetrisation in grid_weights scales every W_k by the same factor,
+    # which cancels exactly in the W_k * f^2 product.
+    f2 = (5.0 * 10.0 ** -robust) ** 2 / (jnp.sum(weights * w_k) /
                                          jnp.maximum(jnp.sum(weights), 1e-30))
     return weights / (1.0 + w_k * f2)
 

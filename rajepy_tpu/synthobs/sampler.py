@@ -34,8 +34,11 @@ def sky_fft(image, pad: int = _PAD):
     """
     ny, nx = image.shape
     padded = jnp.zeros((ny * pad, nx * pad), dtype=image.dtype)
-    y0 = (ny * pad - ny) // 2
-    x0 = (nx * pad - nx) // 2
+    # the image centre pixel (index n//2) must land on the padded grid's
+    # DC index (n_big//2) — (n_big - n)//2 gets that wrong by one pixel
+    # for odd n (a one-pixel phase ramp on every visibility)
+    y0 = ny * pad // 2 - ny // 2
+    x0 = nx * pad // 2 - nx // 2
     padded = padded.at[y0:y0 + ny, x0:x0 + nx].set(image)
     return jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(padded)))
 

@@ -85,6 +85,13 @@ def plan_scans(t_obs: float, time_up: float, ew_int: bool,
     time_up = float(time_up)
     durations = [time_up] * int(t_obs // time_up)
     durations += [t_obs - (t_obs // time_up) * time_up]
+    # NB deliberate deviation: the reference keeps a zero-second
+    # remainder (classes.py:2549-2550) and, for EW arrays, splits THAT
+    # into 8 zero-length scans while the full days all sit at HA 0.
+    # Dropping the empty entry first means an exact-multiple t_obs
+    # spreads the final FULL day across the HA window instead — the same
+    # uv coverage (contiguous scans spanning the same window) without
+    # zero-duration scans downstream (PARITY.md "deliberate deviations").
     durations = [d for d in durations if d > 0]
     ha_centres = [0.0] * len(durations)
 
@@ -92,7 +99,8 @@ def plan_scans(t_obs: float, time_up: float, ew_int: bool,
         final_t_obs = durations.pop(-1)
         ha_centres.pop(-1)
         total_gap = time_up - final_t_obs
-        t_gap = int(total_gap / (ew_split_final_n - 1))
+        t_gap = 0 if ew_split_final_n <= 1 else \
+            int(total_gap / (ew_split_final_n - 1))
         t_scan = int(final_t_obs / ew_split_final_n)
         for n in range(1, ew_split_final_n + 1):
             ha = -time_up / 2 + t_scan / 2 + (t_gap + t_scan) * (n - 1)

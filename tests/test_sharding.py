@@ -180,6 +180,34 @@ class TestShardedRT:
                                    np.asarray(expected)[:7],
                                    rtol=1e-10, atol=1e-14)
 
+        # a caller-supplied chan_chunk must reach the per-shard clean_cube
+        # call (review r3s6: it used to keep the inner 256 default, so
+        # any chan_chunk > 256 raised 'cannot run inside a traced
+        # context' — each shard's channel count exceeded the inner
+        # chunking bound).  Capture the forwarded kwarg and re-check the
+        # result equality through the wrapped call.
+        from rajepy_tpu.synthobs import imaging as imaging_mod
+        seen = []
+        orig = imaging_mod.clean_cube
+
+        def spy(*a, **kw):
+            seen.append(kw.get('chan_chunk'))
+            return orig(*a, **kw)
+
+        imaging_mod.clean_cube = spy
+        try:
+            with mesh:
+                got_cc, _ = sharding.sharded_clean_cube(
+                    mesh, uvw, freqs, vis.real, vis.imag, w0, imsize,
+                    cell_rad, mask, kern, weighting='natural', niter=20,
+                    chan_chunk=300)
+        finally:
+            imaging_mod.clean_cube = orig
+        assert seen and all(c == 300 for c in seen)
+        np.testing.assert_allclose(np.asarray(got_cc),
+                                   np.asarray(expected),
+                                   rtol=1e-10, atol=1e-14)
+
     def test_continuum_runs_fanout_matches_sequential(self, eight_devices,
                                                       model_params):
         """Run-level fan-out (parallel.fanout) vs the per-run model

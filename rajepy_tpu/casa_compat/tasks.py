@@ -8,6 +8,7 @@ calls emitted into the script, tasks.py:320-357) use integer keys.
 """
 from __future__ import annotations
 
+import copy as _copy
 from typing import Dict, Tuple
 
 
@@ -18,7 +19,13 @@ class CasaTask:
     PARAMS: Dict = {}
 
     def __init__(self, *args, **kwargs):
-        self._values = {k: v for k, (_, v) in self.PARAMS.items()}
+        # deep-copy mutable defaults (lists/dicts): aliasing the class-
+        # level PARAMS objects would let task.params['scales'].extend(...)
+        # corrupt the shared default for every instance AND defeat the
+        # default-omission rendering (the value would compare equal to
+        # itself)
+        self._values = {k: _copy.deepcopy(v)
+                        for k, (_, v) in self.PARAMS.items()}
         self.set_vals(*args, **kwargs)
 
     def set_vals(self, *args, **kwargs):
@@ -106,9 +113,6 @@ class Tclean(CasaTask):
         'savemodel': (str, 'none'), 'calcres': (bool, True),
         'calcpsf': (bool, True), 'parallel': (bool, False),
     }
-
-    # exposed for callers needing the default restfreq (classes.py:2765)
-    _DEFAULTS = {k: (None, v) for k, (_, v) in PARAMS.items()}
 
 
 class Exportfits(CasaTask):

@@ -112,6 +112,9 @@ def moment_maps(cube, freqs, rest_freq: float) -> dict:
     """
     cube = np.asarray(cube, dtype=float)
     freqs = np.asarray(freqs, dtype=float)
+    if freqs.size < 2:
+        raise ValueError("moment_maps needs >= 2 channels to define a "
+                         f"velocity axis (got {freqs.size})")
     v = 299792.458 * (1.0 - freqs / rest_freq)   # km/s
     dv = np.gradient(v)
     w = cube * np.abs(dv)[:, None, None]

@@ -35,19 +35,30 @@ def parse_coord(ra: str, dec: str) -> Tuple[float, float]:
     return parse_ra(ra), parse_dec(dec)
 
 
+def _sexagesimal(value: float, s_round: float) -> Tuple[int, int, float]:
+    """(units, minutes, seconds) with carry: seconds that would render as
+    60 under ``s_round``-decimal formatting roll into minutes (astropy's
+    to_string never emits '60' — neither may we; see also
+    models.runs.Pointing.ra/dec)."""
+    u = int(value)
+    m = int((value - u) * 60.0)
+    s = (value - u - m / 60.0) * 3600.0
+    if round(s, s_round) >= 60.0:
+        s = 0.0
+        m += 1
+    if m == 60:
+        m = 0
+        u += 1
+    return u, m, s
+
+
 def format_hmsdms(ra_deg: float, dec_deg: float) -> str:
     """Degrees -> 'HHhMMmSS.SSSSSSs +DDdMMmSS.SSSSSSs' (the astropy
     ``to_string('hmsdms')`` style the reference writes into pointing files,
     classes.py:2338-2339)."""
-    ra_h = ra_deg / 15.0
-    h = int(ra_h)
-    m = int((ra_h - h) * 60)
-    s = (ra_h - h - m / 60.0) * 3600.0
+    h, m, s = _sexagesimal(ra_deg / 15.0, 6)
     sign = '-' if dec_deg < 0 else '+'
-    ad = abs(dec_deg)
-    dd = int(ad)
-    dm = int((ad - dd) * 60)
-    ds = (ad - dd - dm / 60.0) * 3600.0
+    dd, dm, ds = _sexagesimal(abs(dec_deg), 6)
     return f"{h:02d}h{m:02d}m{s:09.6f}s {sign}{dd:02d}d{dm:02d}m{ds:09.6f}s"
 
 

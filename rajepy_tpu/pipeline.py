@@ -178,22 +178,36 @@ class Pipeline:
     # ------------------------------------------------------------------ #
     def save(self, save_file: str, absolute_directories: bool = False):
         """Pickle runs/params/model-file with ~-relativised paths
-        (classes.py:2215-2258)."""
+        (classes.py:2215-2258).
+
+        Unlike the reference, the live object's paths are RESTORED after
+        the dump: classes.py mutates ``run.dcy`` / ``params`` in place,
+        so any further in-process use after ``execute()`` (which saves)
+        saw literal '~'-prefixed paths — recomputing completed products
+        and mkdir-ing a directory named '~'.
+        """
         home = os.path.expanduser('~')
         rs = self.runs
-        if not absolute_directories:
-            for run in rs:
-                run.dcy = run.dcy.replace(home, '~')
         ps = self._params
         mf = self.model_file
+        saved = None
         if not absolute_directories:
+            saved = ([run.dcy for run in rs], ps['dcys']['model_dcy'])
+            for run in rs:
+                run.dcy = run.dcy.replace(home, '~')
             ps['dcys']['model_dcy'] = ps['dcys']['model_dcy'].replace(
                 home, '~')
             mf = mf.replace(home, '~')
         p = {"runs": rs, "params": ps, "model_file": mf, 'log': None}
         self.log.add_entry("INFO", "Saving pipeline to " + save_file)
-        with open(save_file, 'wb') as f:
-            pickle.dump(p, f)
+        try:
+            with open(save_file, 'wb') as f:
+                pickle.dump(p, f)
+        finally:
+            if saved is not None:
+                for run, dcy in zip(rs, saved[0]):
+                    run.dcy = dcy
+                ps['dcys']['model_dcy'] = saved[1]
 
     # ------------------------------------------------------------------ #
     @property

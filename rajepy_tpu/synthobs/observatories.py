@@ -80,17 +80,18 @@ def cfg_file(tscop: str, configuration: str) -> str:
 def _split_quoted(line: str) -> List[str]:
     """Split on spaces outside double quotes (the reference's hand-rolled
     parser, _observatories.py:26-38)."""
-    out, cur, in_q = [], [], False
+    out, cur, in_q, quoted = [], [], False, False
     for ch in line.rstrip('\n'):
         if ch == '"':
             in_q = not in_q
+            quoted = True   # an empty "" is still a field
         elif ch == ' ' and not in_q:
-            if cur:
+            if cur or quoted:
                 out.append(''.join(cur))
-                cur = []
+                cur, quoted = [], False
         else:
             cur.append(ch)
-    if cur:
+    if cur or quoted:
         out.append(''.join(cur))
     return out
 
@@ -168,16 +169,22 @@ def read_antenna_config(path: str):
             names.append(parts[4] if len(parts) > 4 else f'A{i}')
     xyz = np.asarray(rows, dtype=float)
     if coordsys.upper().startswith('LOC'):
-        # offsets relative to the observatory reference position
+        # offsets relative to the observatory reference position.
+        # CASA 'X Y Z' columns in the Observatories table are geocentric
+        # km for some entries and metres-scale for others; rebuild the
+        # ECEF centre from (lon, lat, height) on the WGS84 ellipsoid.
         obs = observatory or 'ALMA'
         lon, lat, _ = observatory_location(obs)
         row = observatory_table()[obs]
-        centre = np.array([row['X'], row['Y'], row['Z']], dtype=float)
-        # CASA 'X Y Z' columns in the Observatories table are geocentric km
-        # for some entries and metres-scale for others; rebuild the ECEF
-        # centre from (lon, lat, height) on the WGS84 ellipsoid instead.
         centre = _geodetic_to_ecef(lon, lat, float(row['Height']))
         xyz = centre[None, :] + _enu_to_ecef_offsets(xyz, lon, lat)
+    elif not coordsys.upper().startswith('XYZ'):
+        # e.g. the bundled carma.*.cfg files declare coordsys=UTM;
+        # treating easting/northing as ECEF silently yields garbage
+        # baselines — refuse loudly instead
+        raise ValueError(
+            f"{os.path.basename(path)}: unsupported coordsys="
+            f"{coordsys!r} (only XYZ and LOC are handled)")
     return {'xyz': xyz, 'diam': np.asarray(diams), 'names': names,
             'observatory': observatory}
 

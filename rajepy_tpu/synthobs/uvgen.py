@@ -101,7 +101,10 @@ def plan_scans(t_obs: float, time_up: float, ew_int: bool,
         total_gap = time_up - final_t_obs
         t_gap = 0 if ew_split_final_n <= 1 else \
             int(total_gap / (ew_split_final_n - 1))
-        t_scan = int(final_t_obs / ew_split_final_n)
+        # float division, unlike the reference's int() (classes.py:2581):
+        # a remainder below ew_split_final_n seconds would truncate to
+        # eight zero-length scans and silently drop the observing time
+        t_scan = final_t_obs / ew_split_final_n
         for n in range(1, ew_split_final_n + 1):
             ha = -time_up / 2 + t_scan / 2 + (t_gap + t_scan) * (n - 1)
             ha_centres.append(ha / 3600.0)

@@ -18,6 +18,28 @@ from typing import Callable, Optional
 import jax
 
 
+def _sync(result) -> None:
+    """Device completion barrier for timing.
+
+    ``jax.block_until_ready`` can return early through remote-device
+    tunnels (axon; CLAUDE.md) — a host transfer of one element of the
+    result is the reliable fence, since transfers queue behind the
+    producing computation on the device stream.
+    """
+    jax.block_until_ready(result)
+    for leaf in jax.tree_util.tree_leaves(result):
+        if not (hasattr(leaf, 'ravel') and getattr(leaf, 'size', 0)):
+            continue
+        kind = getattr(getattr(leaf, 'dtype', None), 'kind', '')
+        if kind == 'c':
+            continue   # complex host transfers raise on axon (CLAUDE.md)
+        try:
+            _ = leaf.ravel()[0].item()
+        except (TypeError, RuntimeError):
+            pass
+        break
+
+
 class KernelTimer:
     """``with KernelTimer("fill factors", log) as t: ...`` — logs the
     elapsed wall time with a device sync at exit."""
@@ -39,7 +61,7 @@ class KernelTimer:
 
     def __exit__(self, exc_type, exc, tb):
         if self._result is not None:
-            jax.block_until_ready(self._result)
+            _sync(self._result)
         self.elapsed = time.perf_counter() - self._t0
         if self.log is not None and exc_type is None:
             self.log.add_entry(
@@ -63,9 +85,9 @@ def timed_call(fn: Callable, *args, n_rep: int = 3, **kwargs):
     callable: one warm-up call, then ``n_rep`` timed calls with a final
     barrier."""
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n_rep):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _sync(out)
     return out, (time.perf_counter() - t0) / n_rep

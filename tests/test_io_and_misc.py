@@ -460,3 +460,94 @@ class TestCasaCompat:
         assert (work / 'made_by_casa').is_dir()   # Mkdir task ran
         assert not (work / 'togo').exists()       # Rmdir task ran
         assert 'stub casa ran' in (work / sc.logfile).read_text()
+
+
+class TestReviewRegressionsR3S6:
+    """Pins for the second round-3 session-6 review batch."""
+
+    def test_format_hmsdms_sexagesimal_carry(self):
+        from rajepy_tpu.ops.astronomy import format_hmsdms
+        s = format_hmsdms(44.999999999999, -0.9999999999999)
+        assert '60.0' not in s
+        assert s.startswith('03h00m00.000000s')
+        assert s.endswith('-01d00m00.000000s')
+
+    def test_casatask_mutable_defaults_isolated(self):
+        from rajepy_tpu.casa_compat import Tclean
+        t = Tclean(vis='a.ms')
+        t._values['scales'].extend([0, 3])
+        # the class default and fresh instances are untouched...
+        assert Tclean.PARAMS['scales'][1] == []
+        assert Tclean(vis='b.ms')._values['scales'] == []
+        # ...and the changed value now renders (an aliased default would
+        # compare equal to itself and be omitted)
+        assert 'scales=[0, 3]' in str(t)
+
+    def test_pipeline_save_restores_live_paths(self, tmp_path,
+                                               model_params):
+        """Pipeline.save relativises paths in the PICKLE only: the
+        reference mutates run.dcy/params in place (classes.py:2215-2258),
+        so using the pipeline after execute() saw literal '~' paths."""
+        import copy
+        import pickle
+        from rajepy_tpu import JetModel, Pipeline
+        home = os.path.expanduser('~')
+        mdcy = os.path.join(home, '.rajepy_tpu_test_save')
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': mdcy},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([6e9]), 't_obs': None,
+                          'tscps': None, 't_ints': None, 'bws': None,
+                          'chanws': None},
+            'rrls': {'times': np.array([]), 'lines': None, 't_obs': None,
+                     'tscps': None, 't_ints': None, 'bws': None,
+                     'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        jm = JetModel(p)
+        try:
+            pline = Pipeline(jm, pparams)
+            f = str(tmp_path / 'p.save')
+            pline.save(f)
+            # pickle holds ~-relative paths; the live object keeps
+            # absolute ones
+            with open(f, 'rb') as fh:
+                saved = pickle.load(fh)
+            assert saved['params']['dcys']['model_dcy'].startswith('~')
+            assert saved['runs'][0].dcy.startswith('~')
+            assert pline.params['dcys']['model_dcy'] == mdcy
+            assert pline.runs[0].dcy.startswith(home)
+        finally:
+            import shutil
+            shutil.rmtree(mdcy, ignore_errors=True)
+
+    def test_observatory_unknown_coordsys_raises(self):
+        from rajepy_tpu.synthobs import observatories
+        carma = os.path.join(observatories._CFG_DIR, 'carma.a.cfg')
+        if not os.path.exists(carma):
+            pytest.skip('carma cfg not bundled')
+        with pytest.raises(ValueError, match='coordsys'):
+            observatories.read_antenna_config(carma)
+
+    def test_observatory_table_empty_quoted_fields(self):
+        from rajepy_tpu.synthobs import observatories
+        assert observatories._split_quoted('a "" b') == ['a', '', 'b']
+        tab = observatories.observatory_table()
+        # the ACA row ends '"Remy Indebetouw" "" "alma/..."' — the empty
+        # Comment field must not shift later columns left
+        aca = tab['ACA']
+        assert aca['AntennaResponses'].endswith('AntennaResponses')
+
+    def test_plan_scans_small_remainder_keeps_time(self):
+        from rajepy_tpu.synthobs import uvgen
+        plan = uvgen.plan_scans(3 * 3600.0 + 5.0, 3600.0, ew_int=True)
+        assert np.all(plan['durations'] > 0)
+        np.testing.assert_allclose(plan['durations'].sum(),
+                                   3 * 3600.0 + 5.0)
+
+    def test_moment_maps_single_channel_clear_error(self):
+        from rajepy_tpu.models import analysis
+        with pytest.raises(ValueError, match='>= 2 channels'):
+            analysis.moment_maps(np.zeros((1, 4, 4)), np.array([1e10]),
+                                 1e10)

@@ -176,7 +176,15 @@ def build_flux_forward(jm, freqs, free: Sequence[str],
     xx, yy, zz = G.grid_corner_coords(nx, ny, nz, params['grid']['c_size'])
     xx, yy, zz = (jnp.asarray(np.asarray(c), dt) for c in (xx, yy, zz))
     freqs = jnp.atleast_1d(jnp.asarray(freqs, dt))
-    reyn = params['power_laws']['q_T'] != 0.0  # classes.py:1388-1393
+    # classes.py:1388-1393: van Hoof gaunt iff q_T == 0.  When q_T itself
+    # is freed, the branch cannot be frozen from the starting value (a
+    # fit from the q_T=0 default would keep the van Hoof form while the
+    # optimiser moves q_T, disagreeing with JetModel at the optimum) —
+    # and the reference's exact-zero switch is not differentiable, so a
+    # freed q_T always uses the smooth Reynolds-approx gaunt, matching
+    # JetModel._use_reynolds_gaunt at any fitted q_T != 0.
+    reyn = (params['power_laws']['q_T'] != 0.0 or
+            'power_laws.q_T' in list(free))
     has_bursts = jm._has_bursts
     csize = params['grid']['c_size']
 
@@ -308,7 +316,10 @@ def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
         values[p] = float(np.exp(v)) if SUPPORTED_FREE[p] == 'log' else v
     return FitResult(values=values, theta=theta_np,
                      loss=np.asarray(hist),
-                     model=jax.tree.map(np.asarray, forward(theta)),
+                     # jit the one post-fit model evaluation: eagerly it
+                     # replays the whole RT chain op-by-op (~30 ms/op
+                     # through remote-device tunnels)
+                     model=jax.tree.map(np.asarray, jax.jit(forward)(theta)),
                      grad_norm=float(gnorm))
 
 
@@ -435,17 +446,10 @@ def fit_map(jm, freq, observed_map, *, errors=None,
     frequency (image-plane fitting — morphology constrains geometry
     parameters an SED cannot)."""
     fwd, theta0 = build_flux_forward(jm, jnp.atleast_1d(freq), free, time)
-    obs = jnp.asarray(observed_map, jnp.float64)
-    if errors is None:
-        norm = jnp.sum(obs ** 2)
+    base = _power_norm_loss(observed_map, errors)
 
-        def loss(model):
-            return jnp.sum((model[0] - obs) ** 2) / norm
-    else:
-        err = jnp.asarray(errors, jnp.float64)
-
-        def loss(model):
-            return jnp.mean(((model[0] - obs) / err) ** 2)
+    def loss(model):
+        return base(model[0])
 
     def forward(theta):
         return fwd(theta)
@@ -765,6 +769,11 @@ def closure_uncertainties(jm, freqs, uvw_m, vis_obs, theta,
     if not (use_phases or use_log_amps):
         raise ValueError("enable at least one of use_phases / "
                          "use_log_amps")
+    if use_log_amps and n_ant < 4:
+        raise ValueError("log closure amplitudes need n_ant >= 4 "
+                         f"(got {n_ant}); use use_log_amps=False")
+    if use_phases and n_ant < 3:
+        raise ValueError(f"closure phases need n_ant >= 3 (got {n_ant})")
     forward, _ = build_vis_forward(jm, freqs, uvw_m, free, time,
                                    apply_pb, dish_diameter_m, w_planes)
     bisp, logclamp = _closure_ops(n_ant)
@@ -835,6 +844,11 @@ def _closure_loss(vis_obs, n_ant: int, n_t: int, use_phases: bool = True,
     if not (use_phases or use_log_amps):
         raise ValueError("enable at least one of use_phases / "
                          "use_log_amps")
+    if use_log_amps and n_ant < 4:
+        raise ValueError("log closure amplitudes need n_ant >= 4 "
+                         f"(got {n_ant}); use use_log_amps=False")
+    if use_phases and n_ant < 3:
+        raise ValueError(f"closure phases need n_ant >= 3 (got {n_ant})")
     bisp, logclamp = _closure_ops(n_ant)
     eps = 1e-30
     v_d = _closure_data(vis_obs, n_ant, n_t)
@@ -896,7 +910,15 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
     xx, yy, zz = G.grid_corner_coords(nx, ny, nz, params['grid']['c_size'])
     xx, yy, zz = (jnp.asarray(np.asarray(c), dt) for c in (xx, yy, zz))
     freqs = jnp.atleast_1d(jnp.asarray(freqs, dt))
-    reyn = params['power_laws']['q_T'] != 0.0  # classes.py:1388-1393
+    # classes.py:1388-1393: van Hoof gaunt iff q_T == 0.  When q_T itself
+    # is freed, the branch cannot be frozen from the starting value (a
+    # fit from the q_T=0 default would keep the van Hoof form while the
+    # optimiser moves q_T, disagreeing with JetModel at the optimum) —
+    # and the reference's exact-zero switch is not differentiable, so a
+    # freed q_T always uses the smooth Reynolds-approx gaunt, matching
+    # JetModel._use_reynolds_gaunt at any fitted q_T != 0.
+    reyn = (params['power_laws']['q_T'] != 0.0 or
+            'power_laws.q_T' in list(free))
     has_bursts = jm._has_bursts
     csize = params['grid']['c_size']
     coeffs = rt.RRLCoeffs(line)
@@ -1036,7 +1058,8 @@ def _component_forward_loss(jm, comp: Dict, free, time, dtype):
         fwd, th0 = build_vis_forward(
             jm, comp['freqs'], comp['uvw_m'], free, time,
             comp.get('apply_pb', False),
-            comp.get('dish_diameter_m', 25.0))
+            comp.get('dish_diameter_m', 25.0),
+            comp.get('w_planes', 0))
         obs = jnp.asarray(np.asarray(comp['observed'], complex),
                           jnp.complex128)
         sigma = comp.get('sigma')
@@ -1053,7 +1076,8 @@ def _component_forward_loss(jm, comp: Dict, free, time, dtype):
         fwd, th0 = build_vis_forward(
             jm, comp['freqs'], comp['uvw_m'], free, time,
             comp.get('apply_pb', False),
-            comp.get('dish_diameter_m', 25.0))
+            comp.get('dish_diameter_m', 25.0),
+            comp.get('w_planes', 0))
         base = _closure_loss(
             comp['observed'], comp['n_ant'], comp['n_t'],
             comp.get('use_phases', True), comp.get('use_log_amps', True),
@@ -1096,8 +1120,15 @@ def fit_joint(jm, components: Sequence[Dict], *,
     * ``{'kind': 'rrl_cube', 'line', 'freqs', 'observed'
         [, 'contsub']}`` — a resolved RRL channel cube
     * ``{'kind': 'visibilities', 'freqs', 'uvw_m', 'observed'
-        [, 'sigma', 'apply_pb', 'dish_diameter_m']}`` — complex
-      visibilities (f64 path; see build_vis_forward)
+        [, 'sigma', 'apply_pb', 'dish_diameter_m', 'w_planes']}`` —
+      complex visibilities (f64 path; see build_vis_forward;
+      ``w_planes >= 1`` selects the w-stacked wide-field sampler)
+    * ``{'kind': 'closures', 'freqs', 'uvw_m', 'observed', 'n_ant',
+        'n_t' [, 'use_phases', 'use_log_amps', 'phase_weight',
+        'amp_weight', 'apply_pb', 'dish_diameter_m', 'w_planes']}`` —
+      gain-immune closure phases / log closure amplitudes of
+      uncalibrated visibilities (combine with an 'sed' component to pin
+      the flux scale closures cannot see; see fit_closures)
 
     This is how degeneracies break: a continuum SED constrains
     density×temperature along its own ridge, an RRL profile pins the
@@ -1273,6 +1304,13 @@ def fit_light_curve(jm, times, freqs, observed, *, errors=None,
                       jnp.float64)
     if obs.ndim == 1:
         obs = obs[:, None]
+    if errors is not None:
+        # match the observed reshape: 1-D errors against (n_times, 1)
+        # observations would broadcast the residual to an
+        # (n_times, n_times) outer-difference matrix
+        errors = np.atleast_1d(np.asarray(errors, float))
+        if errors.ndim == 1:
+            errors = errors[:, None]
     loss = _sed_loss(obs, errors)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
@@ -1297,6 +1335,11 @@ def fit_light_curve(jm, times, freqs, observed, *, errors=None,
     hl = np.asarray([float(s) for s in sig_s]) / YEAR * \
         np.sqrt(2.0 * np.log(2.0))
     chis = np.asarray([float(c) for c in chi_s])
+    # post-fit model: jit with the cubes as runtime args — jitting the
+    # consts-closing wrapper would bake them in as HLO constants
+    # (CLAUDE.md: the remote compile service rejects big-constant
+    # programs), and eagerly it replays the chain op-by-op
     return BurstFitResult(t_0=t0, hl=hl, chi=chis,
                           loss=np.asarray(hist),
-                          model=np.asarray(forward(theta)))
+                          model=np.asarray(jax.jit(forward.with_consts)(
+                              theta, forward.consts)))

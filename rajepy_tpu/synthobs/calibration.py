@@ -298,14 +298,16 @@ def closure_triangles(n_ant: int) -> np.ndarray:
     set is redundant (rank n_bl - n_ant + 1) but loses no information
     and keeps the arrays static-shaped."""
     from itertools import combinations
-    return np.asarray(list(combinations(range(n_ant), 3)), dtype=np.int32)
+    tri = np.asarray(list(combinations(range(n_ant), 3)), dtype=np.int32)
+    return tri.reshape(-1, 3)   # shape (0, 3), not (0,), when n_ant < 3
 
 
 def closure_quads(n_ant: int) -> np.ndarray:
     """All antenna quadrangles (i < j < k < l), shape (n_quad, 4), read
     as the canonical amplitude ratio |V_ij V_kl| / |V_ik V_jl|."""
     from itertools import combinations
-    return np.asarray(list(combinations(range(n_ant), 4)), dtype=np.int32)
+    quad = np.asarray(list(combinations(range(n_ant), 4)), dtype=np.int32)
+    return quad.reshape(-1, 4)  # shape (0, 4), not (0,), when n_ant < 4
 
 
 def closure_index_arrays(n_ant: int):

@@ -39,6 +39,11 @@ def fit_gaussian(image: np.ndarray,
     ny, nx = image.shape
     yy, xx = np.mgrid[0:ny, 0:nx]
 
+    if not np.isfinite(image).any():
+        # a fully-blanked plane is a failed fit, not a crash
+        # (nanmax/nanargmax raise on all-NaN slices)
+        return None
+
     if estimates is None:
         peak0 = float(np.nanmax(image))
         iy, ix = np.unravel_index(np.nanargmax(image), image.shape)

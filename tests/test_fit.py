@@ -752,3 +752,73 @@ class TestClosureUncertainties:
         assert 0 < s < 0.2 * 2e-7          # informative error bar
         assert err < 4 * s                 # deviation consistent with it
         assert cov.shape == (1, 1)
+
+
+class TestReviewRegressionsR3S6:
+    """Pins for the third round-3 session-6 review batch."""
+
+    def test_closure_small_arrays_guarded(self, model_params):
+        """n_ant=3 has no quadrangles: log closure amplitudes must raise
+        a clear error (the empty (0,) index arrays used to crash with
+        IndexError, and an empty mean would return NaN loss)."""
+        jm = JetModel(_small(model_params))
+        uvw = np.random.default_rng(0).normal(size=(3, 3)) * 1e3
+        vis = np.ones(3, complex)
+        with pytest.raises(ValueError, match='n_ant >= 4'):
+            jfit.fit_closures(jm, [6e9], uvw, vis[None], n_ant=3, n_t=1,
+                              free=('properties.mlr_bj',), steps=1)
+        # triangles exist at n_ant=3: phases-only must build fine
+        from rajepy_tpu.synthobs import calibration as cal
+        ix = cal.closure_index_arrays(3)
+        assert ix['tri'][0].shape == (1,)
+        assert ix['quad'][0].shape == (0,)
+        b = cal.bisp_core(jnp.asarray(vis)[None], *ix['tri'])
+        assert b.shape == (1, 1)
+
+    def test_light_curve_errors_broadcast(self, model_params):
+        """1-D per-time errors must weight each point by its own error
+        (they used to broadcast the residual to an (n_t, n_t) outer
+        matrix)."""
+        p = _small(model_params)
+        p['ejection'] = {'t_0': np.array([0.5]), 'hl': np.array([0.1]),
+                         'chi': np.array([3.0]),
+                         'which': np.array(['B'])}
+        jm = JetModel(p)
+        times = np.linspace(0.3, 0.9, 5) * YEAR
+        from rajepy_tpu.models import analysis
+        obs = analysis.light_curve(jm, times / YEAR, [6e9])[:, 0]
+        err = np.full(5, 0.05 * obs.max())
+        res = jfit.fit_light_curve(jm, times, [6e9], obs, errors=err,
+                                   steps=5)
+        # loss history must be scalar-per-step and finite (an (n,n)
+        # broadcast residual still reduces to a scalar via mean, so pin
+        # the loss VALUE against the correct per-point form instead)
+        fwd, th0, _ = jfit.build_light_curve_forward(jm, times, [6e9],
+                                                     ('t_0',))
+        model0 = np.asarray(fwd(th0))
+        expect = np.mean(((model0 - obs[:, None]) / err[:, None]) ** 2)
+        from rajepy_tpu.fit import _sed_loss
+        got = float(_sed_loss(jnp.asarray(obs[:, None]), err[:, None])(
+            jnp.asarray(model0)))
+        np.testing.assert_allclose(got, expect, rtol=1e-12)
+        assert np.isfinite(res.loss).all()
+
+    def test_freed_q_t_uses_smooth_gaunt(self, model_params):
+        """Freeing power_laws.q_T from the q_T=0 default must not freeze
+        the van Hoof gaunt branch: the forward at a moved q_T must match
+        a JetModel built at that q_T (which uses the Reynolds form)."""
+        p = _small(model_params)
+        jm = JetModel(p)
+        fwd, th0 = jfit.build_flux_forward(jm, [6e9],
+                                           ('power_laws.q_T',))
+        q_t_new = 0.4
+        model = np.asarray(fwd(jnp.asarray([q_t_new])))[0]
+        p2 = _small(model_params)
+        p2['power_laws']['q_T'] = q_t_new
+        jm2 = JetModel(p2)
+        ref = np.nan_to_num(np.asarray(jm2.flux_ff(6e9)), nan=0.0)
+        np.testing.assert_allclose(model, ref, rtol=1e-9, atol=1e-30)
+
+    def test_imfit_all_nan_returns_none(self):
+        from rajepy_tpu.synthobs.imfit import fit_gaussian
+        assert fit_gaussian(np.full((8, 8), np.nan)) is None

@@ -217,18 +217,13 @@ class JetModel:
         self._ss_jml_bj = props['mlr_bj'] * 1.989e30 / cnsts.YEAR
         self._ss_jml_rj = self._ss_jml_bj * self._ss_jml_rb_frac
 
-        if props.get('n_0') is None:
-            props['n_0'] = mphys.n_0_from_mlr(
-                props['mlr_bj'], props['v_0'], g['w_0'], props['mu'],
-                pl['q^d_n'], pl['q^d_v'], self.params['target']['R_1'],
-                self.params['target']['R_2'])
-        else:
-            # Match the reference: n_0 is always (re-)derived from mlr_bj
-            # (classes.py:234-242 overrides any user-specified value)
-            props['n_0'] = mphys.n_0_from_mlr(
-                props['mlr_bj'], props['v_0'], g['w_0'], props['mu'],
-                pl['q^d_n'], pl['q^d_v'], self.params['target']['R_1'],
-                self.params['target']['R_2'])
+        # n_0 is always (re-)derived from mlr_bj, matching the reference
+        # (classes.py:234-242 overrides any user-specified value); the
+        # params key is therefore optional (SURVEY §2.1 defect fixed)
+        props['n_0'] = mphys.n_0_from_mlr(
+            props['mlr_bj'], props['v_0'], g['w_0'], props['mu'],
+            pl['q^d_n'], pl['q^d_v'], self.params['target']['R_1'],
+            self.params['target']['R_2'])
 
         # Ejection events (classes.py:244-264)
         self._ejections: Dict[str, dict] = {}
@@ -250,6 +245,7 @@ class JetModel:
 
         self._time = 0.0
         self._fields: Optional[StaticFields] = None
+        self._ts_valid = False   # True once f.ts holds real travel times
         self._rt_static_cache = None
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
@@ -298,6 +294,7 @@ class JetModel:
             with KernelTimer("grid fill (fields + fill factors)",
                              self._log) as t:
                 self._fields = fn(xx, yy, zz)
+                self._ts_valid = wt
                 t.set_result(self._fields.ff)
         return self._fields
 
@@ -317,7 +314,15 @@ class JetModel:
     def _inject_cached_ff(self, ffs, areas):
         """Accept previously computed fill factors/areas from a checkpoint
         (classes.py:78-85).  NaN-style inputs are converted back to masked
-        zeros; remaining fields are recomputed (cheap next to t_rw)."""
+        zeros.
+
+        NB this is a PARITY hook, not a compute saver: the fused fill
+        runs anyway (one compiled program produces all fields incl. the
+        t_rw travel times, which the checkpoint does not carry — in the
+        reference the 8-corner test was the slow part worth caching;
+        here it is a minor slice of one kernel) and the loaded ff/area
+        then override the recomputed ones, exactly reproducing the
+        reference's load contract."""
         fields = self._ensure_fields()
         ffs = np.nan_to_num(np.asarray(ffs), nan=0.0)
         areas = np.nan_to_num(np.asarray(areas), nan=0.0)
@@ -431,7 +436,21 @@ class JetModel:
         self._ejections[str(len(self._ejections) + 1)] = {
             't_0': t_0, 'peak_jml': peak_jml, 'half_life': half_life,
             'which': which}
+        was_burst_free = not self._has_bursts
         self._has_bursts = True
+        # Invalidate everything that baked the OLD burst set in at trace
+        # time: the jitted kernels close over _burst_tuple()/_spec_* as
+        # compile-time constants, and a model built burst-free computed
+        # its fields with with_time=False (f.ts = zeros — every cell
+        # would burst simultaneously).  Without this, RT products after
+        # add_ejection_event silently ignore the new burst.
+        self._jit_cache.clear()
+        self._rt_static_cache = None
+        self._emergent_tiles_cache = None
+        self._rrl_tiles_cache = None
+        if was_burst_free:
+            self._fields = None   # recompute with travel times
+            self._ts_valid = False
 
     # ------------------------------------------------------------------ #
     # Coordinate grids (classes.py:465-569) — NaN-free by construction
@@ -541,27 +560,49 @@ class JetModel:
         time [s], computed for every cell like the reference
         (classes.py:838-855 — unmasked)."""
         f = self._ensure_fields()
-        if not self._has_bursts and not bool(np.any(np.asarray(f.ts))):
-            # travel time not yet computed (no bursts at construction)
-            xx, yy, zz = self._grid_coords
+        if not self._has_bursts and not self._ts_valid:
+            # travel time not yet computed (no bursts at construction).
+            # One jitted kernel — the eager form costs a host round trip
+            # per op through remote-device tunnels, and the host-side
+            # _ts_valid flag replaces an any() that pulled the whole
+            # cube to host on EVERY access
             gm = Geometry.from_params(self._static_params())
             half = self.csize / 2.0
-            rr, ww, _ = mgeom.xyz_to_rwp(xx + half, yy + half, zz + half,
-                                         gm.inc, gm.pa)
-            from .fields import travel_time_years
-            ts = travel_time_years(gm, self._static_params(), rr, ww) * \
-                cnsts.YEAR
+            sp = self._static_params()
+            shape = f.ff.shape
+
+            def build():
+                def kernel(xx, yy, zz):
+                    from .fields import travel_time_years
+                    rr, ww, _ = mgeom.xyz_to_rwp(
+                        xx + half, yy + half, zz + half, gm.inc, gm.pa)
+                    ts = travel_time_years(gm, sp, rr, ww) * cnsts.YEAR
+                    return jnp.broadcast_to(ts, shape)
+                return kernel
+
+            xx, yy, zz = self._grid_coords
             self._fields = f._replace(
-                ts=jnp.broadcast_to(ts, f.ff.shape))
+                ts=self._jitted('ts_fill', build)(xx, yy, zz))
+            self._ts_valid = True
             f = self._fields
         return np.asarray(self.time - f.ts)
 
     @property
     def chi_xyz(self) -> np.ndarray:
-        """Burst factor per cell (classes.py:861-870)."""
+        """Burst factor per cell (classes.py:861-870), evaluated by one
+        jitted kernel (the burst spec is a compile-time constant; model
+        time is traced)."""
         f = self._ensure_fields()
-        chi = ej.chi_field(f.red, self.time - f.ts, self._spec_r,
-                           self._spec_b)
+        if self._has_bursts:
+            _ = self.ts   # ensure travel times are filled
+
+        def build():
+            def kernel(f, t):
+                return ej.chi_field(f.red, t - f.ts, self._spec_r,
+                                    self._spec_b)
+            return kernel
+
+        chi = self._jitted('chi_xyz', build)(self._fields, self.time)
         return np.asarray(chi)
 
     def _nd_device(self):
@@ -1167,23 +1208,8 @@ class JetModel:
         def build():
             use_tiles = tiles is not None
 
-            def tau_maps(f, tl, t, freqs):
-                if use_tiles:
-                    temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg = tl
-                    if has_bursts:
-                        n_es_t = ndxi_t * self._chi_from_packed(tss_t, t)
-                    else:
-                        n_es_t = ndxi_t
-                    return rt.tau_rrl_maps_tiles(
-                        coeffs, freqs, temp_t, n_es_t, vy_t, ds_t,
-                        inside_t, seg, self._nx, self._nz)
-                n_es = self._nd_chi(f, t) * f.xi
-                ds = rt.path_length_cm(f.ff, f.area, csize)
-                if fused:
-                    return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp,
-                                                 n_es, f.vy, ds, f.inside)
-                return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
-                                       ds, f.inside)
+            tau_maps = self._tau_rrl_dispatch(coeffs, use_tiles,
+                                              fused, has_bursts, csize)
 
             def kernel(f, st, tl, t, freqs, b_n1, b_n2):
                 if kind == 'tau' and not collapse:
@@ -1255,23 +1281,8 @@ class JetModel:
         def build():
             use_tiles = tiles is not None
 
-            def tau_maps(f, tl, t, freqs):
-                if use_tiles:
-                    temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg = tl
-                    if has_bursts:
-                        n_es_t = ndxi_t * self._chi_from_packed(tss_t, t)
-                    else:
-                        n_es_t = ndxi_t
-                    return rt.tau_rrl_maps_tiles(
-                        coeffs, freqs, temp_t, n_es_t, vy_t, ds_t,
-                        inside_t, seg, self._nx, self._nz)
-                n_es = self._nd_chi(f, t) * f.xi
-                ds = rt.path_length_cm(f.ff, f.area, csize)
-                if fused:
-                    return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp,
-                                                 n_es, f.vy, ds, f.inside)
-                return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
-                                       ds, f.inside)
+            tau_maps = self._tau_rrl_dispatch(coeffs, use_tiles,
+                                              fused, has_bursts, csize)
 
             def kernel(f, st, tl, t, freqs):
                 tau_l = tau_maps(f, tl, t, freqs)
@@ -1293,6 +1304,32 @@ class JetModel:
              self._compact_flag(st)), build)(f, st, tiles, self.time,
                                              freqs)
         return np.asarray(em), np.asarray(tau_l), np.asarray(fluxes)
+
+    def _tau_rrl_dispatch(self, coeffs, use_tiles: bool, fused: bool,
+                          has_bursts: bool, csize: float):
+        """The RRL line-opacity three-way dispatch shared by _rrl_kernel
+        and rrl_rt_products: compacted jet-occupied tiles -> fused Pallas
+        cube -> XLA channel map.  Returns ``tau_maps(f, tl, t, freqs)``
+        for use inside a jitted kernel (one definition — a fix in the
+        dispatch must not be applied twice)."""
+        def tau_maps(f, tl, t, freqs):
+            if use_tiles:
+                temp_t, vy_t, ndxi_t, ds_t, inside_t, tss_t, seg = tl
+                if has_bursts:
+                    n_es_t = ndxi_t * self._chi_from_packed(tss_t, t)
+                else:
+                    n_es_t = ndxi_t
+                return rt.tau_rrl_maps_tiles(
+                    coeffs, freqs, temp_t, n_es_t, vy_t, ds_t,
+                    inside_t, seg, self._nx, self._nz)
+            n_es = self._nd_chi(f, t) * f.xi
+            ds = rt.path_length_cm(f.ff, f.area, csize)
+            if fused:
+                return rt.tau_rrl_maps_fused(coeffs, freqs, f.temp,
+                                             n_es, f.vy, ds, f.inside)
+            return rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy,
+                                   ds, f.inside)
+        return tau_maps
 
     @staticmethod
     def _check_nonlte(lte, departure_coeffs):

@@ -60,18 +60,28 @@ def _pad_runs(times_s, freqs_mat, n_dev: int, dtype
 
 
 def _chi2_fn(model):
-    """Traced per-epoch squared burst factor (the model's _chi2)."""
+    """Traced per-epoch squared burst factor (the model's _chi2),
+    taking the two cubes it reads explicitly (red side, travel times)."""
     spec_r, spec_b = model._spec_r, model._spec_b
     has_bursts = model._has_bursts
     dtype = model._dtype
 
-    def chi2(f, t):
+    def chi2(red, ts, t):
         if has_bursts:
-            chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
+            chi = ej.chi_field(red, t - ts, spec_r, spec_b)
             return chi * chi
         return jnp.asarray(1.0, dtype)
 
     return chi2
+
+
+def _burst_cubes(model, f):
+    """(red, ts) for the fan-out — tiny placeholders when the model has
+    no bursts, so burst-free fan-outs replicate nothing extra."""
+    if model._has_bursts:
+        return f.red, f.ts
+    return (jnp.zeros((1, 1, 1), bool),
+            jnp.zeros((1, 1, 1), model._dtype))
 
 
 def continuum_runs_fanout(model, years, freqs_mat,
@@ -95,24 +105,30 @@ def continuum_runs_fanout(model, years, freqs_mat,
         np.asarray(years, dtype=float) * cnsts.YEAR, freqs_mat, n_dev,
         model._dtype)
 
+    # pass ONLY the consumed cubes: replicating the whole StaticFields +
+    # RTStatic pytrees (incl. the tile compactions) would park ~7 unused
+    # cubes on every device during the fan-out (review r3s6)
+    red, ts = _burst_cubes(model, f)
+
     @partial(jax.shard_map, mesh=m,
-             in_specs=(P('run'), P('run', None), P(), P()),
+             in_specs=(P('run'), P('run', None)) + (P(),) * 6,
              out_specs=(P('run'), P('run'), P('run')),
              check_vma=False)
-    def fan(times_l, freqs_l, f, st):
+    def fan(times_l, freqs_l, red, ts, em_base, a, tbar, any_in):
         def per_run(args):
             t, fr = args
-            chi2 = chi2_of(f, t)
-            em = jnp.sum(st.em_base * chi2, axis=rt.LOS_AXIS)
-            base_map = jnp.sum(st.a * chi2, axis=rt.LOS_AXIS)
+            chi2 = chi2_of(red, ts, t)
+            em = jnp.sum(em_base * chi2, axis=rt.LOS_AXIS)
+            base_map = jnp.sum(a * chi2, axis=rt.LOS_AXIS)
             scale = rt.tau_ff_channel_scale(fr, t_0, reyn)
             taus = scale[:, None, None] * base_map[None]
-            fluxes = rt.flux_ff_maps(fr, taus, st.tbar, st.any_in, csize,
+            fluxes = rt.flux_ff_maps(fr, taus, tbar, any_in, csize,
                                      dist)
             return em, taus, fluxes
         return jax.lax.map(per_run, (times_l, freqs_l))
 
-    em, taus, fluxes = jax.jit(fan)(times, freqs, f, st)
+    em, taus, fluxes = jax.jit(fan)(times, freqs, red, ts, st.em_base,
+                                    st.a, st.tbar, st.any_in)
     return (np.asarray(em)[:n], np.asarray(taus)[:n],
             np.asarray(fluxes)[:n])
 
@@ -140,36 +156,41 @@ def rrl_runs_fanout(model, line: str, years, freqs_mat,
         np.asarray(years, dtype=float) * cnsts.YEAR, freqs_mat, n_dev,
         model._dtype)
 
+    red, ts = _burst_cubes(model, f)
+
     @partial(jax.shard_map, mesh=m,
-             in_specs=(P('run'), P('run', None), P(), P()),
+             in_specs=(P('run'), P('run', None)) + (P(),) * 13,
              out_specs=(P('run'), P('run'), P('run')),
              check_vma=False)
-    def fan(times_l, freqs_l, f, st):
+    def fan(times_l, freqs_l, red, ts, nd, xi, temp, vy, ff, area,
+            inside, em_base, a, tbar, any_in):
         def per_run(args):
             t, fr = args
             if has_bursts:
-                chi = ej.chi_field(f.red, t - f.ts, spec_r, spec_b)
+                chi = ej.chi_field(red, t - ts, spec_r, spec_b)
                 chi2 = chi * chi
-                n_es = f.nd * chi * f.xi
+                n_es = nd * chi * xi
             else:
                 chi2 = jnp.asarray(1.0, times_l.dtype)
-                n_es = f.nd * f.xi
-            em = jnp.sum(st.em_base * chi2, axis=rt.LOS_AXIS)
-            ds = rt.path_length_cm(f.ff, f.area, csize)
-            tau_l = rt.tau_rrl_maps(coeffs, fr, f.temp, n_es, f.vy, ds,
-                                    f.inside)
+                n_es = nd * xi
+            em = jnp.sum(em_base * chi2, axis=rt.LOS_AXIS)
+            ds = rt.path_length_cm(ff, area, csize)
+            tau_l = rt.tau_rrl_maps(coeffs, fr, temp, n_es, vy, ds,
+                                    inside)
             scale = rt.tau_ff_channel_scale(fr, t_0, reyn)
             tau_c = scale[:, None, None] * \
-                jnp.sum(st.a * chi2, axis=rt.LOS_AXIS)[None]
-            ints = rt.intensity_rrl_maps(fr, st.tbar, tau_c, tau_l,
-                                         st.any_in)
+                jnp.sum(a * chi2, axis=rt.LOS_AXIS)[None]
+            ints = rt.intensity_rrl_maps(fr, tbar, tau_c, tau_l,
+                                         any_in)
             fluxes = ints * fscale
             if not contsub:
-                fluxes = fluxes + rt.flux_ff_maps(fr, tau_c, st.tbar,
-                                                  st.any_in, csize, dist)
+                fluxes = fluxes + rt.flux_ff_maps(fr, tau_c, tbar,
+                                                  any_in, csize, dist)
             return em, tau_l, fluxes
         return jax.lax.map(per_run, (times_l, freqs_l))
 
-    em, tau_l, fluxes = jax.jit(fan)(times, freqs, f, st)
+    em, tau_l, fluxes = jax.jit(fan)(
+        times, freqs, red, ts, f.nd, f.xi, f.temp, f.vy, f.ff, f.area,
+        f.inside, st.em_base, st.a, st.tbar, st.any_in)
     return (np.asarray(em)[:n], np.asarray(tau_l)[:n],
             np.asarray(fluxes)[:n])

@@ -335,3 +335,40 @@ class TestContinuumRTProducts:
         np.testing.assert_allclose(
             fl_sub, jm.flux_rrl('H58a', freqs, contsub=True), rtol=1e-9,
             atol=1e-30)
+
+
+class TestAddEjectionEvent:
+    """add_ejection_event must invalidate every cache that baked the old
+    burst set in (review r3s6: a burst added to a previously burst-free
+    model was silently ignored — the jitted kernels and the
+    with_time=False fields survived)."""
+
+    def test_burst_added_after_use_changes_products(self, model_params):
+        from rajepy_tpu import constants as cnsts
+        t_burst_yr, hl_yr, chi_f = 0.5, 0.15, 5.0
+
+        # model constructed WITH the burst = ground truth
+        p_ref = small(model_params, bursts=False)
+        p_ref['ejection'] = {'t_0': np.array([t_burst_yr]),
+                             'hl': np.array([hl_yr]),
+                             'chi': np.array([chi_f]),
+                             'which': np.array(['B'])}
+        ref = JetModel(p_ref)
+        ref.time = 0.6 * cnsts.YEAR
+        # optically-thin frequency: the burst is invisible in total flux
+        # where tau >> 1
+        freq = 1e11
+        want = np.nan_to_num(np.asarray(ref.flux_ff(freq)), nan=0.0)
+
+        # burst-free model, USED first (kernels compiled, fields built
+        # without travel times), then the burst added via the API
+        jm = JetModel(small(model_params, bursts=False))
+        jm.time = 0.6 * cnsts.YEAR
+        before = np.nan_to_num(np.asarray(jm.flux_ff(freq)), nan=0.0)
+        peak = chi_f * jm.ss_jml('B')
+        jm.add_ejection_event(t_burst_yr * cnsts.YEAR, peak,
+                              hl_yr * cnsts.YEAR, 'B')
+        after = np.nan_to_num(np.asarray(jm.flux_ff(freq)), nan=0.0)
+
+        assert after.sum() > before.sum() * 1.5   # the burst is seen
+        np.testing.assert_allclose(after, want, rtol=1e-9)

@@ -953,7 +953,8 @@ def rrl_cube_pallas(freqs, amp, rest, scale, y_voigt, hkT,
     The XLA channel map re-reads every per-cell array from HBM once per
     channel (O(n_chan N^3) traffic); this kernel holds them in VMEM for the
     whole channel loop (O(N^3) traffic) — the RRL analogue of the
-    continuum factorisation.  f32 only (the f32 Weideman degree, N=32).
+    continuum factorisation.  f32 only (Weideman degree N=16 — the f32
+    truncation floor; see the comment at the coefficient setup below).
     """
     interpret = interpret or _FORCE_INTERPRET
     n_chan = int(freqs.shape[0])

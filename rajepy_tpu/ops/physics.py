@@ -64,7 +64,7 @@ def tau_r(r, r_0, w_0, n_0, chi_0, T_0, freq, inc, epsilon, q_n_, q_x, q_T,
     eq. 4 (physics.py:93-143)."""
     w0_cm = w_0 * cnsts.AU2CM
     mr0 = geom.mod_r_0(opang, epsilon, w0_cm)
-    q = epsilon + 2.0 * q_n_ + 2.0 * q_x - 1.35 * q_T
+    q = q_tau(epsilon, q_x, q_n_, q_T)
     rho_ = geom.rho(r * cnsts.AU2CM, r_0 * cnsts.AU2CM, mr0)
     return (2.0 * cnsts.a_k * w0_cm * n_0 ** 2.0 * chi_0 ** 2.0 *
             T_0 ** -1.35 * rho_ ** q * freq ** -2.1 /
@@ -94,7 +94,7 @@ def r_tau1(r_0, w_0, n_0, chi_0, T_0, freq, inc, epsilon, q_n_, q_x, q_T,
     given (physics.py:181-236)."""
     w0_cm = w_0 * cnsts.AU2CM
     m_r_0 = geom.mod_r_0(opang, epsilon, w0_cm)
-    q = epsilon + 2.0 * q_n_ + 2.0 * q_x - 1.35 * q_T
+    q = q_tau(epsilon, q_x, q_n_, q_T)
     rho_ = (2.0 * cnsts.a_k * w0_cm * n_0 ** 2.0 * chi_0 ** 2.0 *
             T_0 ** -1.35 * freq ** -2.1 /
             np.sin(np.radians(inc))) ** (-1.0 / q)
@@ -105,13 +105,30 @@ def r_tau1(r_0, w_0, n_0, chi_0, T_0, freq, inc, epsilon, q_n_, q_x, q_T,
 
 
 def _gamma_upper(s: float, x):
-    """Unregularised upper incomplete gamma Gamma(s, x) for real s (possibly
-    negative non-integer) and x > 0.  Replaces mpmath.gammainc at
-    physics.py:367.  Uses Gamma(s, x) = (Gamma(s+1, x) - x^s e^-x)/s to lift
-    s above zero, then scipy's regularised gammaincc."""
+    """Unregularised upper incomplete gamma Gamma(s, x) for real s
+    (including zero and negative integers) and x > 0.  Replaces
+    mpmath.gammainc at physics.py:367.
+
+    Non-integer s: lift with Gamma(s, x) = (Gamma(s+1, x) - x^s e^-x)/s
+    to s > 0, then scipy's regularised gammaincc.  AT a non-positive
+    integer that recurrence divides by zero, so integer orders anchor on
+    Gamma(0, x) = E_1(x) and step DOWN with
+    Gamma(s-1, x) = (Gamma(s, x) - x^(s-1) e^-x)/(s-1) — each step
+    divides by a negative integer, never zero.  The 1e-8 snap window is
+    the crossover where the lift's cancellation error (~1e-16/|s-n|)
+    exceeds the snap's truncation error (~0.3 |s-n|)."""
     from math import gamma as _g
-    from scipy.special import gammaincc
+    from scipy.special import exp1, gammaincc
     x = np.asarray(x, dtype=float)
+    n_near = round(s)
+    if n_near <= 0 and abs(s - n_near) < 1e-8:
+        s_int = int(n_near)
+        val = exp1(x)
+        s_k = 0
+        while s_k > s_int:
+            val = (val - x ** (s_k - 1) * np.exp(-x)) / (s_k - 1)
+            s_k -= 1
+        return val
     n_lift = max(0, int(np.ceil(-s)) + 1)
     s_top = s + n_lift
     val = gammaincc(s_top, x) * _g(s_top)
@@ -234,14 +251,19 @@ def flux_int_wrapped(freq: float, params: dict):
     i_rad = np.radians(inc - 90.0)
 
     def func(z, x, y):
-        # scalar jet-frame transform (pa = 0, as the reference's integrand)
+        # scalar jet-frame transform (pa = 0, as the reference's
+        # integrand).  r stays SIGNED: the reference's gate `r < r_0`
+        # rejects the entire red side — the integrand is monopolar
+        # (physics.py:403), so a quadrature spanning z < 0 must see 0
+        # there, not a mirrored blue jet
         yd = np.cos(i_rad) * y - np.sin(i_rad) * z
         r = np.sin(i_rad) * y + np.cos(i_rad) * z
-        w = np.hypot(x, yd)
         rho1 = (abs(r) + mod_r_0 - r_0) / mod_r_0
         wr = w_0 * rho1 ** eps
-        if w > wr or abs(r) < r_0:
+        w = np.hypot(x, yd)
+        if w > wr or r < r_0:
             return 0.0
+        # post-gate r >= r_0 > 0, so the abs in rho1 is inert
         reff = r_1 + (r_2 - r_1) * w / wr
         tau = (cnsts.a_k * n_0 ** 2.0 * x_0 ** 2.0 * T_0 ** -1.35 *
                freq ** -2.1 *

@@ -51,6 +51,9 @@ def reorder_axes(data: np.ndarray, ra_axis: int, dec_axis: int,
     Target order: [axis4][axis3] dec, ra  (i.e. for a 2-D image the result
     is data[dec, ra]; a 3-D cube is data[axis3, dec, ra]).
     """
+    if axis4 is not None and axis3 is None:
+        raise ValueError("axis4 requires axis3 (a 4th axis cannot lead "
+                         "a 3-axis order)")
     current = {'ra': ra_axis, 'dec': dec_axis}
     order_back_to_front = ['ra', 'dec']
     if axis3 is not None:

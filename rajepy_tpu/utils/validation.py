@@ -137,14 +137,17 @@ def check_model_params(params) -> Optional[Exception]:
     err = _param_key_check(params, _MODEL_KEYS, optional=_MODEL_OPTIONAL)
     if isinstance(err, Exception):
         return err
-    if params['target']['epoch'].upper() not in ('J2000', 'B1950'):
+    # _param_key_check waives the type check for None values, so guard
+    # the .upper()/parse calls: the module contract is RETURN, not raise
+    if not isinstance(params['target']['epoch'], str) or \
+            params['target']['epoch'].upper() not in ('J2000', 'B1950'):
         return ValueError("Only epochs B1950 and J2000 are supported as "
                           "values for epoch within model parameters' "
                           "target specifications")
     try:
         parse_ra(params['target']['ra'])
         parse_dec(params['target']['dec'])
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, TypeError, AttributeError):
         return ValueError("Please check validity of sexagesimal coordinates "
                           "within ra/dec fields of target section of model "
                           "params")

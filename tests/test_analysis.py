@@ -80,9 +80,17 @@ class TestFluxIntWrapped:
         AU2CM = 14959787070000.0
         rng = np.random.default_rng(0)
         pts = rng.uniform(-8, 8, size=(60, 3)) * AU2CM
-        for z, x, y in pts:
+        # deliberate on-jet probes of BOTH sides: the reference integrand
+        # is monopolar (its r < r_0 gate rejects all z < 0), and a
+        # random sweep can miss red-side in-jet points entirely
+        # (review r3s6 — an abs(r) slip made ours bipolar undetected)
+        axis = np.array([[5.0, 0.0, 0.0], [-5.0, 0.0, 0.0],
+                         [-10.0, 0.2, 0.1], [2.5, 0.3, -0.2]]) * AU2CM
+        for z, x, y in np.vstack([pts, axis]):
             assert ours(z, x, y) == pytest.approx(
                 float(theirs(z, x, y)), rel=1e-9, abs=1e-300)
+        assert ours(-5.0 * AU2CM, 0.0, 0.0) == 0.0  # monopolar
+        assert ours(5.0 * AU2CM, 0.0, 0.0) > 0.0
 
 
 class TestMomentMaps:

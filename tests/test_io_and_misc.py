@@ -551,3 +551,18 @@ class TestReviewRegressionsR3S6:
         with pytest.raises(ValueError, match='>= 2 channels'):
             analysis.moment_maps(np.zeros((1, 4, 4)), np.array([1e10]),
                                  1e10)
+
+    def test_validator_returns_on_none_target_fields(self, model_params):
+        """The validators RETURN exceptions (module contract); None
+        epoch/ra/dec used to escape as AttributeError."""
+        import copy
+        for key in ('epoch', 'ra', 'dec'):
+            p = copy.deepcopy(model_params)
+            p['target'][key] = None
+            err = validation.check_model_params(p)
+            assert isinstance(err, (ValueError, TypeError)), key
+
+    def test_reorder_axes_axis4_without_axis3(self):
+        with pytest.raises(ValueError, match='axis4 requires axis3'):
+            misc.reorder_axes(np.zeros((2, 3, 4, 5)), ra_axis=3,
+                              dec_axis=2, axis4=0, axis4_type='freq')

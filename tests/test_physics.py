@@ -93,6 +93,23 @@ class TestReynoldsRelations:
                 got = float(mphys._gamma_upper(s, x))
                 assert got == pytest.approx(ref, rel=1e-10)
 
+    def test_gamma_upper_nonpositive_integer_order(self):
+        """Zero/negative-integer orders (e.g. eps=1, q_v=-0.5 gives
+        q_tau=-2, c=2 -> Gamma(-1, tau)) used to divide by zero in the
+        lifting recurrence (review r3s6); they anchor on E_1 now.
+        Near-integer orders stay within the lift's cancellation bound."""
+        import mpmath
+        for s in (0.0, -1.0, -2.0, -3.0):
+            for x in (0.01, 0.5, 3.0, 10.0):
+                ref = float(mpmath.gammainc(s, x))
+                got = float(mphys._gamma_upper(s, x))
+                assert got == pytest.approx(ref, rel=1e-9), (s, x)
+        for s in (-0.9999999, -1.000000001, -2.00000001):
+            for x in (0.5, 3.0):
+                ref = float(mpmath.gammainc(s, x))
+                got = float(mphys._gamma_upper(s, x))
+                assert got == pytest.approx(ref, rel=1e-6), (s, x)
+
     def test_flux_expected_r86_positive_and_scales(self, model_params):
         from rajepy_tpu import JetModel
         import copy

@@ -15,6 +15,11 @@ Runs on CPU (f64) in a few minutes:
 
     JAX_PLATFORM_NAME=cpu python examples/fit_parameters.py
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere without installing
+
 import copy
 import runpy
 

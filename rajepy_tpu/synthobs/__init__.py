@@ -67,6 +67,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          uvtaper_as: Optional[float] = None,
                          pbcor: bool = False, pblimit: float = 0.2,
                          apply_pb: bool = True,
+                         pb_model: str = 'gaussian',
+                         pb_blockage_m: float = 0.0,
                          sefd: Optional[float] = None,
                          thermalnoise: str = 'radiometer',
                          user_pwv: float = 1.0,
@@ -94,6 +96,14 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     ``pbcor=True`` additionally writes a primary-beam-corrected image
     (``...imaging.pbcor.fits``, NaN below ``pblimit`` — tclean's
     ``pbcor``/``pblimit``, casa/tasks.py:241-242).
+
+    ``pb_model`` selects the primary-beam shape used both in sampling
+    (``apply_pb``) and in ``pbcor``: ``'gaussian'`` (default —
+    FWHM 1.2 lambda/D, the model the reference registers for e-MERLIN)
+    or ``'airy'`` (blocked-aperture Airy power pattern with central
+    blockage ``pb_blockage_m`` metres — the voltage-pattern family
+    CASA's vpmanager applies to VLA/ALMA-class dishes, with the
+    characteristic sidelobes the Gaussian lacks).
 
     ``deconvolver='multiscale'`` swaps the Hogbom minor cycle for
     :func:`imaging.multiscale_clean` with the given ``scales`` (pixels)
@@ -298,7 +308,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
             jnp.asarray(sky, rdt), cell_model_rad, jnp.asarray(uvw, rdt),
             jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
-            dish_diameter_m=mean_dish, w_planes=w_planes)
+            dish_diameter_m=mean_dish, w_planes=w_planes,
+            pb_model=pb_model, pb_blockage_m=pb_blockage_m)
         kt.set_result((re_c, im_c, re_n, im_n))
     # keep visibilities as (re, im) float pairs end to end: complex
     # arrays can't cross the device boundary on TPU backends, and a
@@ -663,14 +674,19 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     if pbcor:
         # primary-beam-corrected image (tclean pbcor/pblimit): divide by
-        # the same Gaussian PB the sampler applied, NaN below pblimit
+        # the same PB model the sampler applied, NaN below pblimit
         yy_i, xx_i = np.mgrid[0:imsize, 0:imsize]
         r2_i = (((xx_i - imsize // 2) * cell_rad) ** 2 +
                 ((yy_i - imsize // 2) * cell_rad) ** 2)
         pb_freqs = freqs if cube_mode else np.asarray([run.freq])
-        fwhm = 1.2 * (cnsts.C / pb_freqs) / mean_dish
-        pb = np.exp(-4.0 * np.log(2.0) *
-                    r2_i[None] / fwhm[:, None, None] ** 2)
+        if pb_model == 'airy':
+            pb = np.stack([np.asarray(sampler.airy_power(
+                np.sqrt(r2_i), f, mean_dish, pb_blockage_m))
+                for f in pb_freqs])
+        else:
+            fwhm = 1.2 * (cnsts.C / pb_freqs) / mean_dish
+            pb = np.exp(-4.0 * np.log(2.0) *
+                        r2_i[None] / fwhm[:, None, None] ** 2)
         pbc = np.where(pb >= pblimit, restored_cube / pb, np.nan)
         pbcor_file = fitsfile.replace('.fits', '.pbcor.fits')
         with KernelTimer("synthobs: pbcor FITS write", log):

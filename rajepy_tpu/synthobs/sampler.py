@@ -346,11 +346,13 @@ def w_term_max_phase_error(uvw_m, freq_hz: float,
 
 
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
-                                   'w_planes', 'degrid'))
+                                   'w_planes', 'degrid', 'pb_model',
+                                   'pb_blockage_m'))
 def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
                     dish_diameter_m: float = 25.0, pad: int = _PAD,
                     batch_size: int = 4, w_planes: int = 0,
-                    degrid: str = 'kb'):
+                    degrid: str = 'kb', pb_model: str = 'gaussian',
+                    pb_blockage_m: float = 0.0):
     """Channel-batched visibility sampling: (n_chan, n_vis) complex.
 
     The scalable replacement for looping :func:`sample_vis` per channel in
@@ -387,8 +389,12 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
         img, freq = args
         lam = c / freq
         if apply_pb:
-            fwhm = 1.2 * lam / dish_diameter_m
-            img = img * jnp.exp(-4.0 * jnp.log(2.0) * r2 / fwhm ** 2)
+            if pb_model == 'airy':
+                img = img * airy_power(jnp.sqrt(r2), freq,
+                                       dish_diameter_m, pb_blockage_m)
+            else:
+                fwhm = 1.2 * lam / dish_diameter_m
+                img = img * jnp.exp(-4.0 * jnp.log(2.0) * r2 / fwhm ** 2)
         if w_planes >= 1:
             return sample_vis_wstack(
                 img, cell_r, uvw[:, 0] / lam, uvw[:, 1] / lam,
@@ -402,12 +408,15 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
 
 
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
-                                   'w_planes', 'degrid'))
+                                   'w_planes', 'degrid', 'pb_model',
+                                   'pb_blockage_m'))
 def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
                                apply_pb: bool = False,
                                dish_diameter_m: float = 25.0,
                                pad: int = _PAD, batch_size: int = 4,
-                               w_planes: int = 0, degrid: str = 'kb'):
+                               w_planes: int = 0, degrid: str = 'kb',
+                               pb_model: str = 'gaussian',
+                               pb_blockage_m: float = 0.0):
     """Channel-batched sampling + thermal noise in ONE compiled program,
     returning real/imag pairs: ``(re_clean, im_clean, re_noisy,
     im_noisy)``.
@@ -420,22 +429,74 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
     vis = sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb=apply_pb,
                           dish_diameter_m=dish_diameter_m, pad=pad,
                           batch_size=batch_size, w_planes=w_planes,
-                          degrid=degrid)
+                          degrid=degrid, pb_model=pb_model,
+                          pb_blockage_m=pb_blockage_m)
     noisy = add_noise(key, vis, sigma)
     return vis.real, vis.imag, noisy.real, noisy.imag
 
 
-def primary_beam(n_y: int, n_x: int, cell_rad: float, freq_hz: float,
-                 dish_diameter_m: float) -> np.ndarray:
-    """Gaussian primary-beam attenuation pattern over the sky-model grid:
-    FWHM = 1.2 lambda / D (the Gaussian-PB model the reference registers
-    with CASA's vpmanager for e-MERLIN, casa/_interface.py:17-27 /
-    tasks.py:479-502)."""
+def _j1_over_x(x):
+    """J1(x)/x for x >= 0 (Abramowitz & Stegun 9.4.4/9.4.6 rational
+    approximations, |err| <~ 1e-7 absolute — jit/TPU-safe, no scipy).
+    Continuous through x = 0 (value 1/2)."""
+    x = jnp.abs(x)
+    # |x| < 3: polynomial for J1(x)/x directly (A&S 9.4.4)
+    t = (x / 3.0) ** 2
+    small = (0.5 + t * (-0.56249985 + t * (0.21093573 + t * (
+        -0.03954289 + t * (0.00443319 + t * (-0.00031761 +
+                                             t * 0.00001109))))))
+    # x >= 3: J1(x) = f1 cos(theta1)/sqrt(x) (A&S 9.4.6)
+    xs = jnp.maximum(x, 3.0)
+    u = 3.0 / xs
+    f1 = (0.79788456 + u * (0.00000156 + u * (0.01659667 + u * (
+        0.00017105 + u * (-0.00249511 + u * (0.00113653 -
+                                             u * 0.00020033))))))
+    th1 = (xs - 2.35619449 + u * (0.12499612 + u * (0.00005650 + u * (
+        -0.00637879 + u * (0.00074348 + u * (0.00079824 -
+                                             u * 0.00029166))))))
+    large = f1 * jnp.cos(th1) / (xs * jnp.sqrt(xs))
+    return jnp.where(x < 3.0, small, large)
+
+
+def airy_power(theta_rad, freq_hz, dish_diameter_m: float,
+               blockage_m: float = 0.0):
+    """Airy power pattern |2 J1(x)/x|^2 of a circular aperture at offset
+    ``theta_rad`` from boresight (x = pi D theta / lambda), optionally
+    with a central blockage of diameter ``blockage_m`` — the
+    voltage-pattern family CASA's vpmanager assigns to real dishes
+    (VLA/ALMA), as opposed to the Gaussian the reference registers for
+    e-MERLIN."""
     lam = 299792458.0 / freq_hz
-    fwhm = 1.2 * lam / dish_diameter_m
+    x = jnp.pi * dish_diameter_m * theta_rad / lam
+    b = blockage_m / dish_diameter_m
+    # branchless (b may be traced): at b = 0 the correction term is
+    # exactly 0 and the normalisation 1
+    v = (2.0 * _j1_over_x(x) - b * b * 2.0 * _j1_over_x(b * x)) / \
+        (1.0 - b * b)
+    return v * v
+
+
+def primary_beam(n_y: int, n_x: int, cell_rad: float, freq_hz: float,
+                 dish_diameter_m: float, model: str = 'gaussian',
+                 blockage_m: float = 0.0) -> np.ndarray:
+    """Primary-beam attenuation pattern over the sky-model grid.
+
+    ``model='gaussian'``: FWHM = 1.2 lambda / D (the Gaussian-PB model
+    the reference registers with CASA's vpmanager for e-MERLIN,
+    casa/_interface.py:17-27 / tasks.py:479-502).
+    ``model='airy'``: blocked-aperture Airy power pattern (the pattern
+    CASA's simobserve applies for VLA/ALMA-class dishes)."""
+    lam = 299792458.0 / freq_hz
     yy, xx = np.mgrid[0:n_y, 0:n_x]
     r2 = (((xx - n_x // 2) * cell_rad) ** 2 +
           ((yy - n_y // 2) * cell_rad) ** 2)
+    if model == 'airy':
+        return np.asarray(airy_power(np.sqrt(r2), freq_hz,
+                                     dish_diameter_m, blockage_m))
+    if model != 'gaussian':
+        raise ValueError(f"unknown primary-beam model {model!r} "
+                         "(gaussian/airy)")
+    fwhm = 1.2 * lam / dish_diameter_m
     return np.exp(-4.0 * np.log(2.0) * r2 / fwhm ** 2)
 
 

@@ -1054,3 +1054,96 @@ class TestReviewRegressions:
         res = state['runs'][0]['results']['flux']
         assert isinstance(res, np.ndarray)
         np.testing.assert_allclose(res, [1.0, 2.0])
+
+
+class TestAiryPrimaryBeam:
+    """pb_model='airy': blocked-aperture Airy pattern (CASA's dish
+    voltage-pattern family) vs the default Gaussian."""
+
+    def test_j1_matches_scipy(self):
+        from scipy.special import j1
+        from rajepy_tpu.synthobs.sampler import _j1_over_x
+        x = np.concatenate([np.linspace(0.0, 3.0, 301),
+                            np.linspace(3.0, 40.0, 371)])
+        got = np.asarray(_j1_over_x(jnp.asarray(x)))
+        want = np.where(x > 0, j1(np.maximum(x, 1e-300)) /
+                        np.maximum(x, 1e-300), 0.5)
+        np.testing.assert_allclose(got, want, atol=3e-7)
+
+    def test_airy_pattern_shape(self):
+        from rajepy_tpu.synthobs.sampler import airy_power
+        lam_over_d = (299792458.0 / 1e10) / 25.0
+        th = np.linspace(0, 3, 2000) * lam_over_d
+        pb = np.asarray(airy_power(jnp.asarray(th), 1e10, 25.0))
+        assert pb[0] == pytest.approx(1.0, abs=1e-6)   # boresight
+        # first null at 1.22 lambda/D
+        null = th[np.argmin(pb[th < 1.5 * lam_over_d])] / lam_over_d
+        assert null == pytest.approx(1.22, abs=0.01)
+        # blockage raises the first sidelobe
+        pb_b = np.asarray(airy_power(jnp.asarray(th), 1e10, 25.0,
+                                     blockage_m=2.5))
+        side = (th > 1.3 * lam_over_d) & (th < 1.9 * lam_over_d)
+        assert pb_b[side].max() > pb[side].max()
+
+    def test_cube_sampling_applies_airy(self):
+        from rajepy_tpu.synthobs import sampler
+        rng = np.random.default_rng(5)
+        n, n_chan = 32, 3
+        sky = rng.random((n_chan, n, n)) * 1e-3
+        cell = 2e-5   # wide field: PB attenuation significant
+        uvw = rng.uniform(-2e2, 2e2, (30, 3))
+        freqs = np.linspace(1.0e10, 1.1e10, n_chan)
+        got = np.asarray(sampler.sample_vis_cube(
+            jnp.asarray(sky), cell, jnp.asarray(uvw),
+            jnp.asarray(freqs), apply_pb=True, dish_diameter_m=25.0,
+            pb_model='airy', pb_blockage_m=2.5))
+        lam = 299792458.0 / freqs
+        for c in range(n_chan):
+            pbm = sampler.primary_beam(n, n, cell, freqs[c], 25.0,
+                                       model='airy', blockage_m=2.5)
+            ref = np.asarray(sampler.sample_vis(
+                jnp.asarray(sky[c] * pbm), cell,
+                jnp.asarray(uvw[:, 0] / lam[c]),
+                jnp.asarray(uvw[:, 1] / lam[c])))
+            np.testing.assert_allclose(got[c], ref, rtol=1e-9,
+                                       atol=1e-12 * np.abs(ref).max())
+        with pytest.raises(ValueError, match='primary-beam model'):
+            sampler.primary_beam(n, n, cell, freqs[0], 25.0,
+                                 model='cosine')
+
+    def test_observation_with_airy_pb_and_pbcor(self, model_params,
+                                                tmp_path):
+        import copy
+        import rajepy_tpu
+        from rajepy_tpu.io import fits as fitsio
+        from rajepy_tpu.synthobs import simulate_observation
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'airy')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([6e9]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None, 't_obs': None,
+                     'tscps': None, 't_ints': None, 'bws': None,
+                     'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        products = simulate_observation(
+            pline, pline.runs[0], niter=20, pb_model='airy',
+            pb_blockage_m=2.5, pbcor=True)
+        img, _ = fitsio.read_fits(products['clean_image'])
+        pbc, _ = fitsio.read_fits(products['clean_image_pbcor'])
+        assert np.isfinite(img).all()
+        # pbcor divides by the SAME airy pattern: centre ~unchanged,
+        # blanked (NaN) below pblimit in the field corners
+        c = img.shape[0] // 2
+        assert pbc[c, c] == pytest.approx(img[c, c], rel=1e-6)

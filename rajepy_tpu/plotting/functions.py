@@ -12,6 +12,7 @@ appear on which figure — matches the reference).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional, Tuple, Union
 
 import matplotlib
@@ -602,7 +603,12 @@ def radio_plot(model, run, percentile: float = 5.0,
     for path in (run.fits_flux, run.fits_tau, run.fits_em):
         data, _ = read_fits(path)
         while data.ndim > 2:
-            data = np.nanmean(np.where(data > 0, data, np.nan), axis=0)
+            # all-empty pixel columns are legitimately NaN here (outside
+            # the jet) — suppress numpy's empty-slice warning
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore', RuntimeWarning)
+                data = np.nanmean(np.where(data > 0, data, np.nan),
+                                  axis=0)
         imgs.append(np.where(data > 0, data, np.nan))
 
     csize_as = np.degrees(np.arctan(

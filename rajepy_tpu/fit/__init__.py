@@ -139,6 +139,19 @@ def _substitute(free, params, theta):
     return q, rb_frac
 
 
+def _gaunt_branch(params, free) -> bool:
+    """Gaunt treatment for the fit forwards (classes.py:1388-1393: van
+    Hoof iff q_T == 0).  When q_T itself is freed the branch cannot be
+    frozen from the starting value (a fit from the q_T=0 default would
+    keep the van Hoof form while the optimiser moves q_T, disagreeing
+    with JetModel at the optimum) — and the reference's exact-zero switch
+    is not differentiable, so a freed q_T always uses the smooth
+    Reynolds-approx gaunt, matching JetModel._use_reynolds_gaunt at any
+    fitted q_T != 0."""
+    return (params['power_laws']['q_T'] != 0.0 or
+            'power_laws.q_T' in list(free))
+
+
 def _chi_scan(red, launch_time, t0, sigma, rel_amp, is_red):
     """Tracer-safe burst factor: the lax.scan of
     models.ejection.chi_field with the burst arrays supplied directly
@@ -176,15 +189,7 @@ def build_flux_forward(jm, freqs, free: Sequence[str],
     xx, yy, zz = G.grid_corner_coords(nx, ny, nz, params['grid']['c_size'])
     xx, yy, zz = (jnp.asarray(np.asarray(c), dt) for c in (xx, yy, zz))
     freqs = jnp.atleast_1d(jnp.asarray(freqs, dt))
-    # classes.py:1388-1393: van Hoof gaunt iff q_T == 0.  When q_T itself
-    # is freed, the branch cannot be frozen from the starting value (a
-    # fit from the q_T=0 default would keep the van Hoof form while the
-    # optimiser moves q_T, disagreeing with JetModel at the optimum) —
-    # and the reference's exact-zero switch is not differentiable, so a
-    # freed q_T always uses the smooth Reynolds-approx gaunt, matching
-    # JetModel._use_reynolds_gaunt at any fitted q_T != 0.
-    reyn = (params['power_laws']['q_T'] != 0.0 or
-            'power_laws.q_T' in list(free))
+    reyn = _gaunt_branch(params, free)
     has_bursts = jm._has_bursts
     csize = params['grid']['c_size']
 
@@ -910,15 +915,7 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
     xx, yy, zz = G.grid_corner_coords(nx, ny, nz, params['grid']['c_size'])
     xx, yy, zz = (jnp.asarray(np.asarray(c), dt) for c in (xx, yy, zz))
     freqs = jnp.atleast_1d(jnp.asarray(freqs, dt))
-    # classes.py:1388-1393: van Hoof gaunt iff q_T == 0.  When q_T itself
-    # is freed, the branch cannot be frozen from the starting value (a
-    # fit from the q_T=0 default would keep the van Hoof form while the
-    # optimiser moves q_T, disagreeing with JetModel at the optimum) —
-    # and the reference's exact-zero switch is not differentiable, so a
-    # freed q_T always uses the smooth Reynolds-approx gaunt, matching
-    # JetModel._use_reynolds_gaunt at any fitted q_T != 0.
-    reyn = (params['power_laws']['q_T'] != 0.0 or
-            'power_laws.q_T' in list(free))
+    reyn = _gaunt_branch(params, free)
     has_bursts = jm._has_bursts
     csize = params['grid']['c_size']
     coeffs = rt.RRLCoeffs(line)
@@ -1302,15 +1299,18 @@ def fit_light_curve(jm, times, freqs, observed, *, errors=None,
                                                         free)
     obs = jnp.asarray(np.atleast_1d(np.asarray(observed, float)),
                       jnp.float64)
-    if obs.ndim == 1:
+    was_1d = obs.ndim == 1
+    if was_1d:
         obs = obs[:, None]
-    if errors is not None:
-        # match the observed reshape: 1-D errors against (n_times, 1)
-        # observations would broadcast the residual to an
-        # (n_times, n_times) outer-difference matrix
-        errors = np.atleast_1d(np.asarray(errors, float))
-        if errors.ndim == 1:
-            errors = errors[:, None]
+        if errors is not None:
+            # match the observed reshape: 1-D per-time errors against the
+            # (n_times, 1) observations would broadcast the residual to an
+            # (n_times, n_times) outer-difference matrix.  (2-D observed
+            # keeps errors as given — a (n_chan,) vector broadcasts
+            # per-channel correctly there.)
+            errors = np.atleast_1d(np.asarray(errors, float))
+            if errors.ndim == 1:
+                errors = errors[:, None]
     loss = _sed_loss(obs, errors)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 

@@ -592,9 +592,11 @@ class JetModel:
         """Burst factor per cell (classes.py:861-870), evaluated by one
         jitted kernel (the burst spec is a compile-time constant; model
         time is traced)."""
+        # burst models always fill travel times at the fused grid fill
+        # (with_time=True; add_ejection_event nulls stale fields), so no
+        # ts guard is needed — and the ts property's return would be a
+        # discarded full-cube host transfer
         f = self._ensure_fields()
-        if self._has_bursts:
-            _ = self.ts   # ensure travel times are filled
 
         def build():
             def kernel(f, t):
@@ -602,7 +604,7 @@ class JetModel:
                                     self._spec_b)
             return kernel
 
-        chi = self._jitted('chi_xyz', build)(self._fields, self.time)
+        chi = self._jitted('chi_xyz', build)(f, self.time)
         return np.asarray(chi)
 
     def _nd_device(self):

@@ -57,6 +57,7 @@ def format_hmsdms(ra_deg: float, dec_deg: float) -> str:
     ``to_string('hmsdms')`` style the reference writes into pointing files,
     classes.py:2338-2339)."""
     h, m, s = _sexagesimal(ra_deg / 15.0, 6)
+    h %= 24   # the seconds carry can roll 23h59m59.9999995s to 24h
     sign = '-' if dec_deg < 0 else '+'
     dd, dm, ds = _sexagesimal(abs(dec_deg), 6)
     return f"{h:02d}h{m:02d}m{s:09.6f}s {sign}{dd:02d}d{dm:02d}m{ds:09.6f}s"

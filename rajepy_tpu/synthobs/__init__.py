@@ -155,6 +155,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     another GB of host traffic; re-image from the saved visibility
     products if needed).  Default: none.
     """
+    if pb_model not in ('gaussian', 'airy'):
+        raise ValueError(f"unknown pb_model {pb_model!r} (gaussian/airy)")
     if isinstance(save_products, str):
         save_products = (save_products,)
     unknown = set(save_products) - {'psf', 'dirty', 'model', 'residual'}
@@ -674,19 +676,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     if pbcor:
         # primary-beam-corrected image (tclean pbcor/pblimit): divide by
-        # the same PB model the sampler applied, NaN below pblimit
-        yy_i, xx_i = np.mgrid[0:imsize, 0:imsize]
-        r2_i = (((xx_i - imsize // 2) * cell_rad) ** 2 +
-                ((yy_i - imsize // 2) * cell_rad) ** 2)
+        # the same PB model the sampler applied, NaN below pblimit —
+        # through the ONE shared implementation so sampling and pbcor
+        # can never drift apart
         pb_freqs = freqs if cube_mode else np.asarray([run.freq])
-        if pb_model == 'airy':
-            pb = np.stack([np.asarray(sampler.airy_power(
-                np.sqrt(r2_i), f, mean_dish, pb_blockage_m))
-                for f in pb_freqs])
-        else:
-            fwhm = 1.2 * (cnsts.C / pb_freqs) / mean_dish
-            pb = np.exp(-4.0 * np.log(2.0) *
-                        r2_i[None] / fwhm[:, None, None] ** 2)
+        pb = np.stack([sampler.primary_beam(
+            imsize, imsize, cell_rad, f, mean_dish, model=pb_model,
+            blockage_m=pb_blockage_m) for f in pb_freqs])
         pbc = np.where(pb >= pblimit, restored_cube / pb, np.nan)
         pbcor_file = fitsfile.replace('.fits', '.pbcor.fits')
         with KernelTimer("synthobs: pbcor FITS write", log):
@@ -709,10 +705,21 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                         f"{'cube' if cube_mode else 'mfs'} imaging",
                         timestamp=False)
                 continue
-            out_hdr['BUNIT'] = bunits.get(name, '')
+            hdr_p = out_hdr
+            if cube_mode and arr.ndim == 2:
+                # the common-beam psf plane is 2-D: strip the cube's
+                # spectral-axis cards or the file advertises a FREQ axis
+                # it does not have
+                hdr_p = fitsio.Header()
+                for k, v, cm in out_hdr._cards:
+                    if not k.endswith('3'):
+                        hdr_p[k] = v
+                        if cm:
+                            hdr_p.comments[k] = cm
+            hdr_p['BUNIT'] = bunits.get(name, '')
             pfile = fitsfile.replace('.fits', f'.{name}.fits')
             with KernelTimer(f"synthobs: {name} FITS write", log):
-                fitsio.write_fits(pfile, arr, out_hdr)
+                fitsio.write_fits(pfile, arr, hdr_p)
             products[name] = pfile
 
     # --- imfit (continuum only; classes.py:2690-2840) -------------------- #

@@ -802,6 +802,15 @@ class TestReviewRegressionsR3S6:
             jnp.asarray(model0)))
         np.testing.assert_allclose(got, expect, rtol=1e-12)
         assert np.isfinite(res.loss).all()
+        # 2-D observed keeps errors as given: per-channel (n_chan,)
+        # sigmas broadcast per channel (the 1-D reshape must not touch
+        # them — review r3s6 follow-up)
+        from rajepy_tpu.models import analysis
+        obs2 = analysis.light_curve(jm, times / YEAR, [6e9, 2.2e10])
+        err2 = np.array([1.0, 2.0]) * 0.05 * obs2.max()
+        res2 = jfit.fit_light_curve(jm, times, [6e9, 2.2e10], obs2,
+                                    errors=err2, steps=3)
+        assert np.isfinite(res2.loss).all()
 
     def test_freed_q_t_uses_smooth_gaunt(self, model_params):
         """Freeing power_laws.q_T from the q_T=0 default must not freeze

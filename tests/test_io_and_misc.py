@@ -471,6 +471,9 @@ class TestReviewRegressionsR3S6:
         assert '60.0' not in s
         assert s.startswith('03h00m00.000000s')
         assert s.endswith('-01d00m00.000000s')
+        # the carry at the top of the RA range wraps to 0h, never 24h
+        s24 = format_hmsdms(359.9999999999998, 0.0)
+        assert s24.startswith('00h00m00.000000s')
 
     def test_casatask_mutable_defaults_isolated(self):
         from rajepy_tpu.casa_compat import Tclean

@@ -938,6 +938,10 @@ class TestSaveProducts:
         assert dirty.shape[0] == len(run.chan_freqs)
         psf, _ = fitsio.read_fits(products['psf'])
         assert psf.ndim == 2
+        # the 2-D psf plane must NOT carry the cube's spectral cards
+        _, psf_hdr = fitsio.read_fits(products['psf'])
+        with pytest.raises(KeyError):
+            psf_hdr['CTYPE3']
         # the restored cube carries a spectral axis (CASA exportfits
         # writes one for tclean cubes)
         _, hdr = fitsio.read_fits(products['clean_image'])
@@ -1147,3 +1151,7 @@ class TestAiryPrimaryBeam:
         # blanked (NaN) below pblimit in the field corners
         c = img.shape[0] // 2
         assert pbc[c, c] == pytest.approx(img[c, c], rel=1e-6)
+        # typos must raise, not silently fall back to the Gaussian
+        with pytest.raises(ValueError, match='pb_model'):
+            simulate_observation(pline, pline.runs[0], niter=0,
+                                 pb_model='Airy')

@@ -252,6 +252,9 @@ class FitResult(NamedTuple):
     model: np.ndarray            # forward model at the fitted parameters
     #                              (a tuple of arrays for fit_joint)
     grad_norm: float             # |grad| at the final step
+    notes: tuple = ()            # advisory strings (e.g. freed q_T ~ 0:
+    #                              the fit used the smooth Reynolds gaunt
+    #                              where JetModel would take van Hoof)
 
     def param_dict(self, params: Dict) -> Dict:
         """``params`` (deep-copied) with the fitted values substituted —
@@ -319,7 +322,19 @@ def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
     for i, p in enumerate(free):
         v = float(theta_np[i])
         values[p] = float(np.exp(v)) if SUPPORTED_FREE[p] == 'log' else v
-    return FitResult(values=values, theta=theta_np,
+    notes = []
+    if abs(values.get('power_laws.q_T', 1.0)) < 1e-3:
+        # _gaunt_branch: a freed q_T always fits with the smooth Reynolds
+        # gaunt (the reference's exact-zero van Hoof switch is not
+        # differentiable) — at q_T ~ 0 JetModel itself would take the
+        # van Hoof branch, so the fitted model and a JetModel re-run at
+        # these parameters disagree slightly
+        notes.append(
+            "freed q_T converged to ~0 ({:+.2e}): the fit forward used "
+            "the smooth Reynolds gaunt, but JetModel at q_T == 0 takes "
+            "the van Hoof table — re-evaluate with JetModel to check the "
+            "difference matters".format(values['power_laws.q_T']))
+    return FitResult(notes=tuple(notes), values=values, theta=theta_np,
                      loss=np.asarray(hist),
                      # jit the one post-fit model evaluation: eagerly it
                      # replays the whole RT chain op-by-op (~30 ms/op

@@ -377,7 +377,7 @@ def sed_plot(pline, plot_time: float, plot_reynolds: bool = True,
     from ..ops import physics as mphys
 
     freqs, fluxes = [], []
-    freqs_i, fluxes_i = [], []
+    freqs_i, fluxes_i, efluxes_i = [], [], []
     for run in pline.runs:
         if run.year == plot_time and run.completed and \
                 run.obs_type == 'continuum':
@@ -385,9 +385,15 @@ def sed_plot(pline, plot_time: float, plot_reynolds: bool = True,
                 freqs.append(run.freq)
                 fluxes.append(float(np.nansum(run.results['flux'])))
             imfit = run.results.get('imfit')
-            if imfit and 'Flux' in imfit:
+            # CASA's integrated flux-density key is 'I' with its 'Ierr'
+            # uncertainty (reference functions.py:1141-1145); 'Flux' is
+            # the pre-r4 summary column kept for old products
+            key = 'I' if imfit and 'I' in imfit else 'Flux'
+            if imfit and key in imfit:
                 freqs_i.append(run.freq)
-                fluxes_i.append(imfit['Flux']['val'])
+                fluxes_i.append(imfit[key]['val'])
+                ierr = imfit.get('Ierr')
+                efluxes_i.append(ierr['val'] if ierr else 0.0)
 
     if not freqs:
         return None
@@ -401,8 +407,11 @@ def sed_plot(pline, plot_time: float, plot_reynolds: bool = True,
         constrained_layout=True)
     ax.plot(freqs / 1e9, fluxes, 'ko-', ms=4, label='sky model')
     if freqs_i:
-        ax.plot(np.asarray(freqs_i) / 1e9, fluxes_i, 'gs', ms=4,
-                label='imfit')
+        # imfit fluxes with their Gauss-Newton 1-sigma error bars
+        # (reference functions.py:1218-1219)
+        ax.errorbar(np.asarray(freqs_i) / 1e9, fluxes_i,
+                    yerr=np.asarray(efluxes_i), fmt='gs', ms=4,
+                    ecolor='g', capsize=2, label='imfit')
 
     if plot_reynolds:
         l_z_as = pline.model.nz * pline.model.csize / \
@@ -424,12 +433,31 @@ def sed_plot(pline, plot_time: float, plot_reynolds: bool = True,
             pass
 
     # spectral indices between neighbouring frequencies
-    if len(freqs) > 1:
+    if len(freqs) > 1 or len(freqs_i) > 1:
         ax2 = ax.twinx()
-        alphas = np.diff(np.log10(fluxes)) / np.diff(np.log10(freqs))
-        fmid = 10 ** (0.5 * (np.log10(freqs[1:]) + np.log10(freqs[:-1])))
-        ax2.plot(fmid / 1e9, alphas, 'o', mfc='cornflowerblue', mec='b',
-                 ms=5)
+        if len(freqs) > 1:
+            alphas = np.diff(np.log10(fluxes)) / np.diff(np.log10(freqs))
+            fmid = 10 ** (0.5 * (np.log10(freqs[1:]) +
+                                 np.log10(freqs[:-1])))
+            ax2.plot(fmid / 1e9, alphas, 'o', mfc='cornflowerblue',
+                     mec='b', ms=5)
+        if len(freqs_i) > 1:
+            # imfit spectral indices with error propagation through
+            # alpha = ln(S2/S1)/ln(nu2/nu1) (reference
+            # functions.py:1160-1169, 1191)
+            fi = np.asarray(freqs_i, float)
+            si = np.asarray(fluxes_i, float)
+            ei = np.asarray(efluxes_i, float)
+            oi = np.argsort(fi)
+            fi, si, ei = fi[oi], si[oi], ei[oi]
+            with np.errstate(divide='ignore', invalid='ignore'):
+                alphas_i = np.diff(np.log10(si)) / np.diff(np.log10(fi))
+                c = np.log(fi[1:] / fi[:-1])
+                ealphas_i = np.sqrt((ei[1:] / (si[1:] * c)) ** 2 +
+                                    (ei[:-1] / (si[:-1] * c)) ** 2)
+            fmid_i = 10 ** (0.5 * (np.log10(fi[1:]) + np.log10(fi[:-1])))
+            ax2.errorbar(fmid_i / 1e9, alphas_i, yerr=ealphas_i,
+                         fmt='none', ecolor='b', capsize=2)
         ax2.set_ylabel(r'$\alpha$', color='b')
 
     ax.set_xscale('log')

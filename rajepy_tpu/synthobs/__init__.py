@@ -356,6 +356,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 f"applycal_gains has {g_re_t.shape[-1]} antennas, this "
                 f"run's array has {n_ant} — gain transfer needs the "
                 "same antenna configuration")
+        g_mag = np.hypot(g_re_t, g_im_t)
+        if not np.all(g_mag > 0.0):
+            raise ValueError(
+                "applycal_gains contains zero gains (applycal divides "
+                "by g_i conj(g_j) — a zero would produce inf/NaN "
+                "visibilities); flag the dead antenna's solutions to "
+                "1+0j before transfer")
         ant1, ant2, t_index = calibration.vis_metadata(n_samp, _pairs)
         with KernelTimer("synthobs: applycal (gain transfer)", log):
             re_nn, im_nn = [np.asarray(x) for x in
@@ -414,8 +421,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         vs = (uvw[None, :, 1] / lam[chan_idx, None]).ravel()
         vr = (re_nn if vr_all is None else vr_all)[chan_idx].ravel()
         vi = (im_nn if vi_all is None else vi_all)[chan_idx].ravel()
-        key = (int(np.min(chan_idx)), int(np.max(chan_idx)),
-               int(np.size(chan_idx)))
+        # key on the full index content — (min, max, size) collides for
+        # different non-contiguous selections of the same span
+        key = np.ascontiguousarray(np.asarray(chan_idx)).tobytes()
         wb = _wb_cache.get(key)
         if wb is None:
             w0 = uvtaper_weights(us, vs)
@@ -553,6 +561,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                                     1, n_samp))
             us = uvw[None, :, 0] / lam[:, None]
             vs = uvw[None, :, 1] / lam[:, None]
+            # wide-field runs sample the DATA with w-stacking: the model
+            # degrid must carry the same w phases (see model_vis)
+            ws = (uvw[None, :, 2] / lam[:, None]).ravel() \
+                if w_planes >= 1 else None
             dr_before = dynamic_range(restored)
             dr_rounds = []
             re_sc, im_sc = re_nn, im_nn
@@ -567,7 +579,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                                  f"({mode}, {n_sol} solint)", log):
                     mdl_re, mdl_im = calibration.model_vis(
                         jnp.asarray(mdl, rdt), cell_rad,
-                        us.ravel(), vs.ravel())
+                        us.ravel(), vs.ravel(), w_wav=ws,
+                        n_wplanes=w_planes)
                     mdl_re = np.asarray(mdl_re).reshape(n_chan, -1)
                     mdl_im = np.asarray(mdl_im).reshape(n_chan, -1)
                     g_sol_re, g_sol_im = calibration.solve_gains(
@@ -762,16 +775,17 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                                        conv_maj, conv_min,
                                        mp['geometry']['pa']))
 
+        beam_area_pix = (np.pi / (4 * np.log(2.0)) *
+                         (bmaj_rad / cell_rad) * (bmin_rad / cell_rad))
         fit = imfit_mod.fit_gaussian(
             restored_cube[0],
             estimates={'peak': max(peak_flux, 1e-12), 'x': imsize / 2.0,
                        'y': imsize / 2.0, 'maj_pix': conv_maj / cell_as,
                        'min_pix': conv_min / cell_as,
-                       'pa_deg': mp['geometry']['pa']})
+                       'pa_deg': mp['geometry']['pa']},
+            beam_area_pix=beam_area_pix)
         imfit_file = fitsfile.replace('fits', 'imfit')
         if fit is not None:
-            beam_area_pix = (np.pi / (4 * np.log(2.0)) *
-                             (bmaj_rad / cell_rad) * (bmin_rad / cell_rad))
             imfit_mod.write_imfit_summary(imfit_file, fit, cell_as,
                                           beam_area_pix)
             run.results['imfit'] = {

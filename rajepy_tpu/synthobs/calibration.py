@@ -411,13 +411,33 @@ def _model_vis_jit(img, cell_rad, u, v):
     return mv.real, mv.imag
 
 
-def model_vis(image, cell_rad, u_wav, v_wav):
+@partial(jax.jit, static_argnames=('n_wplanes',))
+def _model_vis_w_jit(img, cell_rad, u, v, w, n_wplanes):
+    mv = sampler.sample_vis_wstack(img, cell_rad, u, v, w,
+                                   n_wplanes=n_wplanes)
+    return mv.real, mv.imag
+
+
+def model_vis(image, cell_rad, u_wav, v_wav, w_wav=None,
+              n_wplanes: int = 0):
     """(re, im) model visibilities of ``image`` at (u, v) [wavelengths]:
     the Kaiser-Bessel degridding forward model, wrapped so the complex
     intermediates stay inside the compiled program (they cannot cross the
-    device boundary on the axon TPU backend)."""
+    device boundary on the axon TPU backend).
+
+    When ``n_wplanes >= 1`` (and ``w_wav`` is given) the degrid routes
+    through :func:`sampler.sample_vis_wstack` so selfcal model
+    visibilities carry the SAME non-coplanar w phases as wide-field data
+    sampled with w-stacking — a flat model against w-stacked data leaves
+    a baseline-dependent phase mismatch no antenna-based gain solve can
+    absorb."""
     image = jnp.asarray(image)
     dt = image.dtype
+    if n_wplanes >= 1 and w_wav is not None:
+        return _model_vis_w_jit(image, jnp.asarray(cell_rad, dt),
+                                jnp.asarray(u_wav, dt),
+                                jnp.asarray(v_wav, dt),
+                                jnp.asarray(w_wav, dt), int(n_wplanes))
     return _model_vis_jit(image, jnp.asarray(cell_rad, dt),
                           jnp.asarray(u_wav, dt), jnp.asarray(v_wav, dt))
 

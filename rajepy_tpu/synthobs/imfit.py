@@ -2,11 +2,15 @@
 
 The reference shells out to CASA's imfit task with an estimates file
 (classes.py:2790-2808) and parses the text summary back
-(classes.py:2817-2840).  Here the fit is a direct Gauss-Newton least
-squares (scipy) on the restored image, and the summary file uses the same
-'# units / # headers / values' layout so
+(classes.py:2817-2840), keeping CASA's flux-density uncertainty for the
+SED error bars (plotting/functions.py:1143: ``results['imfit']['Ierr']``).
+Here the fit is a direct Gauss-Newton least squares (scipy) on the
+restored image, parameter uncertainties come from the Gauss-Newton
+covariance at the optimum (inflated for beam-correlated noise), and the
+summary file uses the same '# units / # headers / values' layout so
 ``rajepy_tpu.utils.misc.casa_imfit_file_to_dict`` (and the reference's own
-parser) read it unchanged.
+parser) read it unchanged — including CASA's ``I``/``Ierr`` integrated
+flux-density keys the reference SED plot consumes.
 """
 from __future__ import annotations
 
@@ -24,16 +28,52 @@ def _gauss2d(params, xx, yy):
     return peak * np.exp(-0.5 * ((xr / smaj) ** 2 + (yr / smin) ** 2))
 
 
+def _covariance(sol, beam_area_pix: Optional[float]):
+    """Gauss-Newton parameter covariance at the optimum.
+
+    cov = s^2 (J^T J)^-1 with s^2 = RSS / (n_eff - p).  Restored-image
+    noise is correlated over the synthesised beam, so the pixels are not
+    independent samples: with ``beam_area_pix`` (pixels per beam) given,
+    the covariance is inflated by that factor — the number of independent
+    noise samples is ~n_pix / beam_area (the Condon 1997 correlated-noise
+    correction at the leading order CASA's imfit errors follow).
+    Returns None when the problem is degenerate (singular J^T J or no
+    residual degrees of freedom).
+    """
+    J = sol.jac
+    n, p = J.shape
+    if n <= p:
+        return None
+    rss = float(np.dot(sol.fun, sol.fun))
+    jtj = J.T @ J
+    try:
+        cov = np.linalg.inv(jtj)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.isfinite(cov).all():
+        return None
+    s2 = rss / (n - p)      # per-pixel residual variance estimate
+    infl = 1.0
+    if beam_area_pix is not None and beam_area_pix > 1.0:
+        infl = float(beam_area_pix)
+    return cov * s2 * infl
+
+
 def fit_gaussian(image: np.ndarray,
-                 estimates: Optional[Dict[str, float]] = None
+                 estimates: Optional[Dict[str, float]] = None,
+                 beam_area_pix: Optional[float] = None
                  ) -> Optional[Dict[str, float]]:
     """Fit one elliptical Gaussian to ``image`` (2-D, Jy/beam).
 
     ``estimates``: optional dict with peak, x, y, maj_pix, min_pix, pa_deg
     (the role of the reference's imfit estimates file,
-    classes.py:2793-2804).  Returns fitted parameters in pixel units, or
-    None if the fit fails (the reference logs imfit failures and stores
-    None, classes.py:2833-2840).
+    classes.py:2793-2804).  ``beam_area_pix``: pixels per synthesised
+    beam, used to inflate the parameter covariance for beam-correlated
+    noise (see :func:`_covariance`).  Returns fitted parameters in pixel
+    units with 1-sigma uncertainties (``*_err`` keys; 0 when the
+    covariance is degenerate, e.g. a noise-free exact fit), or None if
+    the fit fails (the reference logs imfit failures and stores None,
+    classes.py:2833-2840).
     """
     image = np.asarray(image, dtype=float)
     ny, nx = image.shape
@@ -69,33 +109,72 @@ def fit_gaussian(image: np.ndarray,
     if not np.isfinite(sol.x).all() or sol.x[0] <= 0:
         return None
 
+    cov = _covariance(sol, beam_area_pix)
+    if cov is None:
+        errs = np.zeros(6)
+        cov = np.zeros((6, 6))
+    else:
+        errs = np.sqrt(np.maximum(np.diag(cov), 0.0))
+
     peak, x0, y0, smaj, smin, th = sol.x
+    peak_e, x_e, y_e, smaj_e, smin_e, th_e = errs
     smaj, smin = abs(smaj), abs(smin)
+    i_maj, i_min = 3, 4
     if smin > smaj:
         smaj, smin = smin, smaj
+        smaj_e, smin_e = smin_e, smaj_e
+        i_maj, i_min = 4, 3
         th += np.pi / 2
     total_flux = 2.0 * np.pi * peak * smaj * smin
+    # delta-method flux variance: F = 2 pi * peak * smaj * smin, with the
+    # peak/width covariances included (they anti-correlate strongly, so
+    # diagonal-only propagation overestimates Ierr ~2x)
+    g = np.zeros(6)
+    g[0] = 2.0 * np.pi * smaj * smin
+    g[i_maj] = 2.0 * np.pi * peak * smin
+    g[i_min] = 2.0 * np.pi * peak * smaj
+    flux_var = float(g @ cov @ g)
+    flux_err = np.sqrt(max(flux_var, 0.0))
     return {'peak': float(peak), 'x': float(x0), 'y': float(y0),
             'maj_pix': float(smaj * fwhm), 'min_pix': float(smin * fwhm),
             'pa_deg': float(np.degrees(th) % 180.0),
-            'flux_pixsum': float(total_flux)}
+            'flux_pixsum': float(total_flux),
+            'peak_err': float(peak_e), 'x_err': float(x_e),
+            'y_err': float(y_e), 'maj_pix_err': float(smaj_e * fwhm),
+            'min_pix_err': float(smin_e * fwhm),
+            'pa_deg_err': float(np.degrees(th_e)),
+            'flux_pixsum_err': float(flux_err)}
 
 
 def write_imfit_summary(filename: str, fit: Dict[str, float],
                         cell_arcsec: float, beam_area_pix: float):
     """Write a CASA-imfit-style summary (units line, header line, values) —
     parseable by utils.misc.casa_imfit_file_to_dict and by the reference's
-    own parser (classes.py:2821-2832)."""
+    own parser (classes.py:2821-2832).  Carries CASA's integrated
+    flux-density columns ``I``/``Ierr`` (what the reference SED plot reads,
+    plotting/functions.py:1141-1145) alongside the legacy ``Flux`` column
+    and per-parameter uncertainty columns from the Gauss-Newton
+    covariance (zeros when :func:`fit_gaussian` ran without them)."""
     flux_jy = fit['flux_pixsum'] / max(beam_area_pix, 1e-30)
+    flux_jy_err = fit.get('flux_pixsum_err', 0.0) / max(beam_area_pix,
+                                                        1e-30)
     # CASA's summary format: the units line has one fewer token than the
     # header line (the leading count column is unitless) — both the
     # reference's parser (classes.py:2821-2832) and
     # utils.misc.casa_imfit_file_to_dict compensate with a leading ''.
-    units = ['Jy/beam', 'Jy', 'pix', 'pix', 'arcsec', 'arcsec', 'deg']
-    headers = ['N', 'Peak', 'Flux', 'X', 'Y', 'Maj', 'Min', 'PA']
-    values = [0, fit['peak'], flux_jy, fit['x'], fit['y'],
-              fit['maj_pix'] * cell_arcsec, fit['min_pix'] * cell_arcsec,
-              fit['pa_deg']]
+    units = ['Jy/beam', 'Jy/beam', 'Jy', 'Jy', 'Jy', 'pix', 'pix', 'pix',
+             'pix', 'arcsec', 'arcsec', 'arcsec', 'arcsec', 'deg', 'deg']
+    headers = ['N', 'Peak', 'Peakerr', 'Flux', 'I', 'Ierr', 'X', 'Xerr',
+               'Y', 'Yerr', 'Maj', 'Majerr', 'Min', 'Minerr', 'PA',
+               'PAerr']
+    values = [0, fit['peak'], fit.get('peak_err', 0.0), flux_jy, flux_jy,
+              flux_jy_err, fit['x'], fit.get('x_err', 0.0), fit['y'],
+              fit.get('y_err', 0.0),
+              fit['maj_pix'] * cell_arcsec,
+              fit.get('maj_pix_err', 0.0) * cell_arcsec,
+              fit['min_pix'] * cell_arcsec,
+              fit.get('min_pix_err', 0.0) * cell_arcsec,
+              fit['pa_deg'], fit.get('pa_deg_err', 0.0)]
     with open(filename, 'wt') as f:
         f.write('# ' + '  '.join(units) + '\n')
         f.write('# ' + '  '.join(headers) + '\n')

@@ -353,6 +353,51 @@ class TestImfit:
         d = casa_imfit_file_to_dict(f)
         assert abs(d['Peak']['value'] - peak) < 1e-5
         assert d['Peak']['units'] == 'Jy/beam'
+        # CASA's integrated flux-density keys (reference sed_plot reads
+        # I/Ierr, plotting/functions.py:1141-1145) round-trip too
+        assert d['I']['units'] == 'Jy'
+        assert abs(d['I']['value'] - d['Flux']['value']) < 1e-12
+        assert d['Ierr']['value'] >= 0.0
+
+    def test_gaussian_fit_uncertainties(self, tmp_path):
+        """Gauss-Newton errors: calibrated against the known noise on a
+        synthetic source (fit deviations within a few sigma, errors grow
+        with the beam-correlation inflation)."""
+        rng = np.random.default_rng(7)
+        n = 100
+        yy, xx = np.mgrid[0:n, 0:n]
+        peak, x0, y0 = 2.0, 52.0, 47.0
+        smaj, smin, th = 6.0, 3.0, np.radians(40.0)
+        ct, st = np.cos(th), np.sin(th)
+        xr = (xx - x0) * ct + (yy - y0) * st
+        yr = -(xx - x0) * st + (yy - y0) * ct
+        clean = peak * np.exp(-0.5 * ((xr / smaj) ** 2 +
+                                      (yr / smin) ** 2))
+        img = clean + 0.02 * rng.standard_normal((n, n))
+        fit = imfit_mod.fit_gaussian(img)
+        assert fit is not None
+        for k in ('peak_err', 'x_err', 'y_err', 'maj_pix_err',
+                  'min_pix_err', 'pa_deg_err', 'flux_pixsum_err'):
+            assert fit[k] > 0.0, k
+        # the fitted values sit within 5 sigma of truth (uncorrelated
+        # noise -> no beam inflation)
+        assert abs(fit['peak'] - peak) < 5 * fit['peak_err']
+        assert abs(fit['x'] - x0) < 5 * fit['x_err']
+        fwhm = 2 * np.sqrt(2 * np.log(2))
+        assert abs(fit['maj_pix'] - smaj * fwhm) < 5 * fit['maj_pix_err']
+        true_flux = 2 * np.pi * peak * smaj * smin
+        assert abs(fit['flux_pixsum'] - true_flux) < \
+            5 * fit['flux_pixsum_err']
+        # the errors are not wildly overestimated either (within ~50x of
+        # the actual deviation scale: cov diag ~ (dev/err)^2 ~ O(1))
+        assert fit['peak_err'] < 0.1 * peak
+        # beam-correlated-noise inflation scales errors by sqrt(area)
+        fit_b = imfit_mod.fit_gaussian(img, beam_area_pix=16.0)
+        assert np.isclose(fit_b['peak_err'], 4.0 * fit['peak_err'],
+                          rtol=1e-6)
+        # noise-free image: degenerate covariance reports zeros, not NaN
+        exact = imfit_mod.fit_gaussian(clean)
+        assert exact is not None and np.isfinite(exact['peak_err'])
 
 
 class TestEndToEnd:

@@ -143,18 +143,28 @@ def pallas_check():
                                     temp_j, base)
     dtau_c = rt.tau_ff_cube(jnp.asarray(cfreqs, f32), temp_j, n_es_j, ds_j,
                             inside_j, 1e4, True)
-    src_c = mphys.blackbody_nu(jnp.asarray(cfreqs, f32)[:, None, None, None],
-                               temp_j[None])
-    src_c = jnp.where(inside_j[None], src_c, 0.0)
-    i_ref = jax.jit(jax.vmap(rt.transfer_scan))(src_c, dtau_c)
-    err = float(jnp.max(jnp.abs(i_e - i_ref)) / jnp.max(jnp.abs(i_ref)))
+
+    def emergent_oracle_f64(dtau_chi=None):
+        """Host float64 ordered-scan oracle from the SAME f32 opacity
+        cube and the exact blackbody source — the ground truth the
+        north-star's <=1e-5 kernel-accuracy contract is judged against.
+        (The f32 XLA scan is NOT a valid oracle at this precision: its
+        log-space blackbody numerator carries ~6e-5 of f32 exponent
+        rounding on its own.)"""
+        d64 = np.asarray(dtau_chi if dtau_chi is not None else dtau_c,
+                         np.float64)[:, :, ::-1, :]
+        t64 = np.asarray(temp_j, np.float64)
+        s64 = (cnu[:, None, None, None] /
+               np.expm1(hnuk[:, None, None, None] / t64[None]))
+        s64 = np.where(np.asarray(inside_j)[None], s64, 0.0)[:, :, ::-1, :]
+        taue = np.cumsum(d64, axis=2) - d64
+        return np.sum(s64 * np.exp(-taue) * (-np.expm1(-d64)), axis=2)
+
+    i64 = emergent_oracle_f64()
+    err = float(np.max(np.abs(np.asarray(i_e, np.float64) - i64)) /
+                np.max(np.abs(i64)))
     checks['emergent_ff'] = err
-    # vs the f32 XLA formulation: the MXU matmul prefix reassociates the
-    # tau accumulation, so agreement is bounded by f32 summation order —
-    # decomposed in tests/test_pallas.py::TestEmergentF32Decomposition
-    # (f32 XLA deviates from f64 at the same order; an f64 replication of
-    # the kernel algebra matches the f64 scan to 1e-12)
-    assert err < 1e-3, f"emergent_ff_pallas vs XLA: rel err {err:.2e}"
+    assert err < 1e-5, f"emergent_ff_pallas vs f64 oracle: {err:.2e}"
 
     # 4. fused epoch base map (burst factor in-register)
     from rajepy_tpu.models import ejection as ej
@@ -248,12 +258,13 @@ def pallas_check():
         pack_offset=pk_off)
     inten_t = scatter_tile_maps(parts, jnp.asarray(it6), jnp.asarray(kt6),
                                 nx // 8, nz // 128, nx, nz)
-    dtau_chi = dtau_c * (chi * chi)[None]
-    i_ref6 = jax.jit(jax.vmap(rt.transfer_scan))(src_c, dtau_chi)
-    err = float(jnp.max(jnp.abs(inten_t - i_ref6)) /
-                jnp.max(jnp.abs(i_ref6)))
+    chi64 = np.asarray(chi, np.float64)
+    i64_chi = emergent_oracle_f64(np.asarray(dtau_c, np.float64) *
+                                  (chi64 * chi64)[None])
+    err = float(np.max(np.abs(np.asarray(inten_t, np.float64) - i64_chi)) /
+                np.max(np.abs(i64_chi)))
     checks['emergent_tiles'] = err
-    assert err < 1e-3, f"emergent_ff_tiles vs XLA: rel err {err:.2e}"
+    assert err < 1e-5, f"emergent_ff_tiles vs f64 oracle: {err:.2e}"
 
     log("pallas_check: ok " +
         " ".join(f"{k}={v:.1e}" for k, v in checks.items()))

@@ -64,11 +64,17 @@ def pack_offset_for(ts_min: float) -> float:
 
 def _one_minus_exp_neg(d):
     """Numerically stable 1 - exp(-d) for d >= 0 inside Mosaic kernels
-    (expm1 has no Pallas TPU lowering): 3-term Taylor for small d where
-    exp(-d) - 1 would cancel, exact form elsewhere."""
-    small = d < 1e-3
+    (expm1 has no Pallas TPU lowering): Taylor below 0.05 where the
+    subtraction cancels, exact form elsewhere.  The threshold matters:
+    1 - exp(-d) loses eps/d relative digits, so a 1e-3 switch left a
+    ~1.2e-4 band just above it (the dominant residual of the r3 emergent
+    kernels after the MXU-precision fix); at 0.05 the direct form is
+    within 2.4e-6 and the 5-term Taylor within 5e-8."""
+    small = d < 0.05
     d_safe = jnp.where(small, 0.0, d)
-    taylor = d * (1.0 - d * (0.5 - d * (1.0 / 6.0)))
+    taylor = d * (1.0 - d * (0.5 - d * ((1.0 / 6.0) - d *
+                                        ((1.0 / 24.0) -
+                                         d * (1.0 / 120.0)))))
     return jnp.where(small, taylor, 1.0 - jnp.exp(-d_safe))
 
 
@@ -458,10 +464,13 @@ def epoch_base_maps2_tiles(a_t, b_t, tss_t, seg, t, bursts: tuple, nx: int,
 
 def _expm1_pos(x):
     """Numerically stable exp(x) - 1 for x >= 0 inside Mosaic kernels
-    (no expm1 lowering): 3-term Taylor below the cancellation threshold."""
-    small = x < 1e-3
+    (no expm1 lowering): Taylor below 0.05 (see _one_minus_exp_neg for
+    why the wide switch point — exp(x) - 1 loses eps/x digits)."""
+    small = x < 0.05
     x_safe = jnp.where(small, 0.0, x)
-    taylor = x * (1.0 + x * (0.5 + x * (1.0 / 6.0)))
+    taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x *
+                                        ((1.0 / 24.0) +
+                                         x * (1.0 / 120.0)))))
     return jnp.where(small, taylor, jnp.exp(x_safe) - 1.0)
 
 
@@ -472,6 +481,18 @@ def _excl_prefix_matrix(yc: int, dtype):
     row = lax.broadcasted_iota(jnp.int32, (yc, yc), 0)
     col = lax.broadcasted_iota(jnp.int32, (yc, yc), 1)
     return (row > col).astype(dtype)
+
+
+def _prefix_dot(l_excl, d_row, dt):
+    """The tau prefix matmul MUST run at Precision.HIGHEST: Mosaic's
+    default f32 MXU dot is a single-bf16-pass product (~8 mantissa bits
+    on the dtau operand), which was the whole 4.5e-4 relative error of
+    the r3 emergent kernels (measured on-chip: default 7.7e-4, HIGHEST
+    6.2e-8 on a (64,64)x(64,128) prefix).  The extra passes are
+    pipelined against the much larger VPU exp/select work — no measured
+    slowdown (BENCH r4)."""
+    return jnp.dot(l_excl, d_row, preferred_element_type=dt,
+                   precision=lax.Precision.HIGHEST)
 
 
 def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
@@ -510,8 +531,7 @@ def _emergent_kernel(cnu_ref, hnuk_ref, tscale_ref, temp_ref, dtau_ref,
             _one_minus_exp_neg(d_all)
         ta = tau_acc[c]                       # (bx, bz) carry
         for i in range(bx):                   # static unroll: LOS rows
-            p = jnp.dot(l_excl, d_all[i],
-                        preferred_element_type=dt)     # (yc, bz)
+            p = _prefix_dot(l_excl, d_all[i], dt)      # (yc, bz)
             w = jnp.exp(-(p + ta[i][None, :]))
             i_ref[c, i, :] += jnp.sum(emit[i] * w, axis=0)
             new_ta = ta[i] + jnp.sum(d_all[i], axis=0)
@@ -671,7 +691,7 @@ def _emergent_tiles_kernel(seg_ref, cnu_ref, hnuk_ref, tscale_ref, t_ref,
             _one_minus_exp_neg(d)
         ta = tau_acc[c]
         for ix in range(bx):
-            p = jnp.dot(l_excl, d[ix], preferred_element_type=dt)
+            p = _prefix_dot(l_excl, d[ix], dt)
             w = jnp.exp(-(p + ta[ix][None, :]))
             i_ref[0, c, ix, :] += jnp.sum(emit[ix] * w, axis=0)
             new_ta = ta[ix] + jnp.sum(d[ix], axis=0)

@@ -1333,17 +1333,60 @@ class JetModel:
                                    ds, f.inside)
         return tau_maps
 
-    @staticmethod
-    def _check_nonlte(lte, departure_coeffs):
-        """(b_n1, b_n2) as floats, or raise exactly like the reference
-        does on lte=False (classes.py:1258-1262) when no departure
-        coefficients are supplied."""
+    def characteristic_conditions(self):
+        """Emission-measure-weighted (T_e [K], n_e [cm^-3]) over the jet
+        at the current model time — the slab-characteristic conditions
+        the auto-derived departure coefficients are evaluated at (n_e is
+        averaged in log space; it spans decades along the jet)."""
+        f = self._ensure_fields()
+
+        def build():
+            def kernel(f, t):
+                n_e = self._nd_chi(f, t) * f.xi
+                w = jnp.where(f.inside, n_e * n_e, 0.0)
+                wsum = jnp.maximum(jnp.sum(w), 1e-30)
+                t_char = jnp.sum(w * f.temp) / wsum
+                safe_ne = jnp.where(f.inside, jnp.maximum(n_e, 1e-30),
+                                    1.0)
+                ln_char = jnp.sum(w * jnp.log10(safe_ne)) / wsum
+                return t_char, ln_char
+            return kernel
+
+        t_char, ln_char = self._jitted('char_conditions', build)(
+            f, self.time)
+        return float(t_char), 10.0 ** float(ln_char)
+
+    def departure_coefficients(self, line: str):
+        """(b_n1, b_n2) for ``line`` from the bundled case-B hydrogenic
+        b_n(n, T_e, n_e) table (ops.departure) at the jet's
+        emission-weighted characteristic conditions.
+
+        This is what ``lte=False`` uses when no explicit
+        ``departure_coeffs`` are passed — completing the reference's
+        unfinished non-LTE intent (classes.py:1258-1262 raises there;
+        the scaffolding at maths/rrls.py:467-543 had no coefficient
+        source)."""
+        from ..ops import departure as dep
+        _, n, dn = mrrl.rrl_parser(line)
+        t_char, ne_char = self.characteristic_conditions()
+        b_n1, b_n2 = dep.b_n_pair(n, dn, t_char, ne_char)
+        self._log.add_entry(
+            "INFO",
+            "Departure coefficients for {}: b_n1 = {:.4f}, b_n2 = {:.4f} "
+            "(case-B table at EM-weighted T_e = {:.0f} K, "
+            "n_e = {:.2e} cm^-3)".format(line, b_n1, b_n2, t_char,
+                                         ne_char),
+            timestamp=False)
+        return b_n1, b_n2
+
+    def _check_nonlte(self, lte, departure_coeffs, line):
+        """(b_n1, b_n2) as floats: 1 for LTE, the user-supplied pair, or
+        the table-derived pair (the reference raises here,
+        classes.py:1258-1262 — see :meth:`departure_coefficients`)."""
         if lte:
             return 1.0, 1.0
         if departure_coeffs is None:
-            raise ValueError(
-                "Non-LTE RRL calculations require departure coefficients: "
-                "pass departure_coeffs=(b_n1, b_n2)")
+            return self.departure_coefficients(line)
         b_n1, b_n2 = departure_coeffs
         return float(b_n1), float(b_n2)
 
@@ -1355,7 +1398,7 @@ class JetModel:
         ``departure_coeffs=(b_n1, b_n2)`` returns the non-LTE line
         opacity b_n1 beta tau_L* (beyond-reference; the reference raises
         on lte=False)."""
-        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs)
+        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs, rrl)
         if not lte and not collapse:
             raise ValueError("non-LTE opacities are slab quantities: "
                              "collapse=False is LTE-only")
@@ -1378,7 +1421,7 @@ class JetModel:
         ``departure_coeffs=(b_n1, b_n2)`` evaluates the non-LTE slab form
         (G&S eqs. 2.130/2.139/2.141) — beyond-reference; the reference
         raises on lte=False."""
-        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs)
+        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs, rrl)
         f = self._ensure_fields()
         scalar = np.isscalar(freq)
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))

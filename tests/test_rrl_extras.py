@@ -155,11 +155,23 @@ class TestNonLTEMode:
         }
         return JetModel(copy.deepcopy(params))
 
-    def test_raises_without_coeffs_like_reference(self, jm):
-        with pytest.raises(ValueError):
-            jm.intensity_rrl('H58a', 1.4716e10, lte=False)
-        with pytest.raises(ValueError):
-            jm.optical_depth_rrl('H58a', 1.4716e10, lte=False)
+    def test_auto_departure_coefficients(self, jm):
+        """lte=False with NO explicit coefficients runs from the bundled
+        case-B b_n table at the jet's EM-weighted conditions (the
+        reference raises here, classes.py:1258-1262)."""
+        b_n1, b_n2 = jm.departure_coefficients('H58a')
+        assert 0.1 < b_n1 <= 1.05 and 0.1 < b_n2 <= 1.05
+        # this jet is dense (n_e >> 1e6 at the base): b_n near unity,
+        # and the upper level closer to LTE than the lower
+        t_char, ne_char = jm.characteristic_conditions()
+        assert 1e3 < t_char < 5e4 and ne_char > 1e4
+        i_nl = jm.intensity_rrl('H58a', 1.4716e10, lte=False)
+        i_auto = jm.intensity_rrl('H58a', 1.4716e10, lte=False,
+                                  departure_coeffs=(b_n1, b_n2))
+        np.testing.assert_allclose(np.nan_to_num(i_nl),
+                                   np.nan_to_num(i_auto), rtol=1e-12)
+        tau = jm.optical_depth_rrl('H58a', 1.4716e10, lte=False)
+        assert np.isfinite(np.nan_to_num(tau)).all()
 
     def test_lte_limit(self, jm):
         """b_n1 = b_n2 = 1 must reproduce the LTE products exactly
@@ -274,3 +286,77 @@ class TestLineConstants:
                           rel=1e-9)
         assert float(mrrl.deltanu_v(1e6, 2e5)) == pytest.approx(
             float(rrrl.deltanu_v(1e6, 2e5)), rel=1e-12)
+
+
+class TestDepartureCoefficients:
+    """The case-B b_n(n, T_e, n_e) statistical-equilibrium solver
+    (ops.departure) behind the auto-derived non-LTE coefficients."""
+
+    def test_ingredient_anchors(self):
+        """Published exact values the rate ingredients must hit."""
+        from rajepy_tpu.ops import departure as dep
+        assert dep.oscillator_strength(1, 2) == pytest.approx(0.4162,
+                                                              rel=1e-3)
+        assert dep.einstein_a(1, 2) == pytest.approx(4.699e8, rel=2e-3)
+        assert dep.einstein_a(2, 3) == pytest.approx(4.410e7, rel=5e-3)
+        # Kramers high-n asymptote f(n -> n+1) = 0.1908 n
+        assert dep.oscillator_strength(80, 81) == pytest.approx(
+            0.1908 * 80, rel=2e-2)
+        # case-B recombination sum at 1e4 K: alpha_B = 2.59e-13 cm^3/s
+        alpha_b = float(np.sum(dep.radiative_recombination(
+            np.arange(2, 600), 1e4))) * 1e6
+        assert alpha_b == pytest.approx(2.59e-13, rel=0.15)
+        # alpha_1: 1.58e-13 cm^3/s (Seaton 1959)
+        alpha_1 = float(dep.radiative_recombination(
+            np.array([1]), 1e4)[0]) * 1e6
+        assert alpha_1 == pytest.approx(1.58e-13, rel=0.25)
+
+    def test_lte_fixed_point(self):
+        """Collisions satisfy detailed balance EXACTLY, so b -> 1 as
+        n_e -> infinity at any temperature."""
+        from rajepy_tpu.ops import departure as dep
+        for T in (3e3, 1e4, 3e4):
+            b = dep.solve_bn(T, 1e15)
+            assert np.max(np.abs(b[8:] - 1.0)) < 1e-3, T
+
+    def test_case_b_shape(self):
+        """Low-density case-B physics: b_n < 1 (radiative cascade
+        underpopulates vs Saha), monotone approach to 1 with n_e, and
+        d ln b / dn > 0 over the RRL range (the G&S stimulated-emission
+        amplification sign)."""
+        from rajepy_tpu.ops import departure as dep
+        b_lo = dep.solve_bn(1e4, 1e2)
+        b_mid = dep.solve_bn(1e4, 1e6)
+        b_hi = dep.solve_bn(1e4, 1e10)
+        n = np.arange(2, dep.N_SOLVE + 1)
+        rrl = (n >= 40) & (n <= 200)
+        assert (b_lo[rrl] < 1.0).all() and (b_lo[rrl] > 0.3).all()
+        assert (b_mid[rrl] >= b_lo[rrl] - 1e-6).all()
+        assert (b_hi[rrl] >= b_mid[rrl] - 1e-6).all()
+        # rising with n across the RRL range at nebular densities
+        sel = (n >= 58) & (n <= 150)
+        assert (np.diff(b_lo[sel]) > -1e-5).all()
+
+    def test_table_interpolation(self):
+        """The bundled table + bilinear lookup agree with a direct solve
+        at an off-grid point to the interpolation error."""
+        from rajepy_tpu.ops import departure as dep
+        T, ne = 9200.0, 3.7e5
+        direct = dep.solve_bn(T, ne)
+        for n in (58, 59, 100):
+            got = float(dep.b_n(n, T, ne))
+            want = float(direct[n - 2])
+            assert got == pytest.approx(want, abs=0.02), n
+        b1, b2 = dep.b_n_pair(58, 1, T, ne)
+        assert b2 > b1  # upper level closer to LTE
+
+    def test_table_edges_and_errors(self):
+        from rajepy_tpu.ops import departure as dep
+        b, ns, logT, logne = dep.get_table()
+        assert np.isfinite(b).all()
+        # beyond-edge queries clamp instead of extrapolating
+        assert float(dep.b_n(100, 1e6, 1e20)) == pytest.approx(
+            float(dep.b_n(100, 10 ** logT[-1], 10 ** logne[-1])),
+            rel=1e-6)
+        with pytest.raises(ValueError):
+            dep.b_n(5000, 1e4, 1e4)

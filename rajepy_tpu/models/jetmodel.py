@@ -145,14 +145,24 @@ class JetModel:
 
     @staticmethod
     def resolve_dtype(dtype):
-        """Resolve the ``dtype='auto'`` default: float32 on a TPU backend
-        (routes every RT product through the fused/tile-compacted Pallas
-        path — the flagship configuration BENCH measures) and float64
-        elsewhere (the exact XLA oracle path).  Explicit dtypes pass
-        through untouched."""
+        """Resolve the dtype presets:
+
+        * ``'auto'`` (default) — float32 on a TPU backend (routes every
+          RT product through the fused/tile-compacted Pallas path — the
+          flagship configuration BENCH measures) and float64 elsewhere.
+        * ``'parity'`` — always float64: the configuration behind the
+          1e-9 (continuum) / 1e-6 (RRL) reference-parity numbers in
+          BASELINE.md.  On TPU backends f64 is emulated and ~100x
+          slower; the f32 'auto' path's per-product error budget is
+          documented in BASELINE.md "f32 accuracy budget".
+
+        Explicit dtypes pass through untouched.
+        """
         if dtype in ('auto', None):
             return (jnp.float32 if jax.default_backend() == 'tpu'
                     else jnp.float64)
+        if dtype == 'parity':
+            return jnp.float64
         return dtype
 
     def __init__(self, params: Union[dict, str],

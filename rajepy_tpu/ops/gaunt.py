@@ -92,13 +92,7 @@ def interp_bicubic(table, x0, y0, step, x, y):
     return out
 
 
-def gff(freq, temp, z: float = 1.0):
-    """Thermally averaged free-free Gaunt factor (physics.py:666-698).
-
-    ``freq`` [Hz] and ``temp`` [K] broadcast; fully vectorised and
-    jit-compatible (device gather over the resident table).
-    """
-    x0, y0, step, table = load_vanhoof_table()
+def _log_axes(freq, temp, z):
     # log-sum form, not log-of-ratio: the ratio's reverse-mode JVP squares
     # k_B*T (~1.9e-38), which sits at the edge of the float32 normal range
     # and blows the gradient up to inf on the f32 (TPU-fitting) path
@@ -106,5 +100,54 @@ def gff(freq, temp, z: float = 1.0):
     logg2 = float(np.log10(z ** 2 * _RY_INF / cnsts.K_B)) - log_t
     logu = (float(np.log10(cnsts.H / cnsts.K_B)) +
             jnp.log10(jnp.asarray(freq)) - log_t)
-    logg2, logu = jnp.broadcast_arrays(logg2, logu)
+    return jnp.broadcast_arrays(logg2, logu)
+
+
+def gff(freq, temp, z: float = 1.0):
+    """Thermally averaged free-free Gaunt factor (physics.py:666-698).
+
+    ``freq`` [Hz] and ``temp`` [K] broadcast; fully vectorised and
+    jit-compatible (device gather over the resident table).
+    """
+    x0, y0, step, table = load_vanhoof_table()
+    logg2, logu = _log_axes(freq, temp, z)
     return interp_bicubic(table, x0, y0, step, logg2, logu)
+
+
+@lru_cache(maxsize=1)
+def load_vanhoof_uncertainties():
+    """Parse the table's companion uncertainty block (same layout, data
+    file lines 193+; the reference reads it at physics.py:640-641 via
+    ``import_vanHoof2014(errors=True)``)."""
+    with open(_DATA_FILE, "rt") as f:
+        lines = f.readlines()
+    n_gam2, n_u = (int(v) for v in lines[29].split('#')[0].split())
+    unc = np.array([[float(v) for v in ln.split()]
+                    for ln in lines[192:192 + n_u]])
+    assert unc.shape == (n_u, n_gam2), unc.shape
+    return unc
+
+
+def gff_uncertainty(freq, temp, z: float = 1.0):
+    """1-sigma uncertainty of the van Hoof et al. (2014) Gaunt factor at
+    the query point (nearest-node lookup of the companion uncertainty
+    table — the published uncertainties are themselves node estimates,
+    so interpolating them adds nothing)."""
+    x0, y0, step, _ = load_vanhoof_table()
+    unc = jnp.asarray(load_vanhoof_uncertainties())
+    ny, nx = unc.shape
+    logg2, logu = _log_axes(freq, temp, z)
+    ix = jnp.clip(jnp.round((logg2 - x0) / step).astype(jnp.int32),
+                  0, nx - 1)
+    iy = jnp.clip(jnp.round((logu - y0) / step).astype(jnp.int32),
+                  0, ny - 1)
+    return unc[iy, ix]
+
+
+def gff_with_uncertainty(freq, temp, z: float = 1.0):
+    """(gff, sigma_gff): the reference's value-with-uncertainty form of
+    the van Hoof table (physics.py:659, ``uf(gff, unc_lines...)``) as a
+    plain array pair — the ``uncertainties``-package scalars cannot be
+    traced, so downstream propagation is linear: a relative gaunt error
+    propagates one-to-one into tau_ff and the optically-thin flux."""
+    return gff(freq, temp, z), gff_uncertainty(freq, temp, z)

@@ -562,13 +562,33 @@ def plot_mass_volume_slices(jm, show_plot: bool = False,
     _finish(fig, show_plot, savefig)
 
 
+def _movie_writer(path):
+    """(writer, output path) for :func:`timelapse_animation`, honouring
+    the reference's mp4-first intent (functions.py:1274-1411 writes an
+    .mp4): ffmpeg when available, else pillow with the extension
+    switched to .gif so a requested-but-unwritable .mp4 degrades to an
+    animated GIF rather than a frame directory."""
+    import matplotlib.animation as manim
+    base, ext = os.path.splitext(str(path))
+    have_ffmpeg = manim.FFMpegWriter.isAvailable()
+    if ext.lower() == '.mp4':
+        return ('ffmpeg', str(path)) if have_ffmpeg else \
+            ('pillow', base + '.gif')
+    if ext.lower() == '.gif':
+        return 'pillow', str(path)
+    if have_ffmpeg:
+        return 'ffmpeg', base + (ext or '') + '.mp4'
+    return 'pillow', base + (ext or '') + '.gif'
+
+
 def timelapse_animation(pline, tscop: Tuple[str, str] = None,
                         freq: float = None,
                         savefig: Union[bool, str] = False, fps: int = 5):
     """Animate the per-epoch synthetic (or model) images
-    (functions.py:1274-1411).  Writes an .mp4/.gif via matplotlib's
-    animation machinery, falling back to a directory of per-epoch PNG
-    frames when no movie writer is available."""
+    (functions.py:1274-1411).  Writes an .mp4 via matplotlib's ffmpeg
+    writer when available (the reference's output format), degrading to
+    an animated GIF (pillow) and finally to a directory of per-epoch PNG
+    frames when no movie writer works."""
     from ..io.fits import read_fits
     import matplotlib.animation as manim
 
@@ -606,10 +626,9 @@ def timelapse_animation(pline, tscop: Tuple[str, str] = None,
 
     anim = manim.FuncAnimation(fig, update, frames=len(frames))
     if savefig:
+        writer, out_path = _movie_writer(savefig)
         try:
-            anim.save(savefig, fps=fps,
-                      writer='ffmpeg' if str(savefig).endswith('.mp4')
-                      else 'pillow')
+            anim.save(out_path, fps=fps, writer=writer)
         except Exception:
             stem = os.path.splitext(str(savefig))[0]
             os.makedirs(stem, exist_ok=True)

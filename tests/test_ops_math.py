@@ -114,6 +114,28 @@ class TestGaunt:
         val = float(gff(6e9, 1e4))
         assert 4.0 < val < 7.0
 
+    def test_uncertainty_block(self):
+        """The companion uncertainty table (reference physics.py:640-641
+        parses it into ufloats): node-exact lookup, sane magnitudes, and
+        the (value, sigma) pair API."""
+        from rajepy_tpu.ops.gaunt import (gff_uncertainty,
+                                          gff_with_uncertainty,
+                                          load_vanhoof_uncertainties)
+        from rajepy_tpu import constants as c
+        unc = load_vanhoof_uncertainties()
+        assert unc.shape == (146, 81)
+        assert (unc > 0).all() and (unc < 0.1).all()
+        x0, y0, step, tab = load_vanhoof_table()
+        ry = c.M_E * c.E_CHARGE ** 4 / (8 * c.EPSILON_0 ** 2 * c.H ** 2)
+        for iu, ig in [(70, 40), (30, 60)]:
+            temp = ry / (c.K_B * 10 ** (x0 + ig * step))
+            freq = 10 ** (y0 + iu * step) * c.K_B * temp / c.H
+            assert float(gff_uncertainty(freq, temp)) == \
+                pytest.approx(unc[iu, ig], abs=1e-12)
+        v, s = gff_with_uncertainty(6e9, 1e4)
+        assert 4.0 < float(v) < 7.0
+        assert 0.0 < float(s) < 1e-2 * float(v)
+
 
 class TestGeometry:
     def test_rotation_roundtrip(self):

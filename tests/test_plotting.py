@@ -159,10 +159,27 @@ def test_pipeline_plots_and_timelapse(jm, tmp_path):
     pfunc.sed_plot(pline, 0.0, savefig=f)
     _check(f)
 
-    # timelapse over model fluxes (gif writer via pillow)
-    f = str(tmp_path / 'movie.gif')
+    # timelapse: requesting .mp4 writes mp4 when ffmpeg is available
+    # (the reference's format) and degrades to an animated GIF otherwise
+    import matplotlib.animation as manim
+    f = str(tmp_path / 'movie.mp4')
     pfunc.timelapse_animation(pline, savefig=f)
-    assert os.path.exists(f) or os.path.isdir(str(tmp_path / 'movie'))
+    if manim.FFMpegWriter.isAvailable():
+        assert os.path.exists(f)
+    else:
+        assert os.path.exists(str(tmp_path / 'movie.gif')) or \
+            os.path.isdir(str(tmp_path / 'movie'))
+    # explicit .gif request always honours the extension
+    f2 = str(tmp_path / 'movie2.gif')
+    pfunc.timelapse_animation(pline, savefig=f2)
+    assert os.path.exists(f2) or os.path.isdir(str(tmp_path / 'movie2'))
+    # writer-selection contract
+    w, p = pfunc._movie_writer('/x/y.mp4')
+    if manim.FFMpegWriter.isAvailable():
+        assert (w, p) == ('ffmpeg', '/x/y.mp4')
+    else:
+        assert (w, p) == ('pillow', '/x/y.gif')
+    assert pfunc._movie_writer('/x/y.gif') == ('pillow', '/x/y.gif')
 
 
 def test_uv_plot(tmp_path):

@@ -440,6 +440,76 @@ def emergent_bench(jm, nchan=16):
     return jm.nx * jm.ny * jm.nz * nchan / dt, dt
 
 
+def pipeline_bench(n=256, freqs=(1.5e9, 6e9, 2.2e10, 4.3e10)):
+    """Warm end-to-end wall seconds for the fixed 4-run 256^3 continuum
+    pipeline (RT + FITS + synthobs + imfit; BASELINE.md's pipeline-level
+    metric): execute once cold (includes every distinct jit compile),
+    then once more warm on the same Pipeline.  Returns (cold_s, warm_s).
+    """
+    import copy
+    import shutil
+    import tempfile
+
+    import rajepy_tpu
+    from rajepy_tpu import JetModel, Pipeline
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'rajepy_tpu', 'data', 'example-model-params.py')
+    params = runpy.run_path(path)['params']
+    params = copy.deepcopy(params)
+    params['grid'].update(n_x=n, n_y=n, n_z=n, l_z=None)
+    td = tempfile.mkdtemp(prefix='bench_pipe_')
+    freqs = np.asarray(freqs, float)
+    nrun = freqs.size
+    pparams = {
+        'min_el': 20.,
+        'dcys': {'model_dcy': os.path.join(td, 'run')},
+        'continuum': {'times': np.array([0.]), 'freqs': freqs,
+                      't_obs': np.full(nrun, 3600, dtype=int),
+                      'tscps': np.array([('VLA', 'A')] * nrun),
+                      't_ints': np.full(nrun, 60, dtype=int),
+                      'bws': np.full(nrun, 1e8),
+                      'chanws': np.full(nrun, 1e8)},
+        'rrls': {'times': np.array([]), 'lines': np.array([]),
+                 't_obs': np.array([]), 'tscps': np.array([]),
+                 't_ints': np.array([]), 'bws': np.array([]),
+                 'chanws': np.array([])},
+    }
+    try:
+        pline = Pipeline(JetModel(copy.deepcopy(params)), pparams)
+        t0 = time.perf_counter()
+        pline.execute(simobserve=True, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pline.execute(simobserve=True, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        warm = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return cold, warm
+
+
+def previous_round_json():
+    """Newest BENCH_r{N}.json next to this script, parsed, or None."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for f in glob.glob(os.path.join(here, 'BENCH_r*.json')):
+        m = re.search(r'BENCH_r(\d+)\.json$', f)
+        if not m:
+            continue
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        if int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), data
+    return best
+
+
 def main():
     import rajepy_tpu  # noqa: F401 — x64 config etc.
     import jax
@@ -504,15 +574,41 @@ def main():
     except Exception as exc:
         log(f"1000-channel rrl bench failed: {type(exc).__name__}: {exc}")
 
+    # pipeline-level metric: warm wall seconds of the fixed 4-run 256^3
+    # continuum pipeline, with a noise-aware regression flag against the
+    # previous round's recorded value (the axon tunnel jitters single
+    # runs up to ~50%, BASELINE.md — so the flag fires only beyond 1.5x)
+    pipe_warm = pipe_cold = None
+    pipe_regression = None
+    try:
+        pipe_cold, pipe_warm = pipeline_bench()
+        log(f"pipeline_4run_256_warm={pipe_warm:.1f}s (cold incl. "
+            f"compiles {pipe_cold:.1f}s)")
+        prev = previous_round_json()
+        prev_warm = (prev or {}).get('pipeline_4run_256_warm_s')
+        if prev_warm:
+            pipe_regression = bool(pipe_warm > 1.5 * float(prev_warm))
+            log(f"pipeline warm vs previous round: {pipe_warm:.1f}s vs "
+                f"{float(prev_warm):.1f}s -> "
+                f"{'REGRESSION (beyond the 1.5x jitter band)' if pipe_regression else 'ok'}")
+    except Exception as exc:
+        log(f"pipeline bench failed: {type(exc).__name__}: {exc}")
+
     # best-of-3: the bench host's CPU is shared, single runs jitter 10x
     baseline = max(numpy_baseline_cells_per_sec() for _ in range(3))
     log(f"numpy_baseline={baseline:.3e} cells/s (best of 3)")
-    print(json.dumps({
+    out = {
         "metric": f"model_path_rt_cells_per_sec_{n}cube_{nchan}chan",
         "value": round(ours, 1),
         "unit": "cells/s",
         "vs_baseline": round(ours / baseline, 2),
-    }))
+    }
+    if pipe_warm is not None:
+        out["pipeline_4run_256_warm_s"] = round(pipe_warm, 1)
+        out["pipeline_4run_256_cold_s"] = round(pipe_cold, 1)
+    if pipe_regression is not None:
+        out["pipeline_regression_vs_prev"] = pipe_regression
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -531,6 +531,12 @@ class Pipeline:
                 # asking for selfcal/multiscale means "where applicable"
                 so_kwargs = dict(self.params.get('synthobs') or {})
                 so_kwargs.setdefault('min_el', self.params['min_el'])
+                # device_fanout=False also pins cube imaging to the
+                # single-path CLEAN (None/True leave the auto choice),
+                # so a sequential execute is REALLY sequential — the
+                # dryrun's sharded-vs-sequential equality baseline
+                if device_fanout is False:
+                    so_kwargs.setdefault('shard_imaging', False)
                 if run.obs_type != 'continuum':
                     for k in ('selfcal', 'selfcal_solint_s',
                               'selfcal_rounds'):

@@ -78,7 +78,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          selfcal_solint_s: Optional[float] = None,
                          selfcal_rounds: int = 1,
                          applycal_gains: Optional[str] = None,
-                         save_products: tuple = ()
+                         save_products: tuple = (),
+                         shard_imaging: Optional[bool] = None
                          ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -474,7 +475,12 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             beam_kernel = imaging.gaussian_beam_kernel(
                 imsize, cell_rad, beam[0], beam[1], beam[2])
             n_dev = jax.device_count()
-            if n_dev > 1 and n_chan >= n_dev:
+            # shard_imaging: None = auto (shard whenever >1 device);
+            # False forces the single-path CLEAN (the dryrun's
+            # sharded-vs-sequential product-equality baseline)
+            shard = (n_dev > 1) if shard_imaging is None \
+                else bool(shard_imaging)
+            if shard and n_dev > 1 and n_chan >= n_dev:
                 # channel-data-parallel cube imaging: each device CLEANs
                 # its own channel shard (the reference's tclean cube is
                 # strictly sequential, classes.py:2771-2782)

@@ -1389,15 +1389,56 @@ class JetModel:
             timestamp=False)
         return b_n1, b_n2
 
+    def departure_coefficient_maps(self, line: str):
+        """Per-sightline (b_n1, b_n2) maps, shape (nx, nz): the case-B
+        table evaluated at each LOS column's EM-weighted (T_e, n_e) —
+        finer-grained than the global scalars of
+        :meth:`departure_coefficients` (the slab composition itself
+        operates per column on the LOS-mean temperature, so this is its
+        natural granularity).  Columns with no jet cells return b = 1.
+        Accepted directly as ``departure_coeffs=`` by the non-LTE entry
+        points (the G&S coefficient algebra broadcasts)."""
+        from ..ops import departure as dep
+        _, n, dn = mrrl.rrl_parser(line)
+        f = self._ensure_fields()
+
+        def build():
+            def kernel(f, t):
+                n_e = self._nd_chi(f, t) * f.xi
+                w = jnp.where(f.inside, n_e * n_e, 0.0)
+                wsum = jnp.sum(w, axis=rt.LOS_AXIS)
+                any_in = wsum > 0.0
+                ws = jnp.where(any_in, wsum, 1.0)
+                t_map = jnp.sum(w * f.temp, axis=rt.LOS_AXIS) / ws
+                safe_ne = jnp.where(f.inside, jnp.maximum(n_e, 1e-30),
+                                    1.0)
+                ln_map = jnp.sum(w * jnp.log10(safe_ne),
+                                 axis=rt.LOS_AXIS) / ws
+                return t_map, ln_map, any_in
+            return kernel
+
+        t_map, ln_map, any_in = [np.asarray(a) for a in self._jitted(
+            'char_condition_maps', build)(f, self.time)]
+        t_q = np.where(any_in, t_map, 1e4)
+        ne_q = 10.0 ** np.where(any_in, ln_map, 4.0)
+        b1 = np.where(any_in, dep.b_n(n, t_q, ne_q), 1.0)
+        b2 = np.where(any_in, dep.b_n(n + int(dn), t_q, ne_q), 1.0)
+        return b1, b2
+
     def _check_nonlte(self, lte, departure_coeffs, line):
-        """(b_n1, b_n2) as floats: 1 for LTE, the user-supplied pair, or
-        the table-derived pair (the reference raises here,
-        classes.py:1258-1262 — see :meth:`departure_coefficients`)."""
+        """(b_n1, b_n2): 1 for LTE, the user-supplied pair (scalars or
+        per-sightline (nx, nz) maps — see
+        :meth:`departure_coefficient_maps`), or the table-derived scalar
+        pair (the reference raises here, classes.py:1258-1262 — see
+        :meth:`departure_coefficients`)."""
         if lte:
             return 1.0, 1.0
         if departure_coeffs is None:
             return self.departure_coefficients(line)
         b_n1, b_n2 = departure_coeffs
+        if np.ndim(b_n1) or np.ndim(b_n2):
+            return (jnp.asarray(b_n1, self._dtype),
+                    jnp.asarray(b_n2, self._dtype))
         return float(b_n1), float(b_n2)
 
     def optical_depth_rrl(self, rrl: str, freq, lte: bool = True,

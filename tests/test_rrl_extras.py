@@ -360,3 +360,53 @@ class TestDepartureCoefficients:
             rel=1e-6)
         with pytest.raises(ValueError):
             dep.b_n(5000, 1e4, 1e4)
+
+
+class TestDepartureMaps:
+    def test_per_sightline_maps(self):
+        """departure_coefficient_maps: (nx, nz) per-column coefficients
+        accepted by the non-LTE entry points, b = 1 off the jet, and the
+        scalar auto-derivation is their EM-weighted middle ground."""
+        import copy
+        from rajepy_tpu import JetModel
+        import tests.test_rrl_extras as _m
+        params = {
+            "target": {"name": "nlm", "ra": "04:31:34.1",
+                       "dec": "+18:08:04.9", "epoch": "J2000",
+                       "dist": 120., "v_lsr": 6.2, "M_star": 0.55,
+                       "R_1": .25, "R_2": 2.5},
+            "grid": {"n_x": 12, "n_y": 24, "n_z": 12, "l_z": None,
+                     "c_size": 0.5},
+            "geometry": {"epsilon": 7. / 9., "opang": 25., "w_0": 1.,
+                         "r_0": 1., "inc": 90., "pa": 0.,
+                         "rotation": "CCW"},
+            "power_laws": {"q_v": 0., "q_T": 0., "q_x": 0., "q^d_n": 0.,
+                           "q^d_T": 0., "q^d_v": 0., "q^d_x": 0.},
+            "properties": {"v_0": 150., "x_0": 0.1, "T_0": 1E4,
+                           "mu": 1.3, "mlr_bj": 1e-7, "mlr_rj": 5e-8},
+            "ejection": {"t_0": np.array([]), "hl": np.array([]),
+                         "chi": np.array([]), "which": np.array([])},
+        }
+        jm = JetModel(copy.deepcopy(params))
+        b1m, b2m = jm.departure_coefficient_maps('H58a')
+        assert b1m.shape == (jm.nx, jm.nz)
+        occ = np.nan_to_num(jm.fill_factor, nan=0.0).sum(axis=1) > 0
+        assert np.allclose(b1m[~occ], 1.0) and np.allclose(b2m[~occ], 1.0)
+        assert (b1m[occ] <= 1.0 + 1e-6).all() and (b1m[occ] > 0.1).all()
+        # scalar auto value lies within the per-column spread
+        b1s, _ = jm.departure_coefficients('H58a')
+        assert b1m[occ].min() - 1e-6 <= b1s <= b1m[occ].max() + 1e-6
+        # map-valued coefficients broadcast through the entry points
+        i_map = jm.intensity_rrl('H58a', 1.4716e10, lte=False,
+                                 departure_coeffs=(b1m, b2m))
+        assert np.isfinite(np.nan_to_num(i_map)).all()
+        t_map = jm.optical_depth_rrl('H58a', 1.4716e10, lte=False,
+                                     departure_coeffs=(b1m, b2m))
+        assert np.isfinite(np.nan_to_num(t_map)).all()
+        # b = 1 maps reproduce LTE exactly
+        ones = np.ones((jm.nx, jm.nz))
+        i_one = jm.intensity_rrl('H58a', 1.4716e10, lte=False,
+                                 departure_coeffs=(ones, ones))
+        i_lte = jm.intensity_rrl('H58a', 1.4716e10)
+        np.testing.assert_allclose(np.nan_to_num(i_one),
+                                   np.nan_to_num(i_lte), rtol=1e-12)

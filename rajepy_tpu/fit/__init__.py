@@ -1358,3 +1358,106 @@ def fit_light_curve(jm, times, freqs, observed, *, errors=None,
                           loss=np.asarray(hist),
                           model=np.asarray(jax.jit(forward.with_consts)(
                               theta, forward.consts)))
+
+
+# --------------------------------------------------------------------------- #
+# Batched parameter surveys (beyond-reference; the TPU-native "run the
+# model at many parameter sets" pattern — one compiled program instead
+# of the reference's one-process-per-model sweep)
+# --------------------------------------------------------------------------- #
+class SweepResult(NamedTuple):
+    """Outcome of :func:`sweep`."""
+    paths: Tuple[str, ...]       # swept parameter paths, in grid order
+    points: Dict[str, np.ndarray]  # value of each path per combo (n,)
+    values: np.ndarray           # (n, ...) forward outputs per combo
+    shape: Tuple[int, ...]       # Cartesian grid shape (product mode)
+
+    def reshaped(self):
+        """``values`` with the combo axis unflattened to ``shape``
+        (product mode only)."""
+        return self.values.reshape(self.shape + self.values.shape[1:])
+
+
+def sweep(jm, freqs, grid: Dict[str, Sequence], *, kind: str = 'sed',
+          line: str = None, time=None, dtype=None,
+          batch_size: int = None, mesh=None, product: bool = True
+          ) -> SweepResult:
+    """Evaluate the forward model over a grid of parameter sets in ONE
+    vmapped compiled program.
+
+    The reference runs one full Python process per model evaluation; a
+    parameter survey there is a job array.  Here the combos axis is a
+    batch axis of a single XLA program: ``grid`` maps parameter paths
+    (any of :data:`SUPPORTED_FREE`) to 1-D value arrays, swept over
+    their Cartesian product (``product=True``, default) or zipped
+    elementwise (equal lengths required).
+
+    ``kind``: ``'sed'`` — integrated fluxes, values ``(n, n_chan)``;
+    ``'map'`` — flux maps ``(n, n_chan, nx, nz)``; ``'rrl_spectrum'`` —
+    spatially-integrated line spectrum (needs ``line=``).
+
+    ``batch_size`` chunks the combo axis with ``lax.map`` to bound
+    device memory (each chunk is an inner vmap).  ``mesh`` shards the
+    combo axis over the mesh's first axis — the multi-chip survey
+    pattern (parameter sets fan out across devices, each evaluating the
+    full model).
+    """
+    paths = tuple(grid)
+    _check_free(paths)
+    vals = [np.atleast_1d(np.asarray(grid[p], float)) for p in paths]
+    if product:
+        meshed = np.meshgrid(*vals, indexing='ij')
+        shape = meshed[0].shape
+        cols = [m.reshape(-1) for m in meshed]
+    else:
+        n = {v.size for v in vals}
+        if len(n) != 1:
+            raise ValueError("product=False needs equal-length value "
+                             f"arrays, got sizes {sorted(n)}")
+        shape = (vals[0].size,)
+        cols = vals
+    thetas = np.stack([np.log(c) if SUPPORTED_FREE[p] == 'log' else c
+                       for p, c in zip(paths, cols)], axis=1)
+
+    if kind == 'sed':
+        forward, _ = build_sed_forward(jm, freqs, paths, time, dtype)
+    elif kind == 'map':
+        forward, _ = build_flux_forward(jm, freqs, paths, time, dtype)
+    elif kind == 'rrl_spectrum':
+        if line is None:
+            raise ValueError("kind='rrl_spectrum' needs line=")
+        forward, _ = build_rrl_spectrum_forward(jm, line, freqs, paths,
+                                                time, dtype)
+    else:
+        raise ValueError(f"unknown sweep kind {kind!r}")
+
+    n = thetas.shape[0]
+    th = jnp.asarray(thetas)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        pad = -n % mesh.shape[axis]
+        if pad:
+            th = jnp.concatenate([th, jnp.broadcast_to(th[-1:],
+                                                       (pad,) +
+                                                       th.shape[1:])])
+        th = jax.device_put(th, NamedSharding(mesh, P(axis)))
+        out = jax.jit(jax.vmap(forward))(th)[:n]
+    elif batch_size and batch_size < n:
+        pad = -n % batch_size
+        if pad:
+            th = jnp.concatenate([th, jnp.broadcast_to(th[-1:],
+                                                       (pad,) +
+                                                       th.shape[1:])])
+        chunks = th.reshape(-1, batch_size, th.shape[1])
+
+        @jax.jit
+        def run(chunks):
+            return lax.map(jax.vmap(forward), chunks)
+        res = run(chunks)
+        out = res.reshape((n + pad,) + res.shape[2:])[:n]
+    else:
+        out = jax.jit(jax.vmap(forward))(th)
+    return SweepResult(paths=paths,
+                       points={p: c for p, c in zip(paths, cols)},
+                       values=np.asarray(out), shape=shape)

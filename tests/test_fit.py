@@ -831,3 +831,68 @@ class TestReviewRegressionsR3S6:
     def test_imfit_all_nan_returns_none(self):
         from rajepy_tpu.synthobs.imfit import fit_gaussian
         assert fit_gaussian(np.full((8, 8), np.nan)) is None
+
+
+class TestSweep:
+    """Batched parameter surveys (fit.sweep): one compiled program over
+    the combo axis — vs per-combo forward calls as the oracle."""
+
+    def test_sed_product_matches_pointwise(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        grid = {'properties.mlr_bj': np.array([5e-8, 1e-7, 2e-7]),
+                'properties.T_0': np.array([8e3, 1.2e4])}
+        res = jfit.sweep(jm, SED_FREQS, grid)
+        assert res.values.shape == (6, SED_FREQS.size)
+        assert res.shape == (3, 2)
+        assert res.reshaped().shape == (3, 2, SED_FREQS.size)
+        # oracle: the single-theta forward at each combo
+        fwd, _ = jfit.build_sed_forward(jm, SED_FREQS,
+                                        ('properties.mlr_bj',
+                                         'properties.T_0'))
+        for i in range(6):
+            th = jnp.asarray([np.log(res.points['properties.mlr_bj'][i]),
+                              np.log(res.points['properties.T_0'][i])])
+            want = np.asarray(jax.jit(fwd)(th))
+            np.testing.assert_allclose(res.values[i], want, rtol=1e-12)
+        # flux increases with mlr at the optically-thin channel
+        cube = res.reshaped()
+        assert (np.diff(cube[:, 0, -1]) > 0).all()
+
+    def test_zip_chunked_and_map_kind(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        grid = {'properties.mlr_bj': np.array([5e-8, 1e-7, 2e-7, 4e-7,
+                                               8e-7]),
+                'geometry.inc': np.array([90., 80., 70., 60., 50.])}
+        res = jfit.sweep(jm, SED_FREQS[:2], grid, product=False,
+                         batch_size=2)
+        assert res.values.shape == (5, 2)
+        res_nb = jfit.sweep(jm, SED_FREQS[:2], grid, product=False)
+        np.testing.assert_allclose(res.values, res_nb.values, rtol=1e-12)
+        with pytest.raises(ValueError):
+            jfit.sweep(jm, SED_FREQS[:2],
+                       {'properties.mlr_bj': np.array([1e-7]),
+                        'geometry.inc': np.array([80., 70.])},
+                       product=False)
+        m = jfit.sweep(jm, SED_FREQS[:1],
+                       {'properties.T_0': np.array([1e4, 2e4])},
+                       kind='map')
+        assert m.values.shape == (2, 1, jm.nx, jm.nz)
+        np.testing.assert_allclose(m.values.sum(axis=(2, 3))[:, 0],
+                                   jfit.sweep(jm, SED_FREQS[:1],
+                                              {'properties.T_0':
+                                               np.array([1e4, 2e4])}
+                                              ).values[:, 0], rtol=1e-10)
+
+    def test_sharded_combo_axis(self, model_params):
+        if jax.device_count() < 8:
+            pytest.skip("needs xla_force_host_platform_device_count=8")
+        from rajepy_tpu.parallel import sharding
+        mesh = sharding.make_mesh(n_los=1, n_chan=8)
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        grid = {'properties.mlr_bj': np.geomspace(5e-8, 5e-7, 6)}
+        seq = jfit.sweep(jm, SED_FREQS[:2], grid)
+        shd = jfit.sweep(jm, SED_FREQS[:2], grid, mesh=mesh)
+        np.testing.assert_allclose(shd.values, seq.values, rtol=1e-10)

@@ -148,9 +148,9 @@ def pallas_check():
         """Host float64 ordered-scan oracle from the SAME f32 opacity
         cube and the exact blackbody source — the ground truth the
         north-star's <=1e-5 kernel-accuracy contract is judged against.
-        (The f32 XLA scan is NOT a valid oracle at this precision: its
-        log-space blackbody numerator carries ~6e-5 of f32 exponent
-        rounding on its own.)"""
+        (The f32 XLA scan is NOT a valid oracle at this precision: on
+        TPU its attenuation exponentials sit at the backend's ~5.5e-6
+        f32 exp floor — BASELINE.md "f32 accuracy budget".)"""
         d64 = np.asarray(dtau_chi if dtau_chi is not None else dtau_c,
                          np.float64)[:, :, ::-1, :]
         t64 = np.asarray(temp_j, np.float64)

@@ -26,6 +26,7 @@ the reference).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import constants as cnsts
@@ -319,8 +320,27 @@ def doppler_shift(nu_0, v_lsr):
     return nu_0 * (1.0 - v_lsr * 1e3 / cnsts.C)
 
 
-_LOG_BB_PREFACTOR = float(np.log(2.0) + np.log(cnsts.H_CGS) -
-                          2.0 * np.log(cnsts.C_CGS))
+# cube root of the Planck prefactor 2h/c^2 [cgs]: the prefactor itself
+# (1.5e-47) underflows float32; its cube root (2.47e-16) does not, and
+# (a nu)^3 stays normal for every radio-to-IR frequency (nu > ~4e2 Hz)
+_BB_PREFACTOR_CBRT = float((2.0 * cnsts.H_CGS / cnsts.C_CGS ** 2) **
+                           (1.0 / 3.0))
+
+
+def _expm1_planck(x):
+    """expm1 for the Planck denominator, accurate on TPU backends.
+
+    XLA:TPU's f32 ``expm1`` carries up to 1.2e-4 relative error in the
+    x ~ 1e-3..0.5 band (measured on v5e; its ``exp`` floor is ~5.5e-6) —
+    a 7-term Taylor below 0.5 (truncation 1.9e-7) with native expm1
+    above pins the radio regime (h nu / k T << 1) at ~2e-7 and the
+    IR/optical regime at the backend exp floor."""
+    small = x < 0.5
+    xs = jnp.where(small, 0.0, x)
+    taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (
+        (1.0 / 24.0) + x * ((1.0 / 120.0) + x * (
+            (1.0 / 720.0) + x * (1.0 / 5040.0)))))))
+    return jnp.where(small, taylor, jnp.expm1(xs))
 
 
 def blackbody_nu(freq, temp):
@@ -330,12 +350,20 @@ def blackbody_nu(freq, temp):
     Float32-safe formulation: the prefactor 2h/c^2 = 1.5e-47 underflows
     float32 — and XLA's algebraic simplifier reassociates any grouping of
     the constants back into that product — so the numerator is evaluated
-    in log space, exp(ln(2h/c^2) + 3 ln nu), which nothing can collapse.
-    expm1 keeps the Rayleigh-Jeans limit accurate where h nu / k T ~ 1e-5
-    would cancel in exp(x) - 1.
+    as ((2h/c^2)^(1/3) nu)^3 with the cube-root constant behind an
+    ``optimization_barrier`` (nothing can fold it back into the
+    underflowing product).  This costs 3 multiplications of relative
+    error (~3 ulps) where the earlier log-space form, exp(ln(2h/c^2) +
+    3 ln nu), paid ~6e-5 of f32 exponent rounding (|exponent| ~ 100;
+    BASELINE.md "f32 accuracy budget").  expm1 keeps the Rayleigh-Jeans
+    limit accurate where h nu / k T ~ 1e-5 would cancel in exp(x) - 1.
     """
-    p1 = jnp.exp(_LOG_BB_PREFACTOR + 3.0 * jnp.log(freq))
-    p2 = jnp.expm1(cnsts.H_CGS * freq / (cnsts.K_CGS * temp))
+    freq = jnp.asarray(freq)
+    a = jax.lax.optimization_barrier(
+        jnp.asarray(_BB_PREFACTOR_CBRT, freq.dtype))
+    t = a * freq
+    p1 = t * t * t
+    p2 = _expm1_planck(cnsts.H_CGS * freq / (cnsts.K_CGS * temp))
     return p1 / p2
 
 

@@ -117,6 +117,16 @@ def _encode(free, params):
     return jnp.asarray(out, jnp.float64)
 
 
+def _pad_to_multiple(arr, k: int):
+    """Pad arr's leading axis up to a multiple of k by repeating the
+    last row (harmless duplicate work; callers slice the pad off)."""
+    pad = -arr.shape[0] % k
+    if pad:
+        arr = jnp.concatenate([arr, jnp.broadcast_to(
+            arr[-1:], (pad,) + arr.shape[1:])])
+    return arr
+
+
 def _substitute(free, params, theta):
     """Return a params dict with traced values at the free paths and the
     JetModel derivation chain (jetmodel.py:184-244) re-run in-trace."""
@@ -303,12 +313,7 @@ def _run_fit(forward, theta0, free, loss_of_model, steps, learning_rate,
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             axis = mesh.axis_names[0]    # starts shard over the 1st axis
-            pad = -th0s.shape[0] % mesh.shape[axis]
-            if pad:                      # starts must divide the axis
-                th0s = jnp.concatenate([th0s,
-                                        jnp.broadcast_to(
-                                            th0s[-1:], (pad,) +
-                                            th0s.shape[1:])])
+            th0s = _pad_to_multiple(th0s, mesh.shape[axis])
             th0s = jax.device_put(th0s, NamedSharding(mesh, P(axis)))
         thetas, hists, gnorms = jax.jit(jax.vmap(run))(th0s)
         finals = np.asarray(hists[:, -1])
@@ -1433,31 +1438,34 @@ def sweep(jm, freqs, grid: Dict[str, Sequence], *, kind: str = 'sed',
 
     n = thetas.shape[0]
     th = jnp.asarray(thetas)
+    sharding_spec = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         axis = mesh.axis_names[0]
-        pad = -n % mesh.shape[axis]
-        if pad:
-            th = jnp.concatenate([th, jnp.broadcast_to(th[-1:],
-                                                       (pad,) +
-                                                       th.shape[1:])])
-        th = jax.device_put(th, NamedSharding(mesh, P(axis)))
-        out = jax.jit(jax.vmap(forward))(th)[:n]
-    elif batch_size and batch_size < n:
-        pad = -n % batch_size
-        if pad:
-            th = jnp.concatenate([th, jnp.broadcast_to(th[-1:],
-                                                       (pad,) +
-                                                       th.shape[1:])])
+        n_dev = mesh.shape[axis]
+        if batch_size:
+            # chunked AND sharded: each lax.map step vmaps one chunk
+            # whose combo axis shards over the mesh — batch_size bounds
+            # per-device memory on pods too
+            batch_size = -(-batch_size // n_dev) * n_dev
+            sharding_spec = NamedSharding(mesh, P(None, axis))
+        else:
+            th = jax.device_put(_pad_to_multiple(th, n_dev),
+                                NamedSharding(mesh, P(axis)))
+    if batch_size and (batch_size < n or sharding_spec is not None):
+        th = _pad_to_multiple(th, batch_size)
         chunks = th.reshape(-1, batch_size, th.shape[1])
+        if sharding_spec is not None:
+            chunks = jax.device_put(chunks, sharding_spec)
 
         @jax.jit
         def run(chunks):
             return lax.map(jax.vmap(forward), chunks)
         res = run(chunks)
-        out = res.reshape((n + pad,) + res.shape[2:])[:n]
+        out = res.reshape((res.shape[0] * res.shape[1],) +
+                          res.shape[2:])[:n]
     else:
-        out = jax.jit(jax.vmap(forward))(th)
+        out = jax.jit(jax.vmap(forward))(th)[:n]
     return SweepResult(paths=paths,
                        points={p: c for p, c in zip(paths, cols)},
                        values=np.asarray(out), shape=shape)

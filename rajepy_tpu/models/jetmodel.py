@@ -458,6 +458,9 @@ class JetModel:
         self._rt_static_cache = None
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
+        # the new burst modulates n_e, so the memoised EM-weighted
+        # departure-coefficient conditions are stale too
+        self._departure_cache = {}
         if was_burst_free:
             self._fields = None   # recompute with travel times
             self._ts_valid = False
@@ -1375,8 +1378,19 @@ class JetModel:
         ``departure_coeffs`` are passed — completing the reference's
         unfinished non-LTE intent (classes.py:1258-1262 raises there;
         the scaffolding at maths/rrls.py:467-543 had no coefficient
-        source)."""
+        source).
+
+        Memoised per (line, model time): every non-LTE entry point calls
+        here, and the characteristic-conditions reduction is a device
+        dispatch (a ~30-60 ms round trip on remote backends)."""
         from ..ops import departure as dep
+        cache = getattr(self, '_departure_cache', None)
+        if cache is None:
+            cache = self._departure_cache = {}
+        key = (line, float(self.time))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         _, n, dn = mrrl.rrl_parser(line)
         t_char, ne_char = self.characteristic_conditions()
         b_n1, b_n2 = dep.b_n_pair(n, dn, t_char, ne_char)
@@ -1387,6 +1401,7 @@ class JetModel:
             "n_e = {:.2e} cm^-3)".format(line, b_n1, b_n2, t_char,
                                          ne_char),
             timestamp=False)
+        cache[key] = (b_n1, b_n2)
         return b_n1, b_n2
 
     def departure_coefficient_maps(self, line: str):

@@ -334,7 +334,14 @@ def _expm1_planck(x):
     x ~ 1e-3..0.5 band (measured on v5e; its ``exp`` floor is ~5.5e-6) —
     a 7-term Taylor below 0.5 (truncation 1.9e-7) with native expm1
     above pins the radio regime (h nu / k T << 1) at ~2e-7 and the
-    IR/optical regime at the backend exp floor."""
+    IR/optical regime at the backend exp floor.
+
+    f32 only: in float64 the Taylor truncation (x^8/8! ~ 1.6e-7 near
+    the switch) would DEGRADE the 1e-9-parity oracle path, and f64
+    expm1 needs no workaround."""
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return jnp.expm1(x)
     small = x < 0.5
     xs = jnp.where(small, 0.0, x)
     taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (

@@ -626,6 +626,8 @@ def timelapse_animation(pline, tscop: Tuple[str, str] = None,
 
     anim = manim.FuncAnimation(fig, update, frames=len(frames))
     if savefig:
+        if savefig is True:   # bare flag: a sensible default, not
+            savefig = 'timelapse'   # a file literally named 'True'
         writer, out_path = _movie_writer(savefig)
         try:
             anim.save(out_path, fps=fps, writer=writer)

@@ -119,20 +119,22 @@ def fit_gaussian(image: np.ndarray,
     peak, x0, y0, smaj, smin, th = sol.x
     peak_e, x_e, y_e, smaj_e, smin_e, th_e = errs
     smaj, smin = abs(smaj), abs(smin)
-    i_maj, i_min = 3, 4
     if smin > smaj:
         smaj, smin = smin, smaj
         smaj_e, smin_e = smin_e, smaj_e
-        i_maj, i_min = 4, 3
         th += np.pi / 2
     total_flux = 2.0 * np.pi * peak * smaj * smin
-    # delta-method flux variance: F = 2 pi * peak * smaj * smin, with the
-    # peak/width covariances included (they anti-correlate strongly, so
-    # diagonal-only propagation overestimates Ierr ~2x)
+    # delta-method flux variance: F = 2 pi * peak * |s3| * |s4|, with
+    # the peak/width covariances included (they anti-correlate strongly,
+    # so diagonal-only propagation overestimates Ierr ~2x).  The
+    # gradient is built in the SIGNED basis of sol.x/cov — the fit may
+    # converge to negative widths (abs-folded above), and abs-valued
+    # gradient components would flip the sign of the cross terms
     g = np.zeros(6)
-    g[0] = 2.0 * np.pi * smaj * smin
-    g[i_maj] = 2.0 * np.pi * peak * smin
-    g[i_min] = 2.0 * np.pi * peak * smaj
+    s3, s4 = sol.x[3], sol.x[4]
+    g[0] = 2.0 * np.pi * abs(s3 * s4)
+    g[3] = 2.0 * np.pi * peak * np.sign(s3) * abs(s4)
+    g[4] = 2.0 * np.pi * peak * np.sign(s4) * abs(s3)
     flux_var = float(g @ cov @ g)
     flux_err = np.sqrt(max(flux_var, 0.0))
     return {'peak': float(peak), 'x': float(x0), 'y': float(y0),

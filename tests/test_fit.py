@@ -896,3 +896,16 @@ class TestSweep:
         seq = jfit.sweep(jm, SED_FREQS[:2], grid)
         shd = jfit.sweep(jm, SED_FREQS[:2], grid, mesh=mesh)
         np.testing.assert_allclose(shd.values, seq.values, rtol=1e-10)
+
+    def test_sharded_and_chunked(self, model_params):
+        if jax.device_count() < 8:
+            pytest.skip("needs xla_force_host_platform_device_count=8")
+        from rajepy_tpu.parallel import sharding
+        mesh = sharding.make_mesh(n_los=1, n_chan=8)
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        grid = {'properties.mlr_bj': np.geomspace(5e-8, 5e-7, 10)}
+        seq = jfit.sweep(jm, SED_FREQS[:2], grid)
+        both = jfit.sweep(jm, SED_FREQS[:2], grid, mesh=mesh,
+                          batch_size=3)   # rounded up to 8/dev multiple
+        np.testing.assert_allclose(both.values, seq.values, rtol=1e-10)

@@ -130,3 +130,63 @@ def test_wing_fast_path_wide_band():
         for c in range(len(freqs)):
             denom = np.maximum(np.abs(ref[c]), ref[c].max() * 1e-3)
             assert np.max(np.abs(g[c] - ref[c]) / denom) < 2e-3, c
+
+    # the r4 three-way branch: verify this configuration actually
+    # exercises ALL of all-far / all-near (pure Weideman) / mixed at the
+    # tile granularity, so the equivalence above covers each branch
+    from rajepy_tpu.ops import physics as mphys, rrls as mrrl
+    rest = np.asarray(mphys.doppler_shift(jnp.asarray(coeffs.nu0), vy))
+    fwhm_g = np.asarray(mrrl.deltanu_g(jnp.asarray(rest), temp,
+                                       coeffs.element))
+    fwhm_l = np.asarray(mrrl.deltanu_l(jnp.asarray(np.maximum(
+        np.asarray(n_es), 1e-10)), coeffs.n, coeffs.dn))
+    scale = 1.0 / (fwhm_g / 2 / np.sqrt(2 * np.log(2)) * np.sqrt(2))
+    yv = np.where(np.asarray(inside), fwhm_l / 2 * scale, 1.0)
+    rest_t = np.asarray(gather_tiles(
+        jnp.asarray(rest - coeffs.nu0, f32), ids_d, **tile))
+    scale_t = np.asarray(gather_tiles(jnp.asarray(scale, f32), ids_d,
+                                      fill=1.0, **tile))
+    yv_t = np.asarray(gather_tiles(jnp.asarray(yv, f32), ids_d,
+                                   fill=1.0, **tile))
+    branches = set()
+    for fo in freqs - coeffs.nu0:
+        s = np.abs((fo - rest_t) * scale_t) + yv_t
+        smin = s.reshape(s.shape[0], -1).min(axis=1)
+        smax = s.reshape(s.shape[0], -1).max(axis=1)
+        branches |= {'far' for v in smin if v > 8}
+        branches |= {'core' for v in smax if v <= 8}
+        branches |= {'mixed' for lo, hi in zip(smin, smax)
+                     if lo <= 8 < hi}
+    assert {'far', 'mixed'} <= branches, branches
+
+
+def test_all_near_core_branch():
+    """The r4 pure-Weideman core branch: a low-density jet (tiny Stark
+    y) observed at line-centre channels makes every (tile, channel) pair
+    all-near (max |x|+y <= 8), so the fused path runs the branch that
+    skips the far series entirely — and must still match the XLA map."""
+    shape = (8, 24, 128)
+    temp, n_es, vy, ds, inside = _fields(shape, seed=3)
+    n_es = n_es * 1e-3          # Stark width down 1e3 -> y ~ 1e-4
+    vy = vy * 0.3               # bound the Doppler tail: |x| <= ~4
+    coeffs = rt.RRLCoeffs('H58a')
+    freqs = coeffs.nu0 + np.array([-5e5, 0.0, 5e5])
+    ref = np.asarray(rt.tau_rrl_maps(coeffs, jnp.asarray(freqs), temp,
+                                     n_es, vy, ds, inside))
+    got = np.asarray(rt.tau_rrl_maps_fused(coeffs, freqs, temp, n_es,
+                                           vy, ds, inside,
+                                           interpret=True))
+    denom = np.maximum(np.abs(ref), np.max(np.abs(ref)) * 1e-3)
+    assert np.max(np.abs(got - ref) / denom) < 2e-3
+    # every block really is all-near for every channel here
+    from rajepy_tpu.ops import physics as mphys, rrls as mrrl
+    rest = np.asarray(mphys.doppler_shift(jnp.asarray(coeffs.nu0), vy))
+    fwhm_g = np.asarray(mrrl.deltanu_g(jnp.asarray(rest), temp,
+                                       coeffs.element))
+    fwhm_l = np.asarray(mrrl.deltanu_l(jnp.asarray(np.maximum(
+        np.asarray(n_es), 1e-10)), coeffs.n, coeffs.dn))
+    scale = 1.0 / (fwhm_g / 2 / np.sqrt(2 * np.log(2)) * np.sqrt(2))
+    yv = np.where(np.asarray(inside), fwhm_l / 2 * scale, 1.0)
+    for fo in freqs - coeffs.nu0:
+        s = np.abs((fo - (rest - coeffs.nu0)) * scale) + yv
+        assert np.asarray(s[np.asarray(inside)]).max() <= 8.0

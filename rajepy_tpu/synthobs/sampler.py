@@ -410,22 +410,16 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
                                    'w_planes', 'degrid', 'pb_model',
                                    'pb_blockage_m'))
-def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
-                               apply_pb: bool = False,
-                               dish_diameter_m: float = 25.0,
-                               pad: int = _PAD, batch_size: int = 4,
-                               w_planes: int = 0, degrid: str = 'kb',
-                               pb_model: str = 'gaussian',
-                               pb_blockage_m: float = 0.0):
-    """Channel-batched sampling + thermal noise in ONE compiled program,
-    returning real/imag pairs: ``(re_clean, im_clean, re_noisy,
-    im_noisy)``.
-
-    Complex arrays must never cross the host<->device boundary on this
-    class of backend (the axon TPU runtime cannot transfer or eagerly
-    operate on complex64/128 — only compiled programs may hold them), so
-    the public endpoint splits the visibilities into float parts.
-    """
+def _sample_vis_chunk(sky, cell_rad, uvw, freqs, key, sigma,
+                      apply_pb: bool = False,
+                      dish_diameter_m: float = 25.0,
+                      pad: int = _PAD, batch_size: int = 4,
+                      w_planes: int = 0, degrid: str = 'kb',
+                      pb_model: str = 'gaussian',
+                      pb_blockage_m: float = 0.0):
+    """One compiled sampling+noise dispatch over a channel slice —
+    complex values exist only inside the program (the axon TPU runtime
+    cannot transfer or eagerly operate on complex64/128)."""
     vis = sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb=apply_pb,
                           dish_diameter_m=dish_diameter_m, pad=pad,
                           batch_size=batch_size, w_planes=w_planes,
@@ -433,6 +427,52 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
                           pb_blockage_m=pb_blockage_m)
     noisy = add_noise(key, vis, sigma)
     return vis.real, vis.imag, noisy.real, noisy.imag
+
+
+def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
+                               apply_pb: bool = False,
+                               dish_diameter_m: float = 25.0,
+                               pad: int = _PAD, batch_size: int = 4,
+                               w_planes: int = 0, degrid: str = 'kb',
+                               pb_model: str = 'gaussian',
+                               pb_blockage_m: float = 0.0,
+                               chan_chunk: int = 256):
+    """Channel-batched sampling + thermal noise, returning real/imag
+    pairs: ``(re_clean, im_clean, re_noisy, im_noisy)``.
+
+    The channel axis runs in <= ``chan_chunk`` compiled dispatches: one
+    device program spanning a 1,000-channel lax.map is long enough to
+    crash the axon TPU worker (the same limit that chunks
+    imaging.clean_cube; hit reproducibly on the bundled RRL pipeline's
+    sampling stage in r4).  Chunks share one compiled program (the tail
+    re-spans the last full chunk and slices the overlap off); <= one
+    chunk reproduces the previous single-dispatch behaviour exactly,
+    noise included.
+    """
+    n_chan = int(np.shape(freqs)[0])
+    chunk = max(1, min(int(chan_chunk), n_chan))
+    kw = dict(apply_pb=apply_pb, dish_diameter_m=dish_diameter_m,
+              pad=pad, batch_size=batch_size, w_planes=w_planes,
+              degrid=degrid, pb_model=pb_model,
+              pb_blockage_m=pb_blockage_m)
+    if n_chan <= chunk:
+        return _sample_vis_chunk(sky, cell_rad, uvw, freqs, key, sigma,
+                                 **kw)
+    sky = jnp.asarray(sky)
+    freqs = jnp.asarray(freqs)
+    parts = []
+    for lo in range(0, n_chan, chunk):
+        n_want = min(lo + chunk, n_chan) - lo
+        # keep ONE compiled shape: the tail chunk re-spans the last
+        # `chunk` channels (the overlap is recomputed and sliced off)
+        start = lo if n_want == chunk else n_chan - chunk
+        key, sub = jax.random.split(key)
+        out = _sample_vis_chunk(sky[start:start + chunk], cell_rad, uvw,
+                                freqs[start:start + chunk], sub, sigma,
+                                **kw)
+        parts.append(tuple(o[chunk - n_want:] for o in out))
+    return tuple(jnp.concatenate([p[i] for p in parts])
+                 for i in range(4))
 
 
 def _j1_over_x(x):

@@ -1268,7 +1268,8 @@ class JetModel:
             return inner(f, st, tiles, t, freqs, b_n1, b_n2)
         return call
 
-    def rrl_rt_products(self, line: str, freq, contsub: bool = False):
+    def rrl_rt_products(self, line: str, freq, contsub: bool = False,
+                        lte: bool = True, departure_coeffs=None):
         """The complete per-run RRL RT stage — EM map, line optical-depth
         maps and line(+continuum when ``contsub=False``) flux maps — in
         ONE fused device program (the reference's per-run sequence at
@@ -1281,9 +1282,17 @@ class JetModel:
         EM map rides the same dual-base pass — one dispatch instead of
         three (two saved ~30 ms round trips per run on remote backends,
         and the line chain's cost once instead of twice).  Returns numpy
-        ``(em, tau_l, fluxes)``.  LTE only (the pipeline path);
-        ``Pipeline.execute`` uses this for fresh RRL runs.
+        ``(em, tau_l, fluxes)``.
+
+        ``lte=False`` (beyond-reference; the pipeline's optional
+        ``rrls.lte`` array routes here) swaps in the G&S non-LTE slab
+        composition: tau becomes the stimulated-corrected line opacity
+        b_n1 beta tau_L* and the flux uses the eta/beta forms —
+        departure coefficients auto-derived (:meth:`_check_nonlte`)
+        or supplied.  The b values are traced, so LTE and non-LTE runs
+        of the same line share nothing but the compiled-program key.
         """
+        b_n1, b_n2 = self._check_nonlte(lte, departure_coeffs, line)
         t_0, reyn, csize, dist = self._rt_constants()
         coeffs = rt.RRLCoeffs(line)
         fused = self._use_fused_rrl()
@@ -1292,6 +1301,7 @@ class JetModel:
         has_bursts = self._has_bursts
         fscale = float(rt.flux_scale_jy(csize, dist))
         f = self._ensure_fields()
+        nonlte = not lte
 
         def build():
             use_tiles = tiles is not None
@@ -1299,25 +1309,34 @@ class JetModel:
             tau_maps = self._tau_rrl_dispatch(coeffs, use_tiles,
                                               fused, has_bursts, csize)
 
-            def kernel(f, st, tl, t, freqs):
+            def kernel(f, st, tl, t, freqs, b1, b2):
                 tau_l = tau_maps(f, tl, t, freqs)
                 a_map, em = self._epoch_base_maps_both(f, st, t)
                 scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
                 tau_c = scale[:, None, None] * a_map[None]
-                ints = rt.intensity_rrl_maps(freqs, st.tbar, tau_c, tau_l,
-                                             st.any_in)
+                if nonlte:
+                    safe_t = jnp.where(st.any_in, st.tbar, 1.0)[None]
+                    beta = mrrl.beta_coeff(freqs[:, None, None], safe_t,
+                                           b1, b2)
+                    tau_out = b1 * beta * tau_l
+                    ints = rt.intensity_rrl_maps_nonlte(
+                        freqs, st.tbar, tau_c, tau_l, st.any_in, b1, b2)
+                else:
+                    tau_out = tau_l
+                    ints = rt.intensity_rrl_maps(freqs, st.tbar, tau_c,
+                                                 tau_l, st.any_in)
                 fluxes = ints * jnp.asarray(fscale, ints.dtype)
                 if not contsub:
                     fluxes = fluxes + rt.flux_ff_maps(
                         freqs, tau_c, st.tbar, st.any_in, csize, dist)
-                return em, tau_l, fluxes
+                return em, tau_out, fluxes
             return kernel
 
         freqs = jnp.atleast_1d(jnp.asarray(freq, dtype=self._dtype))
         em, tau_l, fluxes = self._jitted(
-            ('rrl_products', line, contsub, fused, tiles is not None,
-             self._compact_flag(st)), build)(f, st, tiles, self.time,
-                                             freqs)
+            ('rrl_products', line, contsub, nonlte, fused,
+             tiles is not None, self._compact_flag(st)),
+            build)(f, st, tiles, self.time, freqs, b_n1, b_n2)
         return np.asarray(em), np.asarray(tau_l), np.asarray(fluxes)
 
     def _tau_rrl_dispatch(self, coeffs, use_tiles: bool, fused: bool,

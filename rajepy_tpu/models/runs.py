@@ -213,8 +213,15 @@ class RRLRun(ContinuumRun):
                  chanwidth: Optional[float] = None,
                  t_obs: Optional[float] = None,
                  t_int: Optional[float] = None,
-                 tscp: Optional[Tuple[str, str]] = None):
+                 tscp: Optional[Tuple[str, str]] = None,
+                 lte: bool = True):
         self.line = line
+        # beyond-reference: an optional 'lte' array in the rrls params
+        # section runs this line's RT non-LTE (departure coefficients
+        # auto-derived from the bundled case-B table; the reference has
+        # no non-LTE mode at all).  Consumers use getattr(..., 'lte',
+        # True) so pre-r4 pickled pipelines resume unchanged.
+        self.lte = bool(lte)
         freq = mrrl.rrl_nu_0(*mrrl.rrl_parser(line))
         super().__init__(dcy, year, freq, bandwidth, chanwidth, t_obs, t_int,
                          tscp)

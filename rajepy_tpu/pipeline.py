@@ -151,10 +151,13 @@ class Pipeline:
                                else []))):
                 def pick(arr):
                     return (arr[idx2] if miscf.is_iter(arr) else arr)
+                lte_arr = rp.get('lte')
                 runs.append(RRLRun(
                     self.dcy, t, str(line), pick(rp['bws']),
                     pick(rp['chanws']), pick(rp['t_obs']),
-                    pick(rp['t_ints']), pick(rp['tscps'])))
+                    pick(rp['t_ints']), pick(rp['tscps']),
+                    lte=(bool(pick(lte_arr)) if lte_arr is not None
+                         else True)))
                 made_any = True
         if not made_any:
             self.log.add_entry("WARNING", "No RRL runs found")
@@ -276,6 +279,12 @@ class Pipeline:
         groups: Dict[tuple, list] = {}
         for idx, run in enumerate(self.runs):
             if not pending(run):
+                continue
+            if run.obs_type != 'continuum' and \
+                    not getattr(run, 'lte', True):
+                # non-LTE RRL runs take the sequential per-run path
+                # (rrl_rt_products handles their departure-coefficient
+                # composition; fanout's sharded program is LTE-only)
                 continue
             nchan = len(np.atleast_1d(run.chan_freqs))
             key = ('continuum', nchan) if run.obs_type == 'continuum' \
@@ -412,7 +421,8 @@ class Pipeline:
                             em_c, tau_c, flux_c = \
                                 self.model.rrl_rt_products(
                                     run.line, run.chan_freqs,
-                                    contsub=False)
+                                    contsub=False,
+                                    lte=getattr(run, 'lte', True))
                         fan = {'em': em_c, 'tau': tau_c, 'flux': flux_c}
 
                     if not os.path.exists(run.fits_em) or clobber:

@@ -410,3 +410,107 @@ class TestDepartureMaps:
         i_lte = jm.intensity_rrl('H58a', 1.4716e10)
         np.testing.assert_allclose(np.nan_to_num(i_one),
                                    np.nan_to_num(i_lte), rtol=1e-12)
+
+
+class TestNonLTEPipeline:
+    def test_rrl_rt_products_nonlte_consistency(self):
+        """The fused per-run stage with lte=False must equal the public
+        optical_depth_rrl / flux_rrl non-LTE entry points."""
+        import copy
+        from rajepy_tpu import JetModel
+        params = {
+            "target": {"name": "nlp", "ra": "04:31:34.1",
+                       "dec": "+18:08:04.9", "epoch": "J2000",
+                       "dist": 120., "v_lsr": 6.2, "M_star": 0.55,
+                       "R_1": .25, "R_2": 2.5},
+            "grid": {"n_x": 12, "n_y": 24, "n_z": 12, "l_z": None,
+                     "c_size": 0.5},
+            "geometry": {"epsilon": 7. / 9., "opang": 25., "w_0": 1.,
+                         "r_0": 1., "inc": 90., "pa": 0.,
+                         "rotation": "CCW"},
+            "power_laws": {"q_v": 0., "q_T": 0., "q_x": 0., "q^d_n": 0.,
+                           "q^d_T": 0., "q^d_v": 0., "q^d_x": 0.},
+            "properties": {"v_0": 150., "x_0": 0.1, "T_0": 1E4,
+                           "mu": 1.3, "mlr_bj": 1e-7, "mlr_rj": 5e-8},
+            "ejection": {"t_0": np.array([]), "hl": np.array([]),
+                         "chi": np.array([]), "which": np.array([])},
+        }
+        jm = JetModel(copy.deepcopy(params))
+        freqs = np.linspace(1.4715e10, 1.4717e10, 3)
+        bpair = (0.93, 0.97)
+        em, tau_nl, flux_nl = jm.rrl_rt_products(
+            'H58a', freqs, contsub=True, lte=False,
+            departure_coeffs=bpair)
+        tau_api = jm.optical_depth_rrl('H58a', freqs, lte=False,
+                                       departure_coeffs=bpair)
+        flux_api = jm.flux_rrl('H58a', freqs, lte=False, contsub=True,
+                               departure_coeffs=bpair)
+        np.testing.assert_allclose(tau_nl, np.nan_to_num(tau_api),
+                                   rtol=1e-10, atol=1e-300)
+        np.testing.assert_allclose(flux_nl, np.nan_to_num(flux_api),
+                                   rtol=1e-10, atol=1e-300)
+        # and lte=True reproduces the old signature exactly
+        em2, tau_l, flux_l = jm.rrl_rt_products('H58a', freqs,
+                                                contsub=True)
+        np.testing.assert_allclose(
+            tau_l, np.nan_to_num(jm.optical_depth_rrl('H58a', freqs)),
+            rtol=1e-10, atol=1e-300)
+
+    def test_pipeline_lte_flag(self, tmp_path):
+        """An 'lte' array in the rrls params section runs that line's RT
+        non-LTE (auto-derived coefficients) end to end."""
+        import copy
+        from rajepy_tpu import JetModel, Pipeline
+        from rajepy_tpu.io.fits import read_fits
+        params = {
+            "target": {"name": "nlp2", "ra": "04:31:34.1",
+                       "dec": "+18:08:04.9", "epoch": "J2000",
+                       "dist": 120., "v_lsr": 6.2, "M_star": 0.55,
+                       "R_1": .25, "R_2": 2.5},
+            "grid": {"n_x": 12, "n_y": 24, "n_z": 12, "l_z": None,
+                     "c_size": 0.5},
+            "geometry": {"epsilon": 7. / 9., "opang": 25., "w_0": 1.,
+                         "r_0": 1., "inc": 90., "pa": 0.,
+                         "rotation": "CCW"},
+            "power_laws": {"q_v": 0., "q_T": 0., "q_x": 0., "q^d_n": 0.,
+                           "q^d_T": 0., "q^d_v": 0., "q^d_x": 0.},
+            "properties": {"v_0": 150., "x_0": 0.1, "T_0": 1E4,
+                           "mu": 1.3, "mlr_bj": 1e-7, "mlr_rj": 5e-8},
+            "ejection": {"t_0": np.array([]), "hl": np.array([]),
+                         "chi": np.array([]), "which": np.array([])},
+        }
+
+        def pparams(dcy, lte_arr):
+            rr = {'times': np.array([0.]), 'lines': np.array(['H58a']),
+                  't_obs': np.array([1800]),
+                  'tscps': np.array([('VLA', 'D')]),
+                  't_ints': np.array([60]), 'bws': np.array([6e6]),
+                  'chanws': np.array([2e6])}
+            if lte_arr is not None:
+                rr['lte'] = lte_arr
+            return {'min_el': 20., 'dcys': {'model_dcy': dcy},
+                    'continuum': {'times': np.array([]),
+                                  'freqs': np.array([]),
+                                  't_obs': np.array([]),
+                                  'tscps': np.array([]),
+                                  't_ints': np.array([]),
+                                  'bws': np.array([]),
+                                  'chanws': np.array([])},
+                    'rrls': rr}
+
+        pl_nl = Pipeline(JetModel(copy.deepcopy(params)),
+                         pparams(str(tmp_path / 'nl'), np.array([False])))
+        assert pl_nl.runs[0].lte is False
+        pl_nl.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        pl_lte = Pipeline(JetModel(copy.deepcopy(params)),
+                          pparams(str(tmp_path / 'lte'), None))
+        assert pl_lte.runs[0].lte is True
+        pl_lte.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False)
+        f_nl, _ = read_fits(pl_nl.runs[0].fits_flux)
+        f_lte, _ = read_fits(pl_lte.runs[0].fits_flux)
+        assert np.isfinite(np.nan_to_num(f_nl)).all()
+        # the non-LTE stimulated correction changes the line flux
+        assert not np.allclose(np.nan_to_num(f_nl),
+                               np.nan_to_num(f_lte), rtol=1e-6)

@@ -345,3 +345,44 @@ class TestEmergentF32Decomposition:
             emit = s_o[ix] * (-np.expm1(-d_o[ix]))
             out[ix] = np.sum(emit * w, axis=0)
         np.testing.assert_allclose(out, i64, rtol=1e-12)
+
+
+class TestStableExpHelpers:
+    """The Mosaic-safe expm1 substitutes: the r4 wide Taylor bands must
+    hold ~2.4e-6 relative everywhere in f32 (the r3 1e-3 switch left an
+    eps/d ~ 1.2e-4 cancellation band that dominated the emergent
+    kernels' error after the MXU-precision fix)."""
+
+    def test_one_minus_exp_neg(self):
+        from rajepy_tpu.ops.pallas_kernels import _one_minus_exp_neg
+        d64 = np.concatenate([np.geomspace(1e-8, 60.0, 20001),
+                              np.linspace(0.04, 0.06, 2001), [0.0]])
+        got = np.asarray(_one_minus_exp_neg(
+            jnp.asarray(d64, jnp.float32)), np.float64)
+        want = -np.expm1(-d64)
+        err = np.abs(got - want) / np.maximum(want, 1e-300)
+        err[want == 0] = np.abs(got[want == 0])
+        assert err.max() < 2.5e-6, err.max()
+
+    def test_expm1_pos(self):
+        from rajepy_tpu.ops.pallas_kernels import _expm1_pos
+        x64 = np.concatenate([np.geomspace(1e-8, 60.0, 20001),
+                              np.linspace(0.04, 0.06, 2001), [0.0]])
+        got = np.asarray(_expm1_pos(jnp.asarray(x64, jnp.float32)),
+                         np.float64)
+        want = np.expm1(x64)
+        err = np.abs(got - want) / np.maximum(want, 1e-300)
+        err[want == 0] = np.abs(got[want == 0])
+        assert err.max() < 2.5e-6, err.max()
+
+    def test_planck_expm1_dtype_gate(self):
+        """_expm1_planck: Taylor-switch on f32 only — f64 passes through
+        to native expm1 (the parity path must keep its 1e-9 budget)."""
+        from rajepy_tpu.ops.physics import _expm1_planck
+        x = np.geomspace(1e-6, 30.0, 5001)
+        got64 = np.asarray(_expm1_planck(jnp.asarray(x)))
+        np.testing.assert_allclose(got64, np.expm1(x), rtol=1e-14)
+        got32 = np.asarray(_expm1_planck(jnp.asarray(x, jnp.float32)),
+                           np.float64)
+        err = np.max(np.abs(got32 - np.expm1(x)) / np.expm1(x))
+        assert err < 2.5e-6, err

@@ -1397,7 +1397,10 @@ class JetModel:
         ``departure_coeffs`` are passed — completing the reference's
         unfinished non-LTE intent (classes.py:1258-1262 raises there;
         the scaffolding at maths/rrls.py:467-543 had no coefficient
-        source).
+        source).  The table is hydrogenic: for He/C RRLs at these
+        principal quantum numbers the single-electron-around-a-core
+        approximation holds to well below the solver's own rate-model
+        accuracy, so the same b_n serve every supported element.
 
         Memoised per (line, model time): every non-LTE entry point calls
         here, and the characteristic-conditions reduction is a device

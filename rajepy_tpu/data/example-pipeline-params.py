@@ -36,6 +36,10 @@ params = {
         't_ints': np.array([60]),
         'bws': np.array([1e8]),
         'chanws': np.array([1e5]),
+        # optional (beyond-reference): per-line non-LTE radiative
+        # transfer — departure coefficients auto-derived from the
+        # bundled case-B b_n table at the jet's conditions
+        # 'lte': np.array([False]),
     },
 }
 

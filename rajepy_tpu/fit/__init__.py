@@ -85,7 +85,20 @@ SUPPORTED_FREE = {
     # independent, so its gradient is only nonzero through
     # build_rrl_forward
     'target.v_lsr': 'linear',
+    # non-LTE departure coefficients (PSEUDO paths — not params-dict
+    # entries; only the RRL forwards accept them, and param_dict skips
+    # them).  Freeing these fits the G&S stimulated-emission
+    # amplification directly: at radio frequencies the line amplitude
+    # scales ~b_n1 beta with beta ~ (1 - b_n2/b_n1)/(h nu / k T), so a
+    # profile constrains roughly ONE combination — free b_n2 with b_n1
+    # pinned (or vice versa) unless another observable breaks the
+    # degeneracy.
+    'nonlte.b_n1': 'log',
+    'nonlte.b_n2': 'log',
 }
+
+#: the pseudo-paths only the RRL forwards implement
+_NONLTE_FREE = ('nonlte.b_n1', 'nonlte.b_n2')
 
 
 def _get(d: Dict, path: str):
@@ -99,13 +112,17 @@ def _set(d: Dict, path: str, value):
     d[sec][key] = value
 
 
-def _check_free(free: Sequence[str]):
+def _check_free(free: Sequence[str], allow_nonlte: bool = False):
     for p in free:
         if p not in SUPPORTED_FREE:
             raise ValueError(
                 f"unsupported free parameter {p!r}; supported: "
                 f"{sorted(SUPPORTED_FREE)} (n_0/q_n are derived — free "
                 f"'properties.mlr_bj' / 'geometry.epsilon' instead)")
+        if p in _NONLTE_FREE and not allow_nonlte:
+            raise ValueError(
+                f"{p!r} is only meaningful in the RRL forwards "
+                "(build_rrl_forward / fit_rrl_spectrum / fit_rrl_cube)")
 
 
 def _encode(free, params):
@@ -272,6 +289,8 @@ class FitResult(NamedTuple):
         out = copy.deepcopy(params)
         for p, v in self.values.items():
             sec, key = p.split('.')
+            if sec == 'nonlte':   # pseudo path, not a params entry
+                continue
             out[sec][key] = float(v)
         return out
 
@@ -900,7 +919,8 @@ def _closure_loss(vis_obs, n_ant: int, n_t: int, use_phases: bool = True,
 # --------------------------------------------------------------------------- #
 def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
                       time: float = None, dtype=None,
-                      contsub: bool = True, remat: bool = True):
+                      contsub: bool = True, remat: bool = True,
+                      lte: bool = True, departure_coeffs=None):
     """``(forward, theta0)`` with ``forward(theta) -> (n_chan, nx, nz)``
     RRL flux maps [Jy/pixel], differentiable in every freed parameter.
 
@@ -927,7 +947,21 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
     chip (the unremat VJP wants ~20 GB at 256³ x 17 channels); turn off
     for small grids if per-step speed matters more than memory.
     """
-    _check_free(free)
+    free = tuple(free)
+    _check_free(free, allow_nonlte=True)
+    nl_idx = {p: i for i, p in enumerate(free) if p in _NONLTE_FREE}
+    real_free = tuple(p for p in free if p not in _NONLTE_FREE)
+    real_idx = [i for i, p in enumerate(free) if p not in _NONLTE_FREE]
+    nonlte = (not lte) or bool(nl_idx)
+    if nonlte:
+        # fixed values for whichever coefficients are NOT freed (and the
+        # theta0 starting point for those that are): explicit pair, or
+        # the case-B table at the jet's conditions
+        if departure_coeffs is not None:
+            b1_fix, b2_fix = (float(departure_coeffs[0]),
+                              float(departure_coeffs[1]))
+        else:
+            b1_fix, b2_fix = jm.departure_coefficients(line)
     params = copy.deepcopy(jm.params)
     t_model = float(jm.time if time is None else time)
     dt = jnp.float64 if dtype is None else dtype
@@ -949,7 +983,9 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
         b_red = jnp.asarray([b[3] for b in burst], jnp.bool_)
 
     def forward(theta):
-        q, rb_frac = _substitute(free, params, jnp.asarray(theta, dt))
+        theta = jnp.asarray(theta, dt)
+        q, rb_frac = _substitute(real_free, params, theta[
+            jnp.asarray(real_idx, jnp.int32)] if real_idx else theta[:0])
         f = F.compute_static_fields(q, xx, yy, zz, rb_frac,
                                     with_time=has_bursts)
         nd = f.nd
@@ -964,24 +1000,46 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
         tau_l = rt.tau_rrl_maps(coeffs, freqs, f.temp, n_es, f.vy, ds,
                                 f.inside, remat=remat)
         tbar, any_in = rt.mean_temperature_map(f.temp, f.inside)
-        ints = rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l, any_in)
+        if nonlte:
+            b1 = (jnp.exp(theta[nl_idx['nonlte.b_n1']])
+                  if 'nonlte.b_n1' in nl_idx
+                  else jnp.asarray(b1_fix, dt))
+            b2 = (jnp.exp(theta[nl_idx['nonlte.b_n2']])
+                  if 'nonlte.b_n2' in nl_idx
+                  else jnp.asarray(b2_fix, dt))
+            ints = rt.intensity_rrl_maps_nonlte(freqs, tbar, tau_c,
+                                                tau_l, any_in, b1, b2)
+        else:
+            ints = rt.intensity_rrl_maps(freqs, tbar, tau_c, tau_l,
+                                         any_in)
         fl = ints * rt.flux_scale_jy(csize, q['target']['dist'])
         if not contsub:
             fl = fl + rt.flux_ff_maps(freqs, tau_c, tbar, any_in, csize,
                                       q['target']['dist'])
         return fl
 
-    return forward, _encode(free, params)
+    th0 = np.zeros(len(free))
+    real_th0 = np.asarray(_encode(real_free, params))
+    for k, i in enumerate(real_idx):
+        th0[i] = real_th0[k]
+    for pth, i in nl_idx.items():
+        th0[i] = np.log(b1_fix if pth == 'nonlte.b_n1' else b2_fix)
+    return forward, jnp.asarray(th0, jnp.float64)
 
 
 def build_rrl_spectrum_forward(jm, line: str, freqs, free: Sequence[str],
                                time: float = None, dtype=None,
-                               contsub: bool = True):
+                               contsub: bool = True, lte: bool = True,
+                               departure_coeffs=None):
     """``forward(theta) -> (n_chan,)`` spatially-integrated RRL spectrum
     [Jy] — the line profile a single-dish or unresolved-interferometric
-    observation measures."""
+    observation measures.  ``lte=False`` (or freeing the
+    ``nonlte.b_n1``/``nonlte.b_n2`` pseudo-parameters) swaps in the G&S
+    non-LTE composition, so observed stimulated amplification becomes a
+    fittable quantity."""
     fwd, theta0 = build_rrl_forward(jm, line, freqs, free, time, dtype,
-                                    contsub)
+                                    contsub, lte=lte,
+                                    departure_coeffs=departure_coeffs)
 
     def forward(theta):
         return jnp.sum(fwd(theta), axis=(1, 2))
@@ -996,7 +1054,8 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
                      time=None, contsub: bool = True,
                      optimizer=None, n_starts: int = 1,
                      start_spread: float = 0.3, seed: int = 0,
-                     mesh=None) -> FitResult:
+                     mesh=None, lte: bool = True,
+                     departure_coeffs=None) -> FitResult:
     """Fit freed parameters to an observed RRL spectrum (integrated
     fluxes [Jy] at channel frequencies ``freqs`` spanning the line).
 
@@ -1006,9 +1065,16 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
     observed power (line fluxes pass through zero in the wings, so the
     SED's log-space loss does not apply); with ``errors`` it is the
     standard per-channel chi-squared.
+
+    ``lte=False``, or freeing ``'nonlte.b_n1'``/``'nonlte.b_n2'``, fits
+    through the G&S non-LTE composition (amplified/masing profiles);
+    note the near-degeneracy documented at :data:`SUPPORTED_FREE` —
+    free one coefficient at a time unless another observable pins the
+    other.
     """
-    forward, theta0 = build_rrl_spectrum_forward(jm, line, freqs, free,
-                                                 time, contsub=contsub)
+    forward, theta0 = build_rrl_spectrum_forward(
+        jm, line, freqs, free, time, contsub=contsub, lte=lte,
+        departure_coeffs=departure_coeffs)
     return _run_fit(forward, theta0, free,
                     _power_norm_loss(observed, errors), steps,
                     learning_rate, optimizer, n_starts, start_spread,
@@ -1022,7 +1088,8 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
                  time=None, contsub: bool = True,
                  optimizer=None, n_starts: int = 1,
                  start_spread: float = 0.3, seed: int = 0,
-                 mesh=None) -> FitResult:
+                 mesh=None, lte: bool = True,
+                 departure_coeffs=None) -> FitResult:
     """Fit freed parameters to a spatially-resolved RRL channel cube
     ``observed_cube`` of shape (n_chan, nx, nz) [Jy/pixel].
 
@@ -1032,10 +1099,13 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
     ``power_laws.q_v``) that a spatially-integrated spectrum — where
     red- and blue-shifted emission blend into one profile — cannot
     separate.  The kinematic inverse problem of the reference's
-    forward-only channel maps (classes.py:1292-1351).
+    forward-only channel maps (classes.py:1292-1351).  ``lte``/
+    ``departure_coeffs``/``nonlte.*`` frees as in
+    :func:`fit_rrl_spectrum`.
     """
     fwd, theta0 = build_rrl_forward(jm, line, freqs, free, time,
-                                    contsub=contsub)
+                                    contsub=contsub, lte=lte,
+                                    departure_coeffs=departure_coeffs)
     return _run_fit(fwd, theta0, free,
                     _power_norm_loss(observed_cube, errors), steps,
                     learning_rate, optimizer, n_starts, start_spread,

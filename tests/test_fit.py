@@ -909,3 +909,54 @@ class TestSweep:
         both = jfit.sweep(jm, SED_FREQS[:2], grid, mesh=mesh,
                           batch_size=3)   # rounded up to 8/dev multiple
         np.testing.assert_allclose(both.values, seq.values, rtol=1e-10)
+
+
+class TestNonLTEFitting:
+    """Freeing the G&S departure coefficients: observed stimulated
+    amplification becomes a fittable quantity (the reference has no
+    non-LTE mode at all, let alone its inverse problem)."""
+
+    def test_nonlte_forward_matches_flux_rrl(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 5))
+        bpair = (0.93, 0.97)
+        fwd, th0 = jfit.build_rrl_spectrum_forward(
+            jm, 'H58a', freqs, ('properties.T_0',), lte=False,
+            departure_coeffs=bpair)
+        ours = np.asarray(fwd(th0))
+        api = np.nansum(jm.flux_rrl('H58a', freqs, lte=False,
+                                    departure_coeffs=bpair),
+                        axis=(1, 2))
+        assert ours == pytest.approx(api, rel=1e-12)
+
+    def test_recover_b_n2(self, model_params):
+        """Synthesise an amplified profile at known (b_n1, b_n2); free
+        b_n2 (b_n1 pinned — the two are near-degenerate in a single
+        profile) and recover it."""
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 7))
+        b_true = (0.95, 0.985)
+        obs = np.nansum(jm.flux_rrl('H58a', freqs, lte=False,
+                                    departure_coeffs=b_true),
+                        axis=(1, 2))
+        res = jfit.fit_rrl_spectrum(
+            jm, 'H58a', freqs, obs, free=('nonlte.b_n2',), lte=False,
+            departure_coeffs=(0.95, 0.95),   # start b_n2 wrong
+            steps=300, learning_rate=0.01)
+        got = res.values['nonlte.b_n2']
+        assert got == pytest.approx(0.985, abs=2e-3), got
+        # theta0 for a freed coefficient starts at the supplied value
+        _, th0 = jfit.build_rrl_spectrum_forward(
+            jm, 'H58a', freqs, ('nonlte.b_n2', 'properties.T_0'),
+            lte=False, departure_coeffs=(0.9, 0.8))
+        assert float(np.exp(th0[0])) == pytest.approx(0.8, rel=1e-12)
+        # param_dict skips the pseudo path (result stays JetModel-able)
+        pd = res.param_dict(jm.params)
+        assert 'nonlte' not in pd
+
+    def test_nonlte_free_rejected_outside_rrl(self, model_params):
+        jm = JetModel(_small(model_params))
+        with pytest.raises(ValueError, match="only meaningful"):
+            jfit.build_sed_forward(jm, SED_FREQS, ('nonlte.b_n2',))

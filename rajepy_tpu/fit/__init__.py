@@ -1116,10 +1116,35 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
 # Joint multi-observable fitting
 # --------------------------------------------------------------------------- #
 def _component_forward_loss(jm, comp: Dict, free, time, dtype):
-    """(forward, weighted_loss, theta0) for one fit_joint component."""
+    """(forward, weighted_loss, theta0) for one fit_joint component.
+
+    ``nonlte.*`` pseudo-parameters only exist in the RRL forwards; for
+    every other kind the component builds on the real-parameter subset
+    and its forward ignores (zero-gradient) the nonlte theta entries —
+    exactly right physically (departure coefficients do not touch the
+    continuum), and exactly what lets a joint SED + non-LTE-profile fit
+    break the b_n1/b_n2 single-profile degeneracy.  Such a component's
+    theta0 carries NaN at the nonlte slots; fit_joint merges slot-wise.
+    """
     kind = comp['kind']
     w = float(comp.get('weight', 1.0))
     errors = comp.get('errors')
+    rrl_kinds = ('rrl_spectrum', 'rrl_cube')
+    nl_in_free = [p for p in free if p in _NONLTE_FREE]
+    if nl_in_free and kind not in rrl_kinds:
+        real_free = tuple(p for p in free if p not in _NONLTE_FREE)
+        real_idx = jnp.asarray(
+            [i for i, p in enumerate(free) if p not in _NONLTE_FREE],
+            jnp.int32)
+        fwd_r, loss_r, th0_r = _component_forward_loss(
+            jm, comp, real_free, time, dtype)
+
+        def fwd_full(theta, _f=fwd_r, _i=real_idx):
+            return _f(jnp.asarray(theta)[_i])
+
+        th0 = np.full(len(free), np.nan)
+        th0[np.asarray(real_idx)] = np.asarray(th0_r)
+        return fwd_full, loss_r, jnp.asarray(th0)
     if kind == 'sed':
         fwd, th0 = build_sed_forward(jm, comp['freqs'], free, time, dtype)
         base = _sed_loss(comp['observed'], errors)
@@ -1134,12 +1159,14 @@ def _component_forward_loss(jm, comp: Dict, free, time, dtype):
     elif kind == 'rrl_spectrum':
         fwd, th0 = build_rrl_spectrum_forward(
             jm, comp['line'], comp['freqs'], free, time, dtype,
-            comp.get('contsub', True))
+            comp.get('contsub', True), lte=comp.get('lte', True),
+            departure_coeffs=comp.get('departure_coeffs'))
         base = _power_norm_loss(comp['observed'], errors)
     elif kind == 'rrl_cube':
         fwd, th0 = build_rrl_forward(
             jm, comp['line'], comp['freqs'], free, time, dtype,
-            comp.get('contsub', True))
+            comp.get('contsub', True), lte=comp.get('lte', True),
+            departure_coeffs=comp.get('departure_coeffs'))
         base = _power_norm_loss(comp['observed'], errors)
     elif kind == 'visibilities':
         fwd, th0 = build_vis_forward(
@@ -1236,7 +1263,17 @@ def fit_joint(jm, components: Sequence[Dict], *,
                                             dtype)
         fwds.append(f)
         losses.append(l)
-        theta0 = th0
+        # slot-wise merge: a non-RRL component leaves NaN at any
+        # nonlte.* slots (it has no opinion on departure-coefficient
+        # starting values); an RRL component fills them
+        th0 = np.asarray(th0, float)
+        theta0 = th0 if theta0 is None else np.where(
+            np.isnan(theta0), th0, theta0)
+    if theta0 is not None and np.isnan(theta0).any():
+        raise ValueError(
+            "freed nonlte.* parameters need at least one rrl_spectrum/"
+            "rrl_cube component to define their starting values")
+    theta0 = jnp.asarray(theta0)
 
     def forward(theta):
         return tuple(f(theta) for f in fwds)

@@ -960,3 +960,51 @@ class TestNonLTEFitting:
         jm = JetModel(_small(model_params))
         with pytest.raises(ValueError, match="only meaningful"):
             jfit.build_sed_forward(jm, SED_FREQS, ('nonlte.b_n2',))
+
+    def test_joint_sed_plus_nonlte_profile(self, model_params):
+        """Mixed joint fit: the SED component builds on the real-
+        parameter subset (nonlte.* slots are zero-gradient there) while
+        the non-LTE profile component owns the b's.  Amplitude-only
+        observables cannot split (mlr, b_n1, b_n2) completely — the
+        physical degeneracy — so the assertions are the honest ones:
+        the fit reproduces BOTH observations and stays on the
+        degeneracy surface near the truth."""
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 7))
+        b_true = (0.94, 0.98)
+        obs_line = np.nansum(jm.flux_rrl('H58a', freqs, lte=False,
+                                         departure_coeffs=b_true),
+                             axis=(1, 2))
+        obs_sed = np.nansum(jm.flux_ff(SED_FREQS), axis=(1, 2))
+        # b_n1 pinned at truth, b_n2 freed: the well-posed joint
+        # problem (freeing BOTH b's leaves the beta sign-flip cliff in
+        # the landscape — beta ~ (1 - b2/b1)/x diverges as x -> 0 — and
+        # amplitude-only data cannot regularise it)
+        res = jfit.fit_joint(
+            jm,
+            [{'kind': 'sed', 'freqs': SED_FREQS, 'observed': obs_sed},
+             {'kind': 'rrl_spectrum', 'line': 'H58a', 'freqs': freqs,
+              'observed': obs_line, 'lte': False,
+              'departure_coeffs': (b_true[0], b_true[0])}],
+            free=('properties.mlr_bj', 'nonlte.b_n2'),
+            steps=500, learning_rate=0.005)
+        assert res.values['properties.mlr_bj'] == pytest.approx(
+            jm.params['properties']['mlr_bj'], rel=0.02)
+        assert res.values['nonlte.b_n2'] == pytest.approx(b_true[1],
+                                                          abs=5e-3)
+        fit_sed = np.asarray(res.model[0])
+        fit_line = np.asarray(res.model[1])
+        np.testing.assert_allclose(fit_sed, obs_sed, rtol=3e-2)
+        np.testing.assert_allclose(fit_line, obs_line, rtol=3e-2,
+                                   atol=1e-12)
+
+    def test_joint_nonlte_requires_rrl_component(self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        obs_sed = np.nansum(jm.flux_ff(SED_FREQS), axis=(1, 2))
+        with pytest.raises(ValueError, match="rrl_spectrum"):
+            jfit.fit_joint(
+                jm, [{'kind': 'sed', 'freqs': SED_FREQS,
+                      'observed': obs_sed}],
+                free=('nonlte.b_n2',), steps=2)

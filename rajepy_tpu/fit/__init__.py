@@ -101,6 +101,17 @@ SUPPORTED_FREE = {
 _NONLTE_FREE = ('nonlte.b_n1', 'nonlte.b_n2')
 
 
+def _split_nonlte(free):
+    """(real_free, real_idx, nl_idx): the params-dict paths, their theta
+    positions, and the {pseudo-path: theta position} map — the one
+    splitting rule for the nonlte pseudo-parameters."""
+    free = tuple(free)
+    nl_idx = {p: i for i, p in enumerate(free) if p in _NONLTE_FREE}
+    real_free = tuple(p for p in free if p not in _NONLTE_FREE)
+    real_idx = [i for i, p in enumerate(free) if p not in _NONLTE_FREE]
+    return real_free, real_idx, nl_idx
+
+
 def _get(d: Dict, path: str):
     sec, key = path.split('.')
     return d[sec][key]
@@ -949,9 +960,7 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
     """
     free = tuple(free)
     _check_free(free, allow_nonlte=True)
-    nl_idx = {p: i for i, p in enumerate(free) if p in _NONLTE_FREE}
-    real_free = tuple(p for p in free if p not in _NONLTE_FREE)
-    real_idx = [i for i, p in enumerate(free) if p not in _NONLTE_FREE]
+    real_free, real_idx, nl_idx = _split_nonlte(free)
     nonlte = (not lte) or bool(nl_idx)
     if nonlte:
         # fixed values for whichever coefficients are NOT freed (and the
@@ -1130,12 +1139,9 @@ def _component_forward_loss(jm, comp: Dict, free, time, dtype):
     w = float(comp.get('weight', 1.0))
     errors = comp.get('errors')
     rrl_kinds = ('rrl_spectrum', 'rrl_cube')
-    nl_in_free = [p for p in free if p in _NONLTE_FREE]
-    if nl_in_free and kind not in rrl_kinds:
-        real_free = tuple(p for p in free if p not in _NONLTE_FREE)
-        real_idx = jnp.asarray(
-            [i for i, p in enumerate(free) if p not in _NONLTE_FREE],
-            jnp.int32)
+    real_free, real_idx_l, nl_idx = _split_nonlte(free)
+    if nl_idx and kind not in rrl_kinds:
+        real_idx = jnp.asarray(real_idx_l, jnp.int32)
         fwd_r, loss_r, th0_r = _component_forward_loss(
             jm, comp, real_free, time, dtype)
 

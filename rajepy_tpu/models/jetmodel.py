@@ -1207,6 +1207,16 @@ class JetModel:
                     jnp.asarray(seg))
         return self._rrl_tiles_cache or None
 
+    @staticmethod
+    def _nonlte_tau(st, freqs, tau_l, b_n1, b_n2):
+        """Stimulated-corrected non-LTE line opacity b_n1 beta tau_L*
+        (G&S 2.141) — the ONE definition shared by _rrl_kernel's tau
+        branch and rrl_rt_products (a composition fix must not be
+        applied twice)."""
+        safe_t = jnp.where(st.any_in, st.tbar, 1.0)[None]
+        beta = mrrl.beta_coeff(freqs[:, None, None], safe_t, b_n1, b_n2)
+        return b_n1 * beta * tau_l
+
     def _rrl_kernel(self, line: str, kind: str, collapse: bool = True,
                     nonlte: bool = False):
         """Jitted (fields, t, freqs, b_n1, b_n2) -> RRL tau/intensity
@@ -1236,11 +1246,8 @@ class JetModel:
                 if kind == 'tau':
                     if not nonlte:
                         return tau_l
-                    # non-LTE line opacity: b_n1 beta tau_L* (G&S 2.141)
-                    safe_t = jnp.where(st.any_in, st.tbar, 1.0)[None]
-                    beta = mrrl.beta_coeff(freqs[:, None, None], safe_t,
-                                           b_n1, b_n2)
-                    return b_n1 * beta * tau_l
+                    return self._nonlte_tau(st, freqs, tau_l, b_n1,
+                                            b_n2)
                 if fused:
                     # continuum opacity from the cached factorised base
                     # (identical maths to tau_ff_maps; no full-grid pass)
@@ -1315,10 +1322,7 @@ class JetModel:
                 scale = rt.tau_ff_channel_scale(freqs, t_0, reyn)
                 tau_c = scale[:, None, None] * a_map[None]
                 if nonlte:
-                    safe_t = jnp.where(st.any_in, st.tbar, 1.0)[None]
-                    beta = mrrl.beta_coeff(freqs[:, None, None], safe_t,
-                                           b1, b2)
-                    tau_out = b1 * beta * tau_l
+                    tau_out = self._nonlte_tau(st, freqs, tau_l, b1, b2)
                     ints = rt.intensity_rrl_maps_nonlte(
                         freqs, st.tbar, tau_c, tau_l, st.any_in, b1, b2)
                 else:

@@ -480,7 +480,8 @@ class Pipeline:
                             else:
                                 self.model.optical_depth_rrl(
                                     run.line, run.chan_freqs,
-                                    savefits=run.fits_tau)
+                                    savefits=run.fits_tau,
+                                    lte=getattr(run, 'lte', True))
                         if not os.path.exists(run.fits_flux) or clobber:
                             self.log.add_entry(
                                 "INFO", "Calculating fluxes and saving to "
@@ -493,7 +494,8 @@ class Pipeline:
                             else:
                                 fluxes = self.model.flux_rrl(
                                     run.line, run.chan_freqs, contsub=False,
-                                    savefits=run.fits_flux)
+                                    savefits=run.fits_flux,
+                                    lte=getattr(run, 'lte', True))
                         else:
                             from .io.fits import read_fits
                             fluxes = read_fits(run.fits_flux)[0]

@@ -460,6 +460,10 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
                                  **kw)
     sky = jnp.asarray(sky)
     freqs = jnp.asarray(freqs)
+    # per-channel noise (the tsys-atm model) must be sliced alongside
+    # its channels; scalars pass through
+    sig = jnp.asarray(sigma)
+    per_chan = sig.ndim >= 1 and sig.shape[0] == n_chan
     parts = []
     for lo in range(0, n_chan, chunk):
         n_want = min(lo + chunk, n_chan) - lo
@@ -467,9 +471,10 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
         # `chunk` channels (the overlap is recomputed and sliced off)
         start = lo if n_want == chunk else n_chan - chunk
         key, sub = jax.random.split(key)
-        out = _sample_vis_chunk(sky[start:start + chunk], cell_rad, uvw,
-                                freqs[start:start + chunk], sub, sigma,
-                                **kw)
+        out = _sample_vis_chunk(
+            sky[start:start + chunk], cell_rad, uvw,
+            freqs[start:start + chunk], sub,
+            sig[start:start + chunk] if per_chan else sigma, **kw)
         parts.append(tuple(o[chunk - n_want:] for o in out))
     return tuple(jnp.concatenate([p[i] for p in parts])
                  for i in range(4))

@@ -1,5 +1,7 @@
 """RRL physics beyond the hot path: band-integrated profiles, channel-
 averaged opacity, non-LTE coefficient scaffolding — vs the reference."""
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -514,3 +516,13 @@ class TestNonLTEPipeline:
         # the non-LTE stimulated correction changes the line flux
         assert not np.allclose(np.nan_to_num(f_nl),
                                np.nan_to_num(f_lte), rtol=1e-6)
+        # RESUME with only the flux product missing: the per-product
+        # fallback path must keep the run's non-LTE mode (a silent LTE
+        # recompute under the non-LTE filename was a real r4 bug)
+        os.remove(pl_nl.runs[0].fits_flux)
+        pl_nl.runs[0].completed = False
+        pl_nl.execute(simobserve=False, verbose=False, resume=True,
+                      clobber=False, plot=False)
+        f_res, _ = read_fits(pl_nl.runs[0].fits_flux)
+        np.testing.assert_allclose(np.nan_to_num(f_res),
+                                   np.nan_to_num(f_nl), rtol=1e-10)

@@ -1230,3 +1230,14 @@ def test_sample_vis_chunked_matches_unchunked():
         resid = np.asarray(rn) - np.asarray(rc1)
         for c in range(n_chan):
             assert 0.02 < resid[c].std() < 0.3, c
+    # per-channel sigma (the tsys-atm noise model) slices with its
+    # channels — and each chunk applies ITS channels' sigmas
+    sig_c = jnp.asarray(np.linspace(0.05, 1.0, n_chan))
+    rc3, ic3, rn3, in3 = sampler.sample_vis_cube_with_noise(
+        sky, cell, uvw, freqs, key, sig_c, chan_chunk=3)
+    np.testing.assert_allclose(np.asarray(rc3), np.asarray(rc2),
+                               rtol=1e-12)
+    resid3 = np.asarray(rn3) - np.asarray(rc3)
+    for c in range(n_chan):
+        assert 0.3 * float(sig_c[c]) < resid3[c].std() < \
+            3.0 * float(sig_c[c]), c

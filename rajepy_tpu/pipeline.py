@@ -543,6 +543,10 @@ class Pipeline:
                 # asking for selfcal/multiscale means "where applicable"
                 so_kwargs = dict(self.params.get('synthobs') or {})
                 so_kwargs.setdefault('min_el', self.params['min_el'])
+                # stage-level resume: a rerun after an imaging-stage
+                # failure reuses the pre-imaging visibility sets (same
+                # model/plan/seed signature) instead of resampling
+                so_kwargs.setdefault('reuse_vis', resume and not clobber)
                 # device_fanout=False also pins cube imaging to the
                 # single-path CLEAN (None/True leave the auto choice),
                 # so a sequential execute is REALLY sequential — the

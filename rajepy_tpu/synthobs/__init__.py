@@ -19,7 +19,9 @@ High-level driver mirroring the reference's simobserve/tclean/imfit stage
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import zipfile
 from typing import Dict, Optional
 
 import numpy as np
@@ -79,7 +81,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          selfcal_rounds: int = 1,
                          applycal_gains: Optional[str] = None,
                          save_products: tuple = (),
-                         shard_imaging: Optional[bool] = None
+                         shard_imaging: Optional[bool] = None,
+                         reuse_vis: bool = False
                          ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -155,6 +158,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     not drained from the device — a 1,000-channel residual cube is
     another GB of host traffic; re-image from the saved visibility
     products if needed).  Default: none.
+
+    ``reuse_vis=True`` enables stage-level resume: the sampled (clean
+    and noisy) visibility sets are written to disk BEFORE imaging, and
+    a rerun that finds matching saved sets (same sky model, uv plan,
+    seed and corruption signature) loads them and skips straight to
+    imaging.  This bounds the cost of an imaging-stage failure — on a
+    remote accelerator a crashed worker loses all device state, and
+    re-sampling a 1,000-channel cube is minutes of lost work (the role
+    CASA's on-disk measurement set plays between simobserve and
+    tclean).  ``Pipeline.execute(resume=True)`` passes this through
+    automatically; a changed model or observation invalidates the
+    signature and resamples.
     """
     if pb_model not in ('gaussian', 'airy'):
         raise ValueError(f"unknown pb_model {pb_model!r} (gaussian/airy)")
@@ -302,28 +317,84 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     # range for noise-dominated synthetic observations); CPU keeps f64
     rdt = jnp.float32 if jax.default_backend() == 'tpu' else jnp.float64
 
+    # --- stage-level resume (reuse_vis) ---------------------------------- #
+    # visibility products live under run.rt_dcy/SynObs; paths are fixed
+    # before sampling so the sets can be written pre-imaging and found
+    # again by a resumed process
+    base = os.path.basename(ant_file)
+    if base.endswith('.cfg'):
+        base = base[:-4]
+    synobs_dcy = os.path.join(run.rt_dcy, 'SynObs')
+    clean_vis_file = os.path.join(synobs_dcy, f'SynObs.{base}.vis.npz')
+    noisy_vis_file = os.path.join(synobs_dcy,
+                                  f'SynObs.{base}.noisy.vis.npz')
+
+    def _vis_signature() -> str:
+        """Fingerprint of everything upstream of the sampled
+        visibilities: sky model bytes, uv plan, noise model, seed and
+        the corruption / gain-transfer configuration.  A rerun whose
+        signature matches may safely reuse the saved sets."""
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(sky).tobytes())
+        h.update(np.ascontiguousarray(uvw).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(sigma)).tobytes())
+        h.update(np.asarray(freqs).tobytes())
+        parts = [sky.shape, int(seed), bool(apply_pb), pb_model,
+                 float(pb_blockage_m), int(w_planes),
+                 sorted((corruption or {}).items())]
+        if applycal_gains:
+            st = os.stat(applycal_gains)
+            parts.append((os.path.abspath(applycal_gains),
+                          st.st_size, st.st_mtime_ns))
+        h.update(repr(parts).encode())
+        return h.hexdigest()
+
+    vis_sig = _vis_signature()
+    reused = False
+    if reuse_vis and os.path.exists(clean_vis_file) \
+            and os.path.exists(noisy_vis_file):
+        try:
+            with np.load(clean_vis_file) as fc, \
+                    np.load(noisy_vis_file) as fn:
+                if (str(fc.get('resume_sig', '')) == vis_sig and
+                        str(fn.get('resume_sig', '')) == vis_sig):
+                    re_cn, im_cn = fc['vis_re'], fc['vis_im']
+                    re_nn, im_nn = fn['vis_re'], fn['vis_im']
+                    reused = True
+        except (OSError, EOFError, ValueError, KeyError,
+                zipfile.BadZipFile):
+            reused = False      # unreadable / truncated set: resample
+    if reused and log:
+        log.add_entry(
+            "INFO",
+            "Reusing sampled visibilities from {} (signature match — "
+            "skipping the sampling/corruption stages)".format(
+                os.path.basename(noisy_vis_file)), timestamp=False)
+
     # all channels batched on device: FFT each channel's sky plane, apply
     # its own Gaussian primary beam (the role of CASA's vpmanager PB,
     # casa/_interface.py:17-27) and sample at its own uv wavelengths
     mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
-    with KernelTimer("synthobs: vis sampling (+noise)", log) as kt:
-        key, sub = jax.random.split(key)
-        re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
-            jnp.asarray(sky, rdt), cell_model_rad, jnp.asarray(uvw, rdt),
-            jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
-            dish_diameter_m=mean_dish, w_planes=w_planes,
-            pb_model=pb_model, pb_blockage_m=pb_blockage_m)
-        kt.set_result((re_c, im_c, re_n, im_n))
-    # keep visibilities as (re, im) float pairs end to end: complex
-    # arrays can't cross the device boundary on TPU backends, and a
-    # (2x-sized) complex128 host copy of a 1,000-channel set costs
-    # gigabytes for nothing
-    re_cn, im_cn = np.asarray(re_c), np.asarray(im_c)
-    re_nn, im_nn = np.asarray(re_n), np.asarray(im_n)
+    if not reused:
+        with KernelTimer("synthobs: vis sampling (+noise)", log) as kt:
+            key, sub = jax.random.split(key)
+            re_c, im_c, re_n, im_n = sampler.sample_vis_cube_with_noise(
+                jnp.asarray(sky, rdt), cell_model_rad,
+                jnp.asarray(uvw, rdt),
+                jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
+                dish_diameter_m=mean_dish, w_planes=w_planes,
+                pb_model=pb_model, pb_blockage_m=pb_blockage_m)
+            kt.set_result((re_c, im_c, re_n, im_n))
+        # keep visibilities as (re, im) float pairs end to end: complex
+        # arrays can't cross the device boundary on TPU backends, and a
+        # (2x-sized) complex128 host copy of a 1,000-channel set costs
+        # gigabytes for nothing
+        re_cn, im_cn = np.asarray(re_c), np.asarray(im_c)
+        re_nn, im_nn = np.asarray(re_n), np.asarray(im_n)
 
     # --- antenna gain corruption (sm.setgain analogue) ------------------- #
     n_ant = ant['xyz'].shape[0]
-    if corruption:
+    if corruption and not reused:
         g_re, g_im = calibration.simulate_gain_errors(
             int(corruption.get('seed', seed + 1)), n_samp, n_ant,
             amp_rms=float(corruption.get('amp_rms', 0.0)),
@@ -348,7 +419,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 timestamp=False)
 
     # --- gain transfer (applycal with a gains product) ------------------- #
-    if applycal_gains:
+    if applycal_gains and not reused:
         gt = np.load(applycal_gains)
         g_re_t = np.asarray(gt['g_re'])
         g_im_t = np.asarray(gt['g_im'])
@@ -380,6 +451,22 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 "integrations)".format(os.path.basename(applycal_gains),
                                        g_re_t.shape[0], n_samp),
                 timestamp=False)
+
+    # --- visibility products, written BEFORE imaging ---------------------- #
+    # the measurement-set analogue hits disk as soon as it exists, so an
+    # imaging-stage failure (e.g. a crashed remote accelerator worker)
+    # never loses the sampling stage: a reuse_vis rerun resumes from here
+    if not reused:
+        os.makedirs(synobs_dcy, exist_ok=True)
+        with KernelTimer("synthobs: vis npz write", log):
+            # uncompressed, (re, im) float pairs at compute precision:
+            # noisy visibilities are incompressible, and zlib over a
+            # multi-GB complex128 copy dominated the 1,000-channel
+            # pipeline's wall time (BASELINE.md stage table)
+            np.savez(clean_vis_file, uvw=uvw, vis_re=re_cn, vis_im=im_cn,
+                     freqs=freqs, sigma=0.0, resume_sig=vis_sig)
+            np.savez(noisy_vis_file, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
+                     freqs=freqs, sigma=sigma, resume_sig=vis_sig)
 
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
@@ -630,25 +717,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     bmaj_rad, bmin_rad, bpa_deg = beam
 
     # --- products -------------------------------------------------------- #
-    base = os.path.basename(ant_file)
-    if base.endswith('.cfg'):
-        base = base[:-4]
+    # (the clean/noisy visibility sets were written before imaging)
     dcy = run.rt_dcy
-    synobs_dcy = os.path.join(dcy, 'SynObs')
-    os.makedirs(synobs_dcy, exist_ok=True)
-    clean_vis_file = os.path.join(synobs_dcy, f'SynObs.{base}.vis.npz')
-    noisy_vis_file = os.path.join(synobs_dcy,
-                                  f'SynObs.{base}.noisy.vis.npz')
-    with KernelTimer("synthobs: vis npz write", log):
-        # uncompressed, (re, im) float pairs at compute precision: noisy
-        # visibilities are incompressible, and zlib over a multi-GB
-        # complex128 copy dominated the 1,000-channel pipeline's wall
-        # time (BASELINE.md stage table)
-        np.savez(clean_vis_file, uvw=uvw, vis_re=re_cn, vis_im=im_cn,
-                 freqs=freqs, sigma=0.0)
-        np.savez(noisy_vis_file, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
-                 freqs=freqs, sigma=sigma)
-        if re_sc is not None:
+    if re_sc is not None:
+        with KernelTimer("synthobs: selfcal npz write", log):
             selfcal_vis_file = os.path.join(
                 synobs_dcy, f'SynObs.{base}.selfcal.vis.npz')
             np.savez(selfcal_vis_file, uvw=uvw, vis_re=re_sc,

@@ -1241,3 +1241,79 @@ def test_sample_vis_chunked_matches_unchunked():
     for c in range(n_chan):
         assert 0.3 * float(sig_c[c]) < resid3[c].std() < \
             3.0 * float(sig_c[c]), c
+
+
+class TestVisReuse:
+    """Stage-level resume: reuse_vis loads the pre-imaging visibility
+    sets (written before the imaging stage) instead of resampling."""
+
+    def _pipeline(self, model_params, tmp_path, sub):
+        import rajepy_tpu
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / sub)},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        jm = rajepy_tpu.JetModel(p)
+        pline = rajepy_tpu.Pipeline(jm, pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        return pline
+
+    def test_reuse_skips_sampling_and_reproduces_image(
+            self, model_params, tmp_path, monkeypatch):
+        from rajepy_tpu.synthobs import sampler, simulate_observation
+        from rajepy_tpu.io.fits import read_fits
+        pline = self._pipeline(model_params, tmp_path, 'reuse')
+        run = pline.runs[0]
+        prods1 = simulate_observation(pline, run, niter=0)
+        img1, _ = read_fits(prods1['clean_image'])
+
+        # vis products exist BEFORE any rerun (written pre-imaging)
+        assert os.path.exists(prods1['ms_noisy'])
+        with np.load(prods1['ms_noisy']) as f:
+            assert 'resume_sig' in f
+
+        # a resumed run must never touch the sampler
+        def boom(*a, **k):
+            raise RuntimeError("sampler called despite reuse_vis")
+        monkeypatch.setattr(sampler, 'sample_vis_cube_with_noise', boom)
+        prods2 = simulate_observation(pline, run, niter=0,
+                                      reuse_vis=True)
+        img2, _ = read_fits(prods2['clean_image'])
+        np.testing.assert_allclose(img2, img1, rtol=0, atol=0)
+
+        # a changed seed invalidates the signature -> resample attempted
+        with pytest.raises(RuntimeError, match="sampler called"):
+            simulate_observation(pline, run, niter=0, reuse_vis=True,
+                                 seed=12345)
+
+    def test_corrupt_saved_set_falls_back_to_sampling(
+            self, model_params, tmp_path):
+        from rajepy_tpu.synthobs import simulate_observation
+        from rajepy_tpu.io.fits import read_fits
+        pline = self._pipeline(model_params, tmp_path, 'trunc')
+        run = pline.runs[0]
+        prods1 = simulate_observation(pline, run, niter=0)
+        img1, _ = read_fits(prods1['clean_image'])
+        # truncate the noisy set (simulates a crash mid-write)
+        with open(prods1['ms_noisy'], 'r+b') as f:
+            f.truncate(100)
+        prods2 = simulate_observation(pline, run, niter=0,
+                                      reuse_vis=True)
+        img2, _ = read_fits(prods2['clean_image'])
+        np.testing.assert_allclose(img2, img1, rtol=0, atol=1e-12)
+        # and the set was rewritten whole
+        with np.load(prods2['ms_noisy']) as f:
+            assert f['vis_re'].ndim == 2

@@ -69,6 +69,44 @@ def shard_fields(fields, mesh: Mesh):
         lambda a: jax.device_put(a, sh) if jnp.ndim(a) == 3 else a, fields)
 
 
+def sharded_static_fields(mesh: Mesh, static_params, rb_frac: float,
+                          nx: int, ny: int, nz: int, csize: float,
+                          dtype=None, with_time: bool = True):
+    """Mesh-sharded grid fill: build every static field cube already
+    LOS-sharded, so a model whose working set exceeds one device's HBM
+    can be constructed on a pod without EVER materialising an unsharded
+    cube (``shard_fields`` reshards after a single-device fill and so
+    still pays the full-cube peak).
+
+    The fill (:func:`rajepy_tpu.models.fields.compute_static_fields`) is
+    per-cell pure — geometry, power laws and the closed-form travel-time
+    integral have no cross-cell terms (the reference likewise evaluates
+    cell-by-cell, classes.py:521-870) — so pinning LOS-sharded
+    ``out_shardings`` makes XLA partition all the elementwise work with
+    zero collectives.  The inputs are the (nx,1,1)/(1,ny,1)/(1,1,nz)
+    broadcastable index arrays, bytes-free either way.  Outputs feed
+    :func:`sharded_rt_products` / :func:`sharded_rrl_tau_maps` directly.
+
+    ``static_params``/``rb_frac`` as JetModel passes them
+    (``JetModel._static_params()`` / ``_ss_jml_rb_frac``); ``ny`` must
+    tile over the mesh's 'los' axis.
+    """
+    from ..models import grid as mgrid
+    from ..models.fields import StaticFields, compute_static_fields
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    sh = grid_sharding(mesh)
+    out_sh = StaticFields(*([sh] * len(StaticFields._fields)))
+
+    @partial(jax.jit, out_shardings=out_sh)
+    def fill(xx, yy, zz):
+        return compute_static_fields(static_params, xx, yy, zz, rb_frac,
+                                     with_time=with_time)
+
+    xx, yy, zz = mgrid.grid_corner_coords(nx, ny, nz, csize, dtype)
+    return fill(xx, yy, zz)
+
+
 def sharded_continuum_step(mesh: Mesh, t_0: float, reynolds_gaunt: bool):
     """Build the jit-compiled multi-device continuum RT step.
 

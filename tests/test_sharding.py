@@ -302,3 +302,51 @@ class TestShardedRT:
         chi = ej.chi_field(f.red, t_now - f.ts, jm._spec_r, jm._spec_b)
         want = np.asarray(jnp.sum(st.a * chi * chi, axis=1))
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=0)
+
+
+class TestShardedFill:
+    """sharded_static_fields: the grid fill itself built LOS-sharded."""
+
+    def test_matches_single_device_fill(self, eight_devices, model_params):
+        jm = _small_model(model_params)
+        single = jm._ensure_fields()
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        with mesh:
+            shard = sharding.sharded_static_fields(
+                mesh, jm._static_params(), jm._ss_jml_rb_frac,
+                jm.nx, jm.ny, jm.nz, jm.csize, dtype=jnp.float64,
+                with_time=jm._has_bursts)
+        for name in single._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(shard, name)),
+                np.asarray(getattr(single, name)),
+                rtol=1e-12, atol=0, err_msg=name)
+
+    def test_fields_are_los_sharded(self, eight_devices, model_params):
+        jm = _small_model(model_params)
+        mesh = sharding.make_mesh(n_los=4, n_chan=2)
+        with mesh:
+            shard = sharding.sharded_static_fields(
+                mesh, jm._static_params(), jm._ss_jml_rb_frac,
+                jm.nx, jm.ny, jm.nz, jm.csize, dtype=jnp.float64)
+        # each device holds ny/n_los of the LOS axis, full nx/nz
+        for name in ('temp', 'nd', 'ts'):
+            arr = getattr(shard, name)
+            sh0 = arr.addressable_shards[0]
+            assert sh0.data.shape == (jm.nx, jm.ny // 4, jm.nz), name
+        # and the sharded fields drive the sharded RT step unmodified
+        freqs = jnp.linspace(4e9, 4e10, 4)
+        with mesh:
+            step = sharding.sharded_rt_products(
+                mesh, jm.params['properties']['T_0'], False, jm.csize,
+                jm.params['target']['dist'])
+            em, taus, fluxes = step(
+                jax.device_put(freqs, sharding.chan_sharding(mesh)),
+                shard.nd, shard.xi, shard.temp, shard.ff, shard.area,
+                shard.inside)
+        f = jm._ensure_fields()
+        from rajepy_tpu.ops import radtrans as rt
+        em_ref = rt.emission_measure_map(f.nd, f.xi, f.ff, f.area,
+                                         jm.csize)
+        np.testing.assert_allclose(np.asarray(em), np.asarray(em_ref),
+                                   rtol=1e-12)

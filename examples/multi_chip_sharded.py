@@ -34,14 +34,18 @@ params = JetModel.py_to_dict(
 params['grid'].update(n_x=64, n_y=16 * (n_dev // n_chan_axis), n_z=64,
                       l_z=None)
 jm = JetModel(params)
-fields = jm._ensure_fields()
 
 freqs = jnp.linspace(1e9, 5e10, 4 * n_chan_axis)
 with mesh:
     step = sharding.sharded_rt_products(
         mesh, jm.params['properties']['T_0'], False, jm.csize,
         jm.params['target']['dist'])
-    fs = sharding.shard_fields(fields, mesh)
+    # the grid fill itself runs mesh-sharded: no unsharded cube is ever
+    # materialised, so the model size is bounded by POD memory, not by
+    # one device's HBM (shard_fields would reshard a single-device fill)
+    fs = sharding.sharded_static_fields(
+        mesh, jm._static_params(), jm._ss_jml_rb_frac,
+        jm.nx, jm.ny, jm.nz, jm.csize, with_time=jm._has_bursts)
     em, taus, fluxes = step(
         jax.device_put(freqs, sharding.chan_sharding(mesh)),
         fs.nd, fs.xi, fs.temp, fs.ff, fs.area, fs.inside)

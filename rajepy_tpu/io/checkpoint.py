@@ -15,6 +15,8 @@ from typing import Dict
 
 import numpy as np
 
+from ..utils.misc import atomic_write
+
 
 def _params_to_jsonable(params: Dict) -> Dict:
     out = {}
@@ -48,12 +50,12 @@ def save_model_checkpoint(path: str, model) -> None:
     meta = {'format': 'rajepy_tpu.model/1',
             'params': _params_to_jsonable(model.params),
             'time': model.time}
-    with open(path + '.json', 'wt') as f:
+    with atomic_write(path + '.json', 'wt') as f:
         json.dump(meta, f, indent=1)
     if model._fields is not None:
-        np.savez_compressed(path + '.npz',
-                            ffs=np.asarray(model.fill_factor),
-                            areas=np.asarray(model.areas))
+        with atomic_write(path + '.npz') as f:
+            np.savez_compressed(f, ffs=np.asarray(model.fill_factor),
+                                areas=np.asarray(model.areas))
 
 
 def load_model_checkpoint(path: str, log=None):
@@ -95,7 +97,7 @@ def save_pipeline_checkpoint(path: str, pipeline) -> None:
             'params': _params_to_jsonable(pipeline.params),
             'model_file': pipeline.model_file,
             'runs': runs}
-    with open(path, 'wt') as f:
+    with atomic_write(path, 'wt') as f:
         json.dump(meta, f, indent=1, default=str)
 
 

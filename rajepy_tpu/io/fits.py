@@ -17,6 +17,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..utils.misc import atomic_write
+
 BLOCK = 2880
 CARD = 80
 
@@ -210,7 +212,10 @@ def write_fits(filename: str, data: np.ndarray,
     # cube products run to gigabytes (1,000 x 500^2 images) and each
     # avoided pass over the buffer is seconds of wall time
     payload = np.ascontiguousarray(data, dtype=dt)
-    with open(filename, 'wb') as f:
+    # atomic: the pipeline's resume logic treats an EXISTING product
+    # file as a completed stage — a truncated FITS from a killed
+    # process must never appear under the final name
+    with atomic_write(filename) as f:
         f.write(header_bytes)
         f.write(memoryview(payload).cast('B'))
         f.write(b'\x00' * (-payload.nbytes % BLOCK))

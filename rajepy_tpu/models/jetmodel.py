@@ -1782,7 +1782,7 @@ class JetModel:
         if self.log:
             self.log.add_entry("INFO",
                                f"Saving physical model to {filename}")
-        with open(filename, 'wb') as fh:
+        with miscf.atomic_write(filename) as fh:
             pickle.dump(ps, fh)
 
     # ------------------------------------------------------------------ #

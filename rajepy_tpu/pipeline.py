@@ -204,7 +204,7 @@ class Pipeline:
         p = {"runs": rs, "params": ps, "model_file": mf, 'log': None}
         self.log.add_entry("INFO", "Saving pipeline to " + save_file)
         try:
-            with open(save_file, 'wb') as f:
+            with miscf.atomic_write(save_file) as f:
                 pickle.dump(p, f)
         finally:
             if saved is not None:

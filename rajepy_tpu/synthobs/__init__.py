@@ -33,7 +33,7 @@ from ..io import fits as fitsio
 from ..ops import astronomy as astro
 from ..ops import geometry as mgeom
 from ..ops import physics as mphys
-from ..utils.misc import casa_imfit_file_to_dict
+from ..utils.misc import atomic_write, casa_imfit_file_to_dict
 from ..utils.profiling import KernelTimer
 from . import calibration, imaging, imfit as imfit_mod, observatories, \
     sampler, uvgen
@@ -463,10 +463,12 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             # noisy visibilities are incompressible, and zlib over a
             # multi-GB complex128 copy dominated the 1,000-channel
             # pipeline's wall time (BASELINE.md stage table)
-            np.savez(clean_vis_file, uvw=uvw, vis_re=re_cn, vis_im=im_cn,
-                     freqs=freqs, sigma=0.0, resume_sig=vis_sig)
-            np.savez(noisy_vis_file, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
-                     freqs=freqs, sigma=sigma, resume_sig=vis_sig)
+            with atomic_write(clean_vis_file) as f:
+                np.savez(f, uvw=uvw, vis_re=re_cn, vis_im=im_cn,
+                         freqs=freqs, sigma=0.0, resume_sig=vis_sig)
+            with atomic_write(noisy_vis_file) as f:
+                np.savez(f, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
+                         freqs=freqs, sigma=sigma, resume_sig=vis_sig)
 
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
@@ -723,13 +725,15 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         with KernelTimer("synthobs: selfcal npz write", log):
             selfcal_vis_file = os.path.join(
                 synobs_dcy, f'SynObs.{base}.selfcal.vis.npz')
-            np.savez(selfcal_vis_file, uvw=uvw, vis_re=re_sc,
-                     vis_im=im_sc, freqs=freqs, sigma=sigma)
+            with atomic_write(selfcal_vis_file) as f:
+                np.savez(f, uvw=uvw, vis_re=re_sc,
+                         vis_im=im_sc, freqs=freqs, sigma=sigma)
             gains_file = os.path.join(
                 synobs_dcy, f'SynObs.{base}.selfcal.gains.npz')
-            np.savez(gains_file, g_re=g_tot.real, g_im=g_tot.imag,
-                     n_ant=n_ant, mode=str(selfcal),
-                     t_obs=float(run.t_obs))
+            with atomic_write(gains_file) as f:
+                np.savez(f, g_re=g_tot.real, g_im=g_tot.imag,
+                         n_ant=n_ant, mode=str(selfcal),
+                         t_obs=float(run.t_obs))
 
     fitsfile = os.path.join(dcy, f'SynObs.{base}.noisy.imaging.fits')
     out_hdr = fitsio.Header()

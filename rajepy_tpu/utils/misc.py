@@ -1,10 +1,39 @@
 """Small shared utilities (reference: miscellaneous/functions.py)."""
 from __future__ import annotations
 
+import contextlib
+import os
+import tempfile
 from collections.abc import Iterable
 from typing import Union
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def atomic_write(path: str, mode: str = 'wb'):
+    """Open a same-directory temporary file and ``os.replace`` it into
+    place only when the ``with`` body completes.
+
+    Every resume decision in the pipeline is "does the product file
+    exist" (RT FITS products, pickles, visibility sets) — so a process
+    killed mid-write (timeout, OOM, a crashed remote accelerator
+    worker) must never leave a truncated file under the final name, or
+    every later resume silently consumes it.  POSIX rename is atomic
+    within a filesystem; the temp file lives next to the target to
+    guarantee that.
+    """
+    d = os.path.dirname(os.path.abspath(path)) or '.'
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=os.path.basename(path) + '.',
+                               suffix='.tmp')
+    try:
+        with os.fdopen(fd, mode) as f:
+            yield f
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise
 
 _FREQ_SUFFIXES = (('Hz', 1.0), ('kHz', 1e3), ('MHz', 1e6), ('GHz', 1e9),
                   ('THz', 1e12), ('PHz', 1e15))

@@ -557,9 +557,14 @@ class Pipeline:
                     for k in ('selfcal', 'selfcal_solint_s',
                               'selfcal_rounds'):
                         so_kwargs.pop(k, None)
-                    if so_kwargs.get('deconvolver') == 'multiscale':
+                    if so_kwargs.get('deconvolver') in (
+                            'multiscale', 'clark', 'mtmfs'):
+                        # cube runs always use the channel-batched
+                        # Hogbom; continuum-only deconvolver knobs are
+                        # stripped rather than crashing the line runs
                         for k in ('deconvolver', 'scales',
-                                  'smallscalebias'):
+                                  'smallscalebias', 'nterms', 'reffreq',
+                                  'cycleniter'):
                             so_kwargs.pop(k, None)
                 products = simulate_observation(self, run, **so_kwargs)
                 run.products.update(products)

@@ -66,6 +66,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          deconvolver: str = 'hogbom',
                          scales=(0, 3, 10),
                          smallscalebias: float = 0.0,
+                         nterms: int = 2,
+                         reffreq: Optional[float] = None,
+                         cycleniter: int = 100,
                          uvtaper_as: Optional[float] = None,
                          pbcor: bool = False, pblimit: float = 0.2,
                          apply_pb: bool = True,
@@ -109,10 +112,29 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     CASA's vpmanager applies to VLA/ALMA-class dishes, with the
     characteristic sidelobes the Gaussian lacks).
 
-    ``deconvolver='multiscale'`` swaps the Hogbom minor cycle for
-    :func:`imaging.multiscale_clean` with the given ``scales`` (pixels)
-    and ``smallscalebias`` — tclean's multiscale mode
-    (casa/tasks.py:242-244); continuum (mfs) runs only.
+    ``deconvolver`` selects the continuum (mfs) minor-cycle algorithm
+    (cube runs always use the channel-batched Hogbom):
+
+    * ``'hogbom'`` (default) — full-PSF greedy subtraction;
+    * ``'clark'`` — tclean's DEFAULT deconvolver (casa/tasks.py:243):
+      PSF-patch minor cycles with exact FFT major cycles
+      (:func:`imaging.clark_clean`, ``cycleniter`` minor iterations
+      per major cycle), same model as Hogbom at a fraction of the
+      per-iteration cost on large images;
+    * ``'multiscale'`` — :func:`imaging.multiscale_clean` with the
+      given ``scales`` (pixels) and ``smallscalebias`` — tclean's
+      multiscale mode (casa/tasks.py:242-244);
+    * ``'mtmfs'`` — multi-term multi-frequency synthesis (Rau &
+      Cornwell 2011; tclean's ``deconvolver='mtmfs'``/``nterms``,
+      casa/tasks.py:243-246): Taylor-expands the sky spectrum about
+      ``reffreq`` (default: the run centre frequency) and CLEANs the
+      ``nterms`` Taylor planes jointly, so a continuum run with more
+      than one channel (``chanws < bws``) yields the in-band
+      spectral-index map.  Extra products: the tt1 Taylor image
+      (``...imaging.tt1.fits``) and ``alpha = tt1/tt0``
+      (``...imaging.alpha.fits``, NaN where tt0 < 5 sigma).  Requires
+      ``n_chan >= nterms``; not combinable with ``selfcal`` (the CLEAN
+      component model is per-order, not a flat sky).
 
     ``thermalnoise='tsys-atm'`` switches the flat catalogue-SEFD
     radiometer noise to the atmosphere-aware model
@@ -477,11 +499,27 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     if weighting not in ('briggs', 'uniform', 'natural'):
         raise ValueError(f"unknown weighting {weighting!r}")
-    if deconvolver not in ('hogbom', 'multiscale'):
+    if deconvolver not in ('hogbom', 'clark', 'multiscale', 'mtmfs'):
         raise ValueError(f"unknown deconvolver {deconvolver!r}")
-    if deconvolver == 'multiscale' and cube_mode:
-        raise ValueError("deconvolver='multiscale' is continuum (mfs) "
-                         "only; cube runs use the channel-batched Hogbom")
+    if deconvolver != 'hogbom' and cube_mode:
+        raise ValueError(f"deconvolver={deconvolver!r} is continuum "
+                         "(mfs) only; cube runs use the channel-batched "
+                         "Hogbom")
+    if deconvolver == 'mtmfs':
+        nterms = int(nterms)
+        if nterms < 2 or nterms > 4:
+            raise ValueError(f"mtmfs needs 2 <= nterms <= 4, got {nterms}")
+        if n_chan < nterms:
+            raise ValueError(
+                f"mtmfs with nterms={nterms} needs at least that many "
+                f"channels to constrain the Taylor planes; this run has "
+                f"{n_chan} (set the run's chanws below its bws)")
+        if selfcal:
+            raise ValueError("selfcal with deconvolver='mtmfs' is not "
+                             "supported (the CLEAN component model is "
+                             "per-Taylor-order, not a flat sky); "
+                             "selfcal with clark/hogbom/multiscale, or "
+                             "transfer gains via applycal_gains")
     if selfcal not in (None, 'phase', 'amp+phase'):
         raise ValueError(f"unknown selfcal mode {selfcal!r}")
     selfcal_rounds = int(selfcal_rounds)
@@ -548,6 +586,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     re_sc = im_sc = None            # selfcal-corrected visibilities
     extra_maps = {}                 # save_products captures (last imaging)
+    mtmfs_maps: Dict[str, np.ndarray] = {}   # tt1/alpha (mtmfs only)
     if cube_mode:
         # common restoring beam fitted to the central channel's PSF
         # (tclean 'commonbeam' behaviour), then every channel — weighting,
@@ -621,6 +660,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                         scales=tuple(scales), gain=0.1, niter=niter,
                         threshold=nsigma * rms,
                         smallscalebias=smallscalebias)
+                elif deconvolver == 'clark':
+                    mdl, resid, its = imaging.clark_clean(
+                        jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
+                        jnp.asarray(mask, rdt), gain=0.1, niter=niter,
+                        threshold=nsigma * rms, cycleniter=cycleniter)
                 else:
                     mdl, resid, its = imaging.hogbom_clean(
                         jnp.asarray(dirty, rdt), jnp.asarray(psf, rdt),
@@ -643,7 +687,51 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             sd = float(np.std(noise)) if noise.size else 0.0
             return float(np.nanmax(img)) / sd if sd > 0 else np.inf
 
-        restored, mdl, beam = mfs_image(re_nn, im_nn)
+        def mtmfs_image():
+            """Multi-term MFS: per-channel dirty/PSF stacks, Taylor
+            moments, joint minor cycle, Taylor-plane restoration."""
+            with KernelTimer(f"synthobs: mtmfs imaging ({n_chan} chan, "
+                             f"{imsize}px, nterms={nterms})", log):
+                d_list, p_list = [], []
+                for ci in range(n_chan):
+                    d, p = image_channels(np.asarray([ci]))
+                    d_list.append(d)
+                    p_list.append(p)
+                dirty_c = jnp.asarray(np.stack(d_list), rdt)
+                psf_c = jnp.asarray(np.stack(p_list), rdt)
+                nu_ref = float(reffreq) if reffreq else float(run.freq)
+                dirty_t, psf_m = imaging.taylor_stacks(
+                    dirty_c, psf_c, jnp.asarray(freqs, rdt), nu_ref,
+                    nterms=nterms)
+                d0 = np.asarray(dirty_t[0])
+                outside = d0[mask == 0]
+                rms = float(np.std(outside)) if outside.size else 0.0
+                mdl_t, res_t, its = imaging.mtmfs_clean(
+                    dirty_t, psf_m, jnp.asarray(mask, rdt), gain=0.1,
+                    niter=niter, threshold=nsigma * rms)
+                beam = imaging.fit_psf_beam(np.asarray(psf_m[0]),
+                                            cell_rad)
+                beam_kernel = imaging.gaussian_beam_kernel(
+                    imsize, cell_rad, beam[0], beam[1], beam[2])
+                tt = [np.asarray(imaging.restore(
+                    mdl_t[t], res_t[t], beam_kernel.astype(rdt)))
+                    for t in range(nterms)]
+                # in-band spectral index where tt0 is solid (5 sigma)
+                lim = 5.0 * rms
+                solid = tt[0] > lim
+                alpha_map = np.where(
+                    solid, tt[1] / np.where(solid, tt[0], 1.0), np.nan)
+                mtmfs_maps['tt1'] = tt[1]
+                mtmfs_maps['alpha'] = alpha_map
+                if save_products:
+                    extra_maps.update(
+                        psf=np.asarray(psf_m[0]), dirty=d0,
+                        model=np.asarray(mdl_t[0]),
+                        residual=np.asarray(res_t[0]))
+            return tt[0], np.asarray(mdl_t[0]), beam
+
+        restored, mdl, beam = (mtmfs_image() if deconvolver == 'mtmfs'
+                               else mfs_image(re_nn, im_nn))
         if selfcal:
             if not np.any(mdl):
                 raise ValueError("selfcal needs a CLEAN component model "
@@ -768,6 +856,24 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     if re_sc is not None:
         products['ms_selfcal'] = selfcal_vis_file
         products['gains'] = gains_file
+
+    if not cube_mode and mtmfs_maps:
+        # mtmfs Taylor/spectral-index products (tclean writes .tt0/.tt1/
+        # .alpha image sets; the restored image above is tt0)
+        tt1_file = fitsfile.replace('.fits', '.tt1.fits')
+        with KernelTimer("synthobs: tt1 FITS write", log):
+            fitsio.write_fits(tt1_file, mtmfs_maps['tt1'], out_hdr)
+        hdr_a = fitsio.Header()
+        for k, v, cm in out_hdr._cards:
+            hdr_a[k] = v
+            if cm:
+                hdr_a.comments[k] = cm
+        hdr_a['BUNIT'] = ''
+        alpha_file = fitsfile.replace('.fits', '.alpha.fits')
+        with KernelTimer("synthobs: alpha FITS write", log):
+            fitsio.write_fits(alpha_file, mtmfs_maps['alpha'], hdr_a)
+        products['clean_image_tt1'] = tt1_file
+        products['alpha'] = alpha_file
 
     if pbcor:
         # primary-beam-corrected image (tclean pbcor/pblimit): divide by

@@ -317,6 +317,96 @@ class TestImaging:
         np.testing.assert_allclose(np.asarray(resid),
                                    np.asarray(dirty) - conv, atol=1e-9)
 
+    def test_clark_matches_hogbom_point_source(self):
+        """Clark's patch minor cycles + exact major cycles converge to
+        the same model/residual as Hogbom (same greedy selection)."""
+        u, v, vis, cell, n, flux = self._point_source_setup()
+        w = np.ones_like(u)
+        dirty, psf = imaging.grid_and_image(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+            jnp.asarray(w), n, cell)
+        mask = jnp.ones_like(dirty)
+        m_c, r_c, its = imaging.clark_clean(dirty, psf, mask, gain=0.2,
+                                            niter=200,
+                                            threshold=0.01 * flux)
+        m_c = np.asarray(m_c)
+        assert abs(m_c.sum() - flux) < 0.05 * flux
+        assert np.max(np.abs(np.asarray(r_c))) < 0.05 * flux
+
+    def test_clark_residual_is_exact(self):
+        """The returned residual is the exact dirty - model * psf (the
+        major cycle erases all patch-truncation error)."""
+        u, v, vis, cell, n, flux = self._point_source_setup()
+        w = np.ones_like(u)
+        dirty, psf = imaging.grid_and_image(
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+            jnp.asarray(w), n, cell)
+        mask = jnp.ones_like(dirty)
+        model, resid, _ = imaging.clark_clean(dirty, psf, mask, gain=0.2,
+                                              niter=50, cycleniter=10,
+                                              psf_patch=32)
+        conv = np.real(np.fft.fftshift(np.fft.ifft2(
+            np.fft.fft2(np.fft.ifftshift(np.asarray(model))) *
+            np.fft.fft2(np.fft.ifftshift(np.asarray(psf))))))
+        np.testing.assert_allclose(np.asarray(resid),
+                                   np.asarray(dirty) - conv, atol=1e-9)
+
+    def test_mtmfs_recovers_spectral_index(self):
+        """A flat-spectrum-weighted point source with alpha = 1.5 over a
+        +-10% band: the joint Taylor minor cycle recovers I0 and
+        alpha = I1/I0 (Rau & Cornwell 2011)."""
+        u, v, _, cell, n, flux = self._point_source_setup()
+        w = np.ones_like(u)
+        alpha, nu0 = 1.5, 6e9
+        freqs = np.linspace(0.9, 1.1, 8) * nu0
+        d_list, p_list = [], []
+        for f in freqs:
+            visc = np.full(u.size, flux * (f / nu0) ** alpha,
+                           dtype=complex)
+            d, p = imaging.grid_and_image(
+                jnp.asarray(u), jnp.asarray(v), jnp.asarray(visc),
+                jnp.asarray(w), n, cell)
+            d_list.append(d)
+            p_list.append(p)
+        dirty_t, psf_m = imaging.taylor_stacks(
+            jnp.stack(d_list), jnp.stack(p_list), jnp.asarray(freqs),
+            nu0, nterms=2)
+        # Hessian structure: psf_m[0] peaks at 1; H depends on t+q only
+        assert abs(float(psf_m[0][n // 2, n // 2]) - 1.0) < 1e-6
+        mask = jnp.ones((n, n))
+        model_t, res_t, its = imaging.mtmfs_clean(
+            dirty_t, psf_m, mask, gain=0.2, niter=300,
+            threshold=0.01 * flux)
+        model_t = np.asarray(model_t)
+        i0 = model_t[0].sum()
+        assert abs(i0 - flux) < 0.05 * flux
+        assert abs(model_t[1].sum() / i0 - alpha) < 0.1
+        assert np.max(np.abs(np.asarray(res_t)[0])) < 0.05 * flux
+
+    def test_mtmfs_flat_source_zero_alpha(self):
+        """A flat-spectrum source yields I1 ~ 0 (no false slope from the
+        deconvolution itself)."""
+        u, v, vis, cell, n, flux = self._point_source_setup()
+        w = np.ones_like(u)
+        nu0 = 6e9
+        freqs = np.linspace(0.92, 1.08, 5) * nu0
+        d_list, p_list = [], []
+        for _f in freqs:
+            d, p = imaging.grid_and_image(
+                jnp.asarray(u), jnp.asarray(v), jnp.asarray(vis),
+                jnp.asarray(w), n, cell)
+            d_list.append(d)
+            p_list.append(p)
+        dirty_t, psf_m = imaging.taylor_stacks(
+            jnp.stack(d_list), jnp.stack(p_list), jnp.asarray(freqs),
+            nu0, nterms=2)
+        mask = jnp.ones((n, n))
+        model_t, _res, _ = imaging.mtmfs_clean(
+            dirty_t, psf_m, mask, gain=0.2, niter=200,
+            threshold=0.01 * flux)
+        model_t = np.asarray(model_t)
+        assert abs(model_t[1].sum()) < 0.02 * flux
+
     def test_beam_fit_recovers_gaussian(self):
         n = 128
         cell = 1e-6
@@ -635,6 +725,43 @@ class TestTcleanKnobs:
         # the fitted restoring beam
         assert h1['BMAJ'] > 1.5 * h0['BMAJ']
         assert h1['BMAJ'] * 3600.0 > 0.7  # of order the taper FWHM
+
+    def test_clark_deconvolver_end_to_end(self, model_params, tmp_path):
+        from rajepy_tpu.io.fits import read_fits
+        prods = self._run_obs(model_params, tmp_path, 'clark',
+                              deconvolver='clark')
+        img, hdr = read_fits(prods['clean_image'])
+        assert np.all(np.isfinite(img))
+        assert hdr['BMAJ'] > 0
+
+    def test_mtmfs_products_end_to_end(self, model_params, tmp_path):
+        """deconvolver='mtmfs' writes the tt1 and alpha FITS products
+        alongside the tt0 restored image (the fixture's continuum run
+        has 2 channels: bw 1e8 / chanw 5e7)."""
+        from rajepy_tpu.io.fits import read_fits
+        prods = self._run_obs(model_params, tmp_path, 'mtmfs',
+                              deconvolver='mtmfs', nterms=2)
+        assert os.path.exists(prods['clean_image'])
+        assert os.path.exists(prods['clean_image_tt1'])
+        assert os.path.exists(prods['alpha'])
+        tt0, h0 = read_fits(prods['clean_image'])
+        alpha, ha = read_fits(prods['alpha'])
+        assert tt0.shape == alpha.shape
+        # alpha is blanked (NaN) in the noise and finite on the source
+        assert np.any(np.isnan(alpha))
+        assert h0['BUNIT'].strip() == 'Jy/beam'
+
+    def test_mtmfs_validation(self, model_params, tmp_path):
+        import pytest
+        with pytest.raises(ValueError, match='selfcal'):
+            self._run_obs(model_params, tmp_path, 'mt_sc',
+                          deconvolver='mtmfs', selfcal='phase')
+        with pytest.raises(ValueError, match='nterms'):
+            self._run_obs(model_params, tmp_path, 'mt_nt',
+                          deconvolver='mtmfs', nterms=5)
+        with pytest.raises(ValueError, match='channels'):
+            self._run_obs(model_params, tmp_path, 'mt_ch',
+                          deconvolver='mtmfs', nterms=3)
 
     def test_pbcor_image(self, model_params, tmp_path):
         from rajepy_tpu.io.fits import read_fits

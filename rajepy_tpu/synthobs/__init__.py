@@ -131,8 +131,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
       ``nterms`` Taylor planes jointly, so a continuum run with more
       than one channel (``chanws < bws``) yields the in-band
       spectral-index map.  Extra products: the tt1 Taylor image
-      (``...imaging.tt1.fits``) and ``alpha = tt1/tt0``
-      (``...imaging.alpha.fits``, NaN where tt0 < 5 sigma).  Requires
+      (``...imaging.tt1.fits``), ``alpha = tt1/tt0``
+      (``...imaging.alpha.fits``, NaN where tt0 < 5 sigma) and its
+      propagated 1-sigma error map (``...imaging.alpha.error.fits``,
+      tclean's ``.alpha.error``).  Requires
       ``n_chan >= nterms``; not combinable with ``selfcal`` (the CLEAN
       component model is per-order, not a flat sky).
 
@@ -719,10 +721,23 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 # in-band spectral index where tt0 is solid (5 sigma)
                 lim = 5.0 * rms
                 solid = tt[0] > lim
-                alpha_map = np.where(
-                    solid, tt[1] / np.where(solid, tt[0], 1.0), np.nan)
+                safe0 = np.where(solid, tt[0], 1.0)
+                alpha_map = np.where(solid, tt[1] / safe0, np.nan)
+                # alpha error (tclean's .alpha.error): first-order
+                # propagation of the per-plane residual rms through
+                # alpha = I1/I0 (covariance term dropped — conservative
+                # for anticorrelated Taylor residuals)
+                sig = [float(np.std(np.asarray(res_t[t])[mask == 0]))
+                       if outside.size else 0.0 for t in range(2)]
+                alpha_err = np.where(
+                    solid,
+                    np.sqrt(sig[1] ** 2 +
+                            np.where(solid, alpha_map, 0.0) ** 2 *
+                            sig[0] ** 2) / safe0,
+                    np.nan)
                 mtmfs_maps['tt1'] = tt[1]
                 mtmfs_maps['alpha'] = alpha_map
+                mtmfs_maps['alpha_error'] = alpha_err
                 if save_products:
                     extra_maps.update(
                         psf=np.asarray(psf_m[0]), dirty=d0,
@@ -872,8 +887,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         alpha_file = fitsfile.replace('.fits', '.alpha.fits')
         with KernelTimer("synthobs: alpha FITS write", log):
             fitsio.write_fits(alpha_file, mtmfs_maps['alpha'], hdr_a)
+        alpha_err_file = fitsfile.replace('.fits', '.alpha.error.fits')
+        with KernelTimer("synthobs: alpha.error FITS write", log):
+            fitsio.write_fits(alpha_err_file, mtmfs_maps['alpha_error'],
+                              hdr_a)
         products['clean_image_tt1'] = tt1_file
         products['alpha'] = alpha_file
+        products['alpha_error'] = alpha_err_file
 
     if pbcor:
         # primary-beam-corrected image (tclean pbcor/pblimit): divide by

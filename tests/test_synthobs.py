@@ -744,11 +744,17 @@ class TestTcleanKnobs:
         assert os.path.exists(prods['clean_image'])
         assert os.path.exists(prods['clean_image_tt1'])
         assert os.path.exists(prods['alpha'])
+        assert os.path.exists(prods['alpha_error'])
         tt0, h0 = read_fits(prods['clean_image'])
         alpha, ha = read_fits(prods['alpha'])
-        assert tt0.shape == alpha.shape
+        aerr, _ = read_fits(prods['alpha_error'])
+        assert tt0.shape == alpha.shape == aerr.shape
         # alpha is blanked (NaN) in the noise and finite on the source
         assert np.any(np.isnan(alpha))
+        # the error map is blanked with alpha and positive where alpha
+        # is defined
+        assert np.array_equal(np.isnan(alpha), np.isnan(aerr))
+        assert np.all(aerr[np.isfinite(aerr)] > 0)
         assert h0['BUNIT'].strip() == 'Jy/beam'
 
     def test_mtmfs_validation(self, model_params, tmp_path):

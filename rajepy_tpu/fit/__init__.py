@@ -967,8 +967,21 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
         # theta0 starting point for those that are): explicit pair, or
         # the case-B table at the jet's conditions
         if departure_coeffs is not None:
-            b1_fix, b2_fix = (float(departure_coeffs[0]),
-                              float(departure_coeffs[1]))
+            # scalars OR per-sightline maps (JetModel.
+            # departure_coefficient_maps) — maps broadcast through the
+            # non-LTE composition like any other image-plane factor
+            b1_fix, b2_fix = (np.asarray(departure_coeffs[0], float),
+                              np.asarray(departure_coeffs[1], float))
+            if b1_fix.ndim == 0:
+                b1_fix = float(b1_fix)
+            if b2_fix.ndim == 0:
+                b2_fix = float(b2_fix)
+            if nl_idx and (np.ndim(b1_fix) or np.ndim(b2_fix)):
+                raise ValueError(
+                    "freeing nonlte.b_n1/b_n2 fits a SCALAR coefficient; "
+                    "map-valued departure_coeffs can only be held fixed "
+                    "(drop them from `free`, or pass scalar starting "
+                    "coefficients)")
         else:
             b1_fix, b2_fix = jm.departure_coefficients(line)
     params = copy.deepcopy(jm.params)
@@ -1506,7 +1519,8 @@ def sweep(jm, freqs, grid: Dict[str, Sequence], *, kind: str = 'sed',
     The reference runs one full Python process per model evaluation; a
     parameter survey there is a job array.  Here the combos axis is a
     batch axis of a single XLA program: ``grid`` maps parameter paths
-    (any of :data:`SUPPORTED_FREE`) to 1-D value arrays, swept over
+    (any of :data:`SUPPORTED_FREE`; the ``nonlte.b_n*`` pseudo-paths
+    need ``kind='rrl_spectrum'``) to 1-D value arrays, swept over
     their Cartesian product (``product=True``, default) or zipped
     elementwise (equal lengths required).
 
@@ -1521,7 +1535,8 @@ def sweep(jm, freqs, grid: Dict[str, Sequence], *, kind: str = 'sed',
     full model).
     """
     paths = tuple(grid)
-    _check_free(paths)
+    # the nonlte.b_n* pseudo-paths exist only in the RRL forwards
+    _check_free(paths, allow_nonlte=(kind == 'rrl_spectrum'))
     vals = [np.atleast_1d(np.asarray(grid[p], float)) for p in paths]
     if product:
         meshed = np.meshgrid(*vals, indexing='ij')

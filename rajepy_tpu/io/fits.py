@@ -137,6 +137,13 @@ class Header:
         except KeyError:
             return default
 
+    def copy(self) -> 'Header':
+        """Independent deep copy (cards and comments), for derived
+        products that tweak a base header (e.g. a unitless BUNIT)."""
+        out = Header()
+        out._cards = list(self._cards)
+        return out
+
     def keys(self):
         return [k for k, _, _ in self._cards]
 

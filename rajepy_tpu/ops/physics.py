@@ -344,9 +344,13 @@ def _expm1_planck(x):
         return jnp.expm1(x)
     small = x < 0.5
     xs = jnp.where(small, 0.0, x)
-    taylor = x * (1.0 + x * (0.5 + x * ((1.0 / 6.0) + x * (
-        (1.0 / 24.0) + x * ((1.0 / 120.0) + x * (
-            (1.0 / 720.0) + x * (1.0 / 5040.0)))))))
+    # clamp the Taylor lane too: x^8 overflows f32 to inf above ~6.5e4,
+    # and although where() discards that forward value, reverse-mode AD
+    # propagates 0 * inf = NaN through the discarded branch
+    xt = jnp.where(small, x, 0.0)
+    taylor = xt * (1.0 + xt * (0.5 + xt * ((1.0 / 6.0) + xt * (
+        (1.0 / 24.0) + xt * ((1.0 / 120.0) + xt * (
+            (1.0 / 720.0) + xt * (1.0 / 5040.0)))))))
     return jnp.where(small, taylor, jnp.expm1(xs))
 
 
@@ -366,6 +370,11 @@ def blackbody_nu(freq, temp):
     limit accurate where h nu / k T ~ 1e-5 would cancel in exp(x) - 1.
     """
     freq = jnp.asarray(freq)
+    if not jnp.issubdtype(freq.dtype, jnp.floating):
+        # an integer dtype would truncate the 2.47e-16 cube-root
+        # prefactor to 0 below; promote like the eager arithmetic would
+        # (weak python float -> the default float dtype, f64 under x64)
+        freq = freq.astype(jnp.result_type(freq.dtype, float))
     a = jax.lax.optimization_barrier(
         jnp.asarray(_BB_PREFACTOR_CBRT, freq.dtype))
     t = a * freq

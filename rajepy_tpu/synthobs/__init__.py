@@ -352,6 +352,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     clean_vis_file = os.path.join(synobs_dcy, f'SynObs.{base}.vis.npz')
     noisy_vis_file = os.path.join(synobs_dcy,
                                   f'SynObs.{base}.noisy.vis.npz')
+    # primary-beam width input to the sampler — part of the visibility
+    # signature (an antenna-diameter edit changes the sampled PB even
+    # when the positions, and so the uvw bytes, are unchanged)
+    mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
 
     def _vis_signature() -> str:
         """Fingerprint of everything upstream of the sampled
@@ -364,7 +368,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         h.update(np.ascontiguousarray(np.asarray(sigma)).tobytes())
         h.update(np.asarray(freqs).tobytes())
         parts = [sky.shape, int(seed), bool(apply_pb), pb_model,
-                 float(pb_blockage_m), int(w_planes),
+                 float(pb_blockage_m), int(w_planes), mean_dish,
                  sorted((corruption or {}).items())]
         if applycal_gains:
             st = os.stat(applycal_gains)
@@ -398,7 +402,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     # all channels batched on device: FFT each channel's sky plane, apply
     # its own Gaussian primary beam (the role of CASA's vpmanager PB,
     # casa/_interface.py:17-27) and sample at its own uv wavelengths
-    mean_dish = float(np.mean(ant['diam'])) if len(ant['diam']) else 25.0
+    # (mean_dish computed above, as part of the visibility signature)
     if not reused:
         with KernelTimer("synthobs: vis sampling (+noise)", log) as kt:
             key, sub = jax.random.split(key)
@@ -878,12 +882,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         tt1_file = fitsfile.replace('.fits', '.tt1.fits')
         with KernelTimer("synthobs: tt1 FITS write", log):
             fitsio.write_fits(tt1_file, mtmfs_maps['tt1'], out_hdr)
-        hdr_a = fitsio.Header()
-        for k, v, cm in out_hdr._cards:
-            hdr_a[k] = v
-            if cm:
-                hdr_a.comments[k] = cm
-        hdr_a['BUNIT'] = ''
+        hdr_a = out_hdr.copy()
+        hdr_a['BUNIT'] = ''     # the spectral index is dimensionless
         alpha_file = fitsfile.replace('.fits', '.alpha.fits')
         with KernelTimer("synthobs: alpha FITS write", log):
             fitsio.write_fits(alpha_file, mtmfs_maps['alpha'], hdr_a)

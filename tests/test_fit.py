@@ -961,6 +961,50 @@ class TestNonLTEFitting:
         with pytest.raises(ValueError, match="only meaningful"):
             jfit.build_sed_forward(jm, SED_FREQS, ('nonlte.b_n2',))
 
+    def test_map_departure_coeffs_accepted(self, model_params):
+        """departure_coefficient_maps output is a documented
+        departure_coeffs= input: the fit forwards must take the
+        per-sightline maps, matching JetModel's own non-LTE API."""
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 5))
+        b1m, b2m = jm.departure_coefficient_maps('H58a')
+        fwd, th0 = jfit.build_rrl_spectrum_forward(
+            jm, 'H58a', freqs, ('properties.T_0',), lte=False,
+            departure_coeffs=(b1m, b2m))
+        ours = np.asarray(fwd(th0))
+        api = np.nansum(jm.flux_rrl('H58a', freqs, lte=False,
+                                    departure_coeffs=(b1m, b2m)),
+                        axis=(1, 2))
+        assert ours == pytest.approx(api, rel=1e-12)
+        # freeing a coefficient while holding MAP-valued fixes is
+        # ill-posed (theta is scalar) and refused loudly
+        with pytest.raises(ValueError, match="SCALAR"):
+            jfit.build_rrl_spectrum_forward(
+                jm, 'H58a', freqs, ('nonlte.b_n2',), lte=False,
+                departure_coeffs=(b1m, b2m))
+
+    def test_sweep_nonlte_b_n2(self, model_params):
+        """sweep accepts the nonlte pseudo-paths for RRL-spectrum
+        surveys (they are SUPPORTED_FREE members; the docstring says
+        any of them sweep)."""
+        jm = JetModel(_small(model_params))
+        jm.time = 2.0 * YEAR
+        freqs = _H58A_NU0 * (1.0 + np.linspace(-3e-4, 3e-4, 5))
+        b1_fix, _ = jm.departure_coefficients('H58a')
+        b2s = np.linspace(0.9, 1.0, 3)
+        res = jfit.sweep(jm, freqs, {'nonlte.b_n2': b2s},
+                         kind='rrl_spectrum', line='H58a')
+        for i, b2 in enumerate(b2s):
+            api = np.nansum(jm.flux_rrl('H58a', freqs, lte=False,
+                                        departure_coeffs=(b1_fix, b2)),
+                            axis=(1, 2))
+            np.testing.assert_allclose(res.values[i], api, rtol=1e-10,
+                                       err_msg=f"b_n2={b2}")
+        # still rejected where the forwards have no nonlte slot
+        with pytest.raises(ValueError, match="only meaningful"):
+            jfit.sweep(jm, SED_FREQS, {'nonlte.b_n2': b2s}, kind='sed')
+
     def test_joint_sed_plus_nonlte_profile(self, model_params):
         """Mixed joint fit: the SED component builds on the real-
         parameter subset (nonlte.* slots are zero-gradient there) while

@@ -30,6 +30,20 @@ class TestFits:
         assert hdr2['CDELT1'] == pytest.approx(-1.15e-6)
         assert ''.join(hdr2['HISTORY']) == 'a' * 100
 
+    def test_header_copy_is_independent(self):
+        hdr = fitsio.Header()
+        hdr['BUNIT'] = 'Jy/beam'
+        hdr.comments['BUNIT'] = 'brightness unit'
+        hdr['HISTORY'] = 'original'
+        cp = hdr.copy()
+        cp['BUNIT'] = ''
+        cp['HISTORY'] = 'derived'
+        assert hdr['BUNIT'] == 'Jy/beam'
+        assert cp['BUNIT'] == ''
+        assert hdr['HISTORY'] == ['original']
+        assert cp['HISTORY'] == ['original', 'derived']
+        assert cp.comments['BUNIT'] == 'brightness unit'
+
     def test_roundtrip_3d_float32(self, tmp_path):
         data = np.random.default_rng(1).normal(
             size=(4, 16, 17)).astype(np.float32)

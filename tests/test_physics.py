@@ -165,6 +165,34 @@ class TestMiscPhysics:
         assert float(mphys.blackbody_nu(nu, t)) == pytest.approx(rj,
                                                                  rel=1e-3)
 
+    def test_blackbody_integer_frequency(self):
+        # an int frequency must promote, not truncate the 2.47e-16
+        # cube-root prefactor to integer 0 (regression: silent 0.0)
+        import numpy as np
+        want = float(mphys.blackbody_nu(6.0e9, 1e4))
+        assert float(mphys.blackbody_nu(6000000000, 1e4)) == \
+            pytest.approx(want, rel=1e-12)
+        got = np.asarray(mphys.blackbody_nu(
+            np.array([6000000000], dtype=np.int64), 1e4))
+        assert got[0] == pytest.approx(want, rel=1e-12)
+
+    def test_expm1_planck_f32_gradient_not_nan(self):
+        # the f32 Taylor lane must be clamped in the non-small branch:
+        # x^8 overflows to inf above ~6.5e4 and where()'s VJP turned the
+        # discarded-branch inf into a NaN gradient.  (At such x the
+        # SELECTED expm1 lane is inf — f32 exp overflow, x far beyond
+        # the radio regime — so the honest post-fix gradient is inf,
+        # never NaN.)
+        import jax
+        import jax.numpy as jnp
+        g = jax.grad(lambda x: mphys._expm1_planck(x))(
+            jnp.asarray(7.0e4, jnp.float32))
+        assert not bool(jnp.isnan(g))
+        # and in the physical radio band the gradient is clean
+        g2 = jax.grad(lambda x: mphys._expm1_planck(x))(
+            jnp.asarray(0.3, jnp.float32))
+        assert bool(jnp.isfinite(g2))
+
     def test_doppler(self):
         assert float(mphys.doppler_shift(1e10, 299.792458)) == \
             pytest.approx(1e10 * (1 - 1e-3), rel=1e-12)

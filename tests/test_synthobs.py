@@ -332,6 +332,15 @@ class TestImaging:
         m_c = np.asarray(m_c)
         assert abs(m_c.sum() - flux) < 0.05 * flux
         assert np.max(np.abs(np.asarray(r_c))) < 0.05 * flux
+        # and the actual Hogbom output agrees (same greedy selection;
+        # the major cycles erase Clark's patch-truncation error)
+        m_h, r_h, _ = imaging.hogbom_clean(dirty, psf, mask, gain=0.2,
+                                           niter=200,
+                                           threshold=0.01 * flux)
+        m_h = np.asarray(m_h)
+        assert abs(m_c.sum() - m_h.sum()) < 0.02 * flux
+        # component maps agree where either placed flux
+        np.testing.assert_allclose(m_c, m_h, atol=0.05 * flux)
 
     def test_clark_residual_is_exact(self):
         """The returned residual is the exact dirty - model * psf (the

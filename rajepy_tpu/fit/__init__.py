@@ -976,12 +976,23 @@ def build_rrl_forward(jm, line: str, freqs, free: Sequence[str],
                 b1_fix = float(b1_fix)
             if b2_fix.ndim == 0:
                 b2_fix = float(b2_fix)
-            if nl_idx and (np.ndim(b1_fix) or np.ndim(b2_fix)):
-                raise ValueError(
-                    "freeing nonlte.b_n1/b_n2 fits a SCALAR coefficient; "
-                    "map-valued departure_coeffs can only be held fixed "
-                    "(drop them from `free`, or pass scalar starting "
-                    "coefficients)")
+            for pth, bv in (('nonlte.b_n1', b1_fix),
+                            ('nonlte.b_n2', b2_fix)):
+                if np.ndim(bv) and np.shape(bv) != (jm.nx, jm.nz):
+                    # a mis-shaped array could broadcast silently into
+                    # wrong physics against the (n_chan, nx, nz) maps
+                    raise ValueError(
+                        f"{pth} departure coefficient must be a scalar "
+                        f"or an (nx, nz) = ({jm.nx}, {jm.nz}) sightline "
+                        f"map (got shape {np.shape(bv)})")
+                if pth in nl_idx and np.ndim(bv):
+                    # the freed slot is a scalar theta entry; the OTHER
+                    # coefficient may still be held fixed as a map
+                    raise ValueError(
+                        f"freeing {pth} fits a SCALAR coefficient; its "
+                        "starting value in departure_coeffs must be a "
+                        "scalar (a map is only valid for a coefficient "
+                        "held fixed)")
         else:
             b1_fix, b2_fix = jm.departure_coefficients(line)
     params = copy.deepcopy(jm.params)

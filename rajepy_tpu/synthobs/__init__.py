@@ -926,17 +926,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                         f"{'cube' if cube_mode else 'mfs'} imaging",
                         timestamp=False)
                 continue
-            hdr_p = out_hdr
+            hdr_p = out_hdr.copy()
             if cube_mode and arr.ndim == 2:
                 # the common-beam psf plane is 2-D: strip the cube's
                 # spectral-axis cards or the file advertises a FREQ axis
                 # it does not have
-                hdr_p = fitsio.Header()
-                for k, v, cm in out_hdr._cards:
-                    if not k.endswith('3'):
-                        hdr_p[k] = v
-                        if cm:
-                            hdr_p.comments[k] = cm
+                hdr_p._cards = [c for c in hdr_p._cards
+                                if not c[0].endswith('3')]
             hdr_p['BUNIT'] = bunits.get(name, '')
             pfile = fitsfile.replace('.fits', f'.{name}.fits')
             with KernelTimer(f"synthobs: {name} FITS write", log):

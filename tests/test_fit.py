@@ -977,12 +977,31 @@ class TestNonLTEFitting:
                                     departure_coeffs=(b1m, b2m)),
                         axis=(1, 2))
         assert ours == pytest.approx(api, rel=1e-12)
-        # freeing a coefficient while holding MAP-valued fixes is
+        # freeing a coefficient whose own starting value is a map is
         # ill-posed (theta is scalar) and refused loudly
         with pytest.raises(ValueError, match="SCALAR"):
             jfit.build_rrl_spectrum_forward(
                 jm, 'H58a', freqs, ('nonlte.b_n2',), lte=False,
                 departure_coeffs=(b1m, b2m))
+        # ...but freeing the OTHER (scalar) coefficient while a map is
+        # held fixed is well-posed and must work
+        fwd2, th02 = jfit.build_rrl_spectrum_forward(
+            jm, 'H58a', freqs, ('nonlte.b_n1',), lte=False,
+            departure_coeffs=(0.95, b2m))
+        ours2 = np.asarray(fwd2(th02))
+        api2 = np.nansum(jm.flux_rrl('H58a', freqs, lte=False,
+                                     departure_coeffs=(0.95, b2m)),
+                         axis=(1, 2))
+        assert ours2 == pytest.approx(api2, rel=1e-12)
+        # mis-shaped arrays are refused instead of broadcasting silently
+        with pytest.raises(ValueError, match=r"\(nx, nz\)"):
+            jfit.build_rrl_spectrum_forward(
+                jm, 'H58a', freqs, ('properties.T_0',), lte=False,
+                departure_coeffs=(np.ones(jm.nz), b2m))
+        with pytest.raises(ValueError, match=r"\(nx, nz\)"):
+            jfit.build_rrl_spectrum_forward(
+                jm, 'H58a', freqs, ('properties.T_0',), lte=False,
+                departure_coeffs=(b1m.T[:, :-1], b2m))
 
     def test_sweep_nonlte_b_n2(self, model_params):
         """sweep accepts the nonlte pseudo-paths for RRL-spectrum

@@ -1097,10 +1097,17 @@ class TestSaveProducts:
         products = simulate_observation(
             pline, run, niter=50,
             save_products=('psf', 'dirty', 'model', 'residual'))
+        bunits = {'psf': '', 'dirty': 'Jy/beam', 'model': 'Jy/pixel',
+                  'residual': 'Jy/beam'}
         for name in ('psf', 'dirty', 'model', 'residual'):
             assert name in products
             data, hdr = fitsio.read_fits(products[name])
             assert data.ndim == 2 and np.isfinite(data).all()
+            assert hdr['BUNIT'] == bunits[name]
+        # each product got its own header copy: the restored image's
+        # BUNIT must not have been rewritten by the auxiliary loop
+        _, main_hdr = fitsio.read_fits(products['clean_image'])
+        assert main_hdr['BUNIT'] == 'Jy/beam'
         psf, _ = fitsio.read_fits(products['psf'])
         assert psf.max() == pytest.approx(1.0, rel=1e-5)  # unit peak
         # restored = model*beam + residual: dirty peak >= residual peak

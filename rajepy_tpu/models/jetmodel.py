@@ -336,10 +336,17 @@ class JetModel:
         fields = self._ensure_fields()
         ffs = np.nan_to_num(np.asarray(ffs), nan=0.0)
         areas = np.nan_to_num(np.asarray(areas), nan=0.0)
+        # intersect with the recomputed mask: a cell the checkpoint
+        # claims inside but the current params place outside has NO
+        # recomputed physical fields (temp=0 -> T**-1.35 = inf would
+        # poison every product on that sightline); only cells both
+        # agree on carry the loaded ff/area
+        inside = jnp.asarray(areas > 0) & fields.inside
+        zero = jnp.asarray(0.0, self._dtype)
         self._fields = fields._replace(
-            ff=jnp.asarray(ffs, self._dtype),
-            area=jnp.asarray(areas, self._dtype),
-            inside=jnp.asarray(areas > 0))
+            ff=jnp.where(inside, jnp.asarray(ffs, self._dtype), zero),
+            area=jnp.where(inside, jnp.asarray(areas, self._dtype), zero),
+            inside=inside)
         self._rt_static_cache = None  # derived from ff/area: recompute
         self._emergent_tiles_cache = None
         self._rrl_tiles_cache = None
@@ -1669,25 +1676,40 @@ class JetModel:
             img = data[0]
             if collapse or img.ndim == 2:
                 out = miscf.reorder_axes(img, ra_axis=0, dec_axis=1)
+                los = False
             else:
                 out = miscf.reorder_axes(img, ra_axis=0, dec_axis=2,
                                          axis3=1, axis3_type='y')
+                los = True
             self.save_fits(out, savefits, image_type,
-                           freq if np.ndim(freq) else [freq])
+                           freq if np.ndim(freq) else [freq],
+                           los_axis3=los)
         else:
             if collapse or data.ndim == 3:
                 out = miscf.reorder_axes(data, ra_axis=1, dec_axis=2,
                                          axis3=0, axis3_type='freq')
+                los = False
             else:
                 out = miscf.reorder_axes(data, ra_axis=1, dec_axis=3,
                                          axis3=2, axis3_type='y',
                                          axis4=0, axis4_type='freq')
-            self.save_fits(out, savefits, image_type, freq)
+                los = True
+            self.save_fits(out, savefits, image_type, freq,
+                           los_axis3=los)
 
     def save_fits(self, data: np.ndarray, filename: str, image_type: str,
-                  freq=None):
-        """Write a 2-D/3-D FITS image with the reference's WCS/units header
-        (classes.py:1543-1652)."""
+                  freq=None, los_axis3: bool = False):
+        """Write a 2-D/3-D/4-D FITS image with the reference's WCS/units
+        header (classes.py:1543-1652).
+
+        ``los_axis3=True`` marks axis 3 (FITS counting) as the
+        uncollapsed line-of-sight axis of a ``collapse=False`` product —
+        written as a LINEAR axis in au, with the frequency axis (if any)
+        as axis 4.  The reference crashes on both uncollapsed savefits
+        shapes (its 4-D array fails the ndims check; its scalar 3-D call
+        hits ``len()`` on a float, classes.py:1585/1619-1623) — writing
+        a correct header instead is a deliberate fidelity deviation
+        (PARITY.md)."""
         if image_type not in ('flux', 'tau', 'em', 'intensity'):
             raise ValueError("arg image_type must be one of 'flux', 'tau' "
                              "or 'em'")
@@ -1698,7 +1720,7 @@ class JetModel:
             (self.params['target']['dist'] * cnsts.PARSEC)))
 
         ndims = np.ndim(data)
-        if ndims not in (2, 3):
+        if ndims not in (2, 3) and not (ndims == 4 and los_axis3):
             raise ValueError(f"Unexpected number of data dimensions "
                              f"({ndims})")
 
@@ -1724,29 +1746,56 @@ class JetModel:
         hdr['CDELT2'] = csize_deg
         hdr.comments['CDELT2'] = 'Pixel size in DEC (deg)'
 
+        if los_axis3 and ndims >= 3:
+            # uncollapsed line-of-sight axis (collapse=False products)
+            n_y = np.shape(data)[-3]
+            hdr['CTYPE3'] = 'LINEAR'
+            hdr.comments['CTYPE3'] = 'Line-of-sight axis (uncollapsed)'
+            hdr['CRPIX3'] = n_y / 2.0 + 0.5
+            hdr.comments['CRPIX3'] = 'Reference pixel along the LOS'
+            hdr['CRVAL3'] = 0.0
+            hdr.comments['CRVAL3'] = 'LOS distance at reference pixel (au)'
+            hdr['CDELT3'] = float(self.csize)
+            hdr.comments['CDELT3'] = 'LOS pixel increment (au)'
+
+        def _freq_axis(n: str):
+            """The reference's spectral-axis cards (classes.py:1617-1639)
+            on FITS axis ``n``, minus a defect: CRVAL is the frequency AT
+            the reference pixel CRPIX for odd/single channel counts too
+            (the reference is half a channel low there; even counts are
+            bit-identical)."""
+            fr = np.atleast_1d(np.asarray(freq, dtype=float))
+            nchan = len(fr)
+            chan_width = fr[1] - fr[0] if nchan != 1 else 1.0
+            hdr[f'CTYPE{n}'] = 'FREQ'
+            hdr.comments[f'CTYPE{n}'] = 'Spectral axis (frequency)'
+            hdr[f'CRPIX{n}'] = nchan / 2.0 + 0.5
+            hdr.comments[f'CRPIX{n}'] = \
+                'Reference frequency (channel number)'
+            hdr[f'CRVAL{n}'] = float(fr[0] + (nchan - 1) / 2.0 * chan_width)
+            hdr.comments[f'CRVAL{n}'] = 'Reference frequency (Hz)'
+            hdr[f'CDELT{n}'] = float(chan_width)
+            hdr.comments[f'CDELT{n}'] = 'Frequency increment (Hz)'
+
         if image_type in ('flux', 'tau', 'intensity'):
-            if ndims == 3:
-                freq = np.atleast_1d(np.asarray(freq, dtype=float))
-                nchan = len(freq)
-                chan_width = freq[1] - freq[0] if nchan != 1 else 1.0
-                hdr['CTYPE3'] = 'FREQ'
-                hdr.comments['CTYPE3'] = 'Spectral axis (frequency)'
-                hdr['CRPIX3'] = nchan / 2.0 + 0.5
-                hdr.comments['CRPIX3'] = \
-                    'Reference frequency (channel number)'
-                hdr['CRVAL3'] = float(freq[len(freq) // 2 - 1] +
-                                      chan_width / 2)
-                hdr.comments['CRVAL3'] = 'Reference frequency (Hz)'
-                hdr['CDELT3'] = float(chan_width)
-                hdr.comments['CDELT3'] = 'Frequency increment (Hz)'
+            if ndims == 4:
+                _freq_axis('4')
+            elif ndims == 3 and not los_axis3:
+                _freq_axis('3')
+            elif ndims == 3:
+                # scalar-frequency LOS cube: record the image frequency
+                # without usurping the LOS axis-3 cards above
+                fr = np.atleast_1d(np.asarray(freq, dtype=float))
+                hdr['RESTFRQ'] = float(fr[0])
+                hdr.comments['RESTFRQ'] = 'Image frequency (Hz)'
             else:
-                freq = np.atleast_1d(np.asarray(freq, dtype=float))
+                freq_arr = np.atleast_1d(np.asarray(freq, dtype=float))
                 hdr['CDELT3'] = 1.0
                 hdr.comments['CDELT3'] = 'Frequency increment (Hz)'
                 hdr['CRPIX3'] = 0.5
                 hdr.comments['CRPIX3'] = \
                     'Reference frequency (channel number)'
-                hdr['CRVAL3'] = float(freq[0])
+                hdr['CRVAL3'] = float(freq_arr[0])
                 hdr.comments['CRVAL3'] = 'Reference frequency (Hz)'
 
         hdr['BUNIT'] = {'flux': 'Jy pixel^-1',

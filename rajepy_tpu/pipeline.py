@@ -29,6 +29,24 @@ from .utils.logger import Log
 from .utils.validation import check_pline_params
 
 
+def _relativise_home(path: str, home: str) -> str:
+    """home -> '~' only as a path PREFIX: a bare str.replace corrupts
+    paths that merely contain the home string as a substring
+    ('/rootfs/...' with home '/root')."""
+    if path == home or path.startswith(home + os.sep):
+        return '~' + path[len(home):]
+    return path
+
+
+def _expand_home(path: str, home: str) -> str:
+    """'~' -> home only as a path PREFIX (inverse of _relativise_home);
+    a literal '~' elsewhere in a path must survive a save/load round
+    trip untouched."""
+    if path == '~' or path.startswith('~' + os.sep):
+        return home + path[1:]
+    return path
+
+
 class Pipeline:
     """Creation of a physical jet model, FITS sky models, and synthetic
     observations (classes.py:1970-2868)."""
@@ -42,9 +60,10 @@ class Pipeline:
             loaded = pickle.load(f)
 
         for run in loaded['runs']:
-            run.dcy = run.dcy.replace('~', home)
-        loaded['model_file'] = loaded['model_file'].replace('~', home)
-        full_dcy = loaded['params']['dcys']['model_dcy'].replace('~', home)
+            run.dcy = _expand_home(run.dcy, home)
+        loaded['model_file'] = _expand_home(loaded['model_file'], home)
+        full_dcy = _expand_home(loaded['params']['dcys']['model_dcy'],
+                                home)
         loaded['params']['dcys']['model_dcy'] = full_dcy
 
         jm = JetModel.load_model(loaded['model_file'])
@@ -197,10 +216,10 @@ class Pipeline:
         if not absolute_directories:
             saved = ([run.dcy for run in rs], ps['dcys']['model_dcy'])
             for run in rs:
-                run.dcy = run.dcy.replace(home, '~')
-            ps['dcys']['model_dcy'] = ps['dcys']['model_dcy'].replace(
-                home, '~')
-            mf = mf.replace(home, '~')
+                run.dcy = _relativise_home(run.dcy, home)
+            ps['dcys']['model_dcy'] = _relativise_home(
+                ps['dcys']['model_dcy'], home)
+            mf = _relativise_home(mf, home)
         p = {"runs": rs, "params": ps, "model_file": mf, 'log': None}
         self.log.add_entry("INFO", "Saving pipeline to " + save_file)
         try:
@@ -294,21 +313,25 @@ class Pipeline:
         from .parallel import fanout
         nx, nz = self.model.nx, self.model.nz
         itemsize = np.dtype(self.model._dtype).itemsize
+        cached_bytes = 0.0
         for key, idxs in groups.items():
             if len(idxs) < 2:
                 continue  # nothing to fan out for a lone run
             # bound host memory: the fanned cache holds every run's tau
             # AND flux maps at once (the sequential loop holds one run's)
+            # — the budget is CUMULATIVE over groups, since all groups'
+            # products coexist until the per-run loop pops them
             nchan = key[-1]
             group_bytes = len(idxs) * nchan * nx * nz * itemsize * 2
-            if group_bytes > 8e9:
+            if cached_bytes + group_bytes > 8e9:
                 self.log.add_entry(
                     "WARNING",
                     f"Skipping device fan-out for {len(idxs)} "
                     f"{key[0]} runs: cached products would need "
-                    f"{group_bytes / 1e9:.1f} GB of host memory; "
-                    "running sequentially")
+                    f"{(cached_bytes + group_bytes) / 1e9:.1f} GB of "
+                    "host memory; running sequentially")
                 continue
+            cached_bytes += group_bytes
             years = [self.runs[i].year for i in idxs]
             freqs_mat = np.stack([np.atleast_1d(np.asarray(
                 self.runs[i].chan_freqs, dtype=float)) for i in idxs])
@@ -403,7 +426,9 @@ class Pipeline:
                         f"{run.freq / 1e9:.1f}GHz for a model time of "
                         f"{run.year:.1f}yr")
                     rt_t0 = _time.perf_counter()
-                    fan = fanned.get(idx)
+                    # pop: once this run's writes consume the fanned
+                    # products the host copies are dead weight
+                    fan = fanned.pop(idx, None)
                     if fan is None and (clobber or not (
                             os.path.exists(run.fits_em) and
                             os.path.exists(run.fits_tau) and
@@ -425,80 +450,41 @@ class Pipeline:
                                     lte=getattr(run, 'lte', True))
                         fan = {'em': em_c, 'tau': tau_c, 'flux': flux_c}
 
+                    # NB within every write guard below fan is non-None:
+                    # fan skips computing only when all three products
+                    # exist and clobber is False, which falsifies the
+                    # guards
                     if not os.path.exists(run.fits_em) or clobber:
                         self.log.add_entry(
                             "INFO",
                             f"Emission measures saved to {run.fits_em}")
-                        if fan is not None:
-                            self.model.save_fits(
-                                miscf.reorder_axes(fan['em'], ra_axis=0,
-                                                   dec_axis=1),
-                                run.fits_em, 'em')
-                        else:
-                            self.model.emission_measure(savefits=run.fits_em)
+                        self.model.save_fits(
+                            miscf.reorder_axes(fan['em'], ra_axis=0,
+                                               dec_axis=1),
+                            run.fits_em, 'em')
                     else:
                         self.log.add_entry(
                             "INFO", "Emission measures already exist -> "
                                     f"{run.fits_em}", timestamp=False)
 
-                    if run.obs_type == 'continuum':
-                        if not os.path.exists(run.fits_tau) or clobber:
-                            self.log.add_entry(
-                                "INFO", "Computing optical depths and "
-                                        f"saving to {run.fits_tau}")
-                            if fan is not None:
-                                self.model._save_rt_fits(
-                                    fan['tau'], run.fits_tau, 'tau',
-                                    run.chan_freqs, False, True)
-                            else:
-                                self.model.optical_depth_ff(
-                                    run.chan_freqs, savefits=run.fits_tau)
-                        if not os.path.exists(run.fits_flux) or clobber:
-                            self.log.add_entry(
-                                "INFO", "Calculating fluxes and saving to "
-                                        f"{run.fits_flux}")
-                            if fan is not None:
-                                fluxes = fan['flux']
-                                self.model._save_rt_fits(
-                                    fluxes, run.fits_flux, 'flux',
-                                    run.chan_freqs, False, True)
-                            else:
-                                fluxes = self.model.flux_ff(
-                                    run.chan_freqs, savefits=run.fits_flux)
-                        else:
-                            from .io.fits import read_fits
-                            fluxes = read_fits(run.fits_flux)[0]
+                    if not os.path.exists(run.fits_tau) or clobber:
+                        self.log.add_entry(
+                            "INFO", "Computing optical depths and "
+                                    f"saving to {run.fits_tau}")
+                        self.model._save_rt_fits(
+                            fan['tau'], run.fits_tau, 'tau',
+                            run.chan_freqs, False, True)
+                    if not os.path.exists(run.fits_flux) or clobber:
+                        self.log.add_entry(
+                            "INFO", "Calculating fluxes and saving to "
+                                    f"{run.fits_flux}")
+                        fluxes = fan['flux']
+                        self.model._save_rt_fits(
+                            fluxes, run.fits_flux, 'flux',
+                            run.chan_freqs, False, True)
                     else:
-                        if not os.path.exists(run.fits_tau) or clobber:
-                            self.log.add_entry(
-                                "INFO", "Computing optical depths and "
-                                        f"saving to {run.fits_tau}")
-                            if fan is not None:
-                                self.model._save_rt_fits(
-                                    fan['tau'], run.fits_tau, 'tau',
-                                    run.chan_freqs, False, True)
-                            else:
-                                self.model.optical_depth_rrl(
-                                    run.line, run.chan_freqs,
-                                    savefits=run.fits_tau,
-                                    lte=getattr(run, 'lte', True))
-                        if not os.path.exists(run.fits_flux) or clobber:
-                            self.log.add_entry(
-                                "INFO", "Calculating fluxes and saving to "
-                                        f"{run.fits_flux}")
-                            if fan is not None:
-                                fluxes = fan['flux']
-                                self.model._save_rt_fits(
-                                    fluxes, run.fits_flux, 'flux',
-                                    run.chan_freqs, False, True)
-                            else:
-                                fluxes = self.model.flux_rrl(
-                                    run.line, run.chan_freqs, contsub=False,
-                                    savefits=run.fits_flux,
-                                    lte=getattr(run, 'lte', True))
-                        else:
-                            from .io.fits import read_fits
-                            fluxes = read_fits(run.fits_flux)[0]
+                        from .io.fits import read_fits
+                        fluxes = read_fits(run.fits_flux)[0]
 
                     fluxes = np.asarray(fluxes)
                     if run.obs_type == 'continuum':
@@ -574,7 +560,16 @@ class Pipeline:
                     self.log.add_entry(
                         "ERROR", f"Run #{idx + 1}'s source fit failed")
 
-            self.runs[idx].completed = True
+            # A run is complete only when every stage it is configured
+            # for has actually run this call (or was found on disk): the
+            # reference marks completed=True even under dryrun=True or
+            # simobserve=False (classes.py:2853), which poisons a later
+            # resume=True execute into skipping all real work — a
+            # deliberate fidelity deviation (PARITY.md).
+            rt_done = (not run.radiative_transfer) or not dryrun
+            so_done = (not run.simobserve) or (simobserve and not dryrun)
+            if rt_done and so_done:
+                self.runs[idx].completed = True
 
         if not dryrun and simobserve and plot:
             from .plotting import functions as pfunc

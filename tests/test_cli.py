@@ -77,10 +77,19 @@ def test_cli_rt_and_so_end_to_end(param_files):
 
 def test_cli_resume_skips_completed(param_files):
     mf, pf, out = param_files
-    main(['-rt', mf, pf])
-    # resume: the completed run is not recomputed (fast return)
-    pline = main(['-rt', '-r', mf, pf])
+    pline = main(['-rt', mf, pf])
+    # RT-only: the run still owes its configured synthetic observation,
+    # so it must NOT be marked completed — the reference sets
+    # completed=True even here (classes.py:2853), poisoning a later
+    # resume into skipping the synthobs stage forever (PARITY.md)
+    assert not pline.runs[0].completed
+    flux0 = os.path.getmtime(pline.runs[0].fits_flux)
+    # resume with -so: the RT FITS products are reused (not rewritten),
+    # synthobs runs, and the run completes
+    pline = main(['-rt', '-so', '-r', mf, pf])
     assert pline.runs[0].completed
+    assert os.path.getmtime(pline.runs[0].fits_flux) == flux0
+    assert os.path.exists(pline.runs[0].products['clean_image'])
 
 
 def test_param_files_do_not_alias_by_name(model_params, tmp_path):

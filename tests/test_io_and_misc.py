@@ -241,6 +241,35 @@ class TestCheckpoint:
         assert jm2.params['properties']['n_0'] == \
             pytest.approx(jm.params['properties']['n_0'])
 
+    def test_inconsistent_checkpoint_ff_stays_finite(self, model_params,
+                                                     tmp_path):
+        """A checkpoint whose fill factors disagree with the current
+        params (hand-edited file, or params changed after save) must not
+        poison products: a cell the checkpoint claims inside but the
+        recomputed fields place outside has temp=0, and 0**-1.35 = inf
+        would otherwise leak through every product on that sightline."""
+        import pickle
+        from rajepy_tpu import JetModel
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=12, n_y=16, n_z=12)
+        jm = JetModel(p)
+        jm.time = 0.7 * 31536000.0
+        _ = jm.fill_factor          # materialise the cached ff/areas
+        path = str(tmp_path / 'model.pkl')
+        jm.save(path)
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        # claim a definitely-outside corner cell is fully inside the jet
+        state['ffs'][0, 0, 0] = 1.0
+        state['areas'][0, 0, 0] = 1.0
+        with open(path, 'wb') as f:
+            pickle.dump(state, f)
+        jm2 = JetModel.load_model(path)
+        fl = np.asarray(jm2.flux_ff(np.array([6e9])))
+        tau = np.asarray(jm2.optical_depth_ff(np.array([6e9])))
+        assert not np.isinf(fl).any() and not np.isinf(tau).any()
+        assert np.nanmax(fl) > 0  # the real jet is still there
+
     def test_pipeline_state(self, model_params, tmp_path):
         from rajepy_tpu import JetModel, Pipeline
         p = copy.deepcopy(model_params)
@@ -325,6 +354,22 @@ class TestMisc:
         out = misc.reorder_axes(a, ra_axis=1, dec_axis=3, axis3=2,
                                 axis3_type='y', axis4=0, axis4_type='freq')
         np.testing.assert_array_equal(out, np.transpose(a, (0, 2, 3, 1)))
+
+    def test_home_relativise_is_prefix_anchored(self):
+        """Pipeline save/load '~' substitution must only touch a home
+        PREFIX: a bare str.replace corrupted '/rootfs/...' paths when
+        home='/root' and literal '~' elsewhere in a loaded path."""
+        from rajepy_tpu.pipeline import _expand_home, _relativise_home
+        home = '/root'
+        assert _relativise_home('/root/models/x', home) == '~/models/x'
+        assert _relativise_home('/root', home) == '~'
+        assert _relativise_home('/rootfs/data/x', home) == '/rootfs/data/x'
+        assert _expand_home('~/models/x', home) == '/root/models/x'
+        assert _expand_home('~', home) == '/root'
+        assert _expand_home('/data/proj~v2/x', home) == '/data/proj~v2/x'
+        # round trip
+        for p in ('/root/a/b', '/rootfs/a', '/data/proj~v2/m', '/root'):
+            assert _expand_home(_relativise_home(p, home), home) == p
 
 
 class TestValidation:

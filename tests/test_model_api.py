@@ -40,6 +40,59 @@ class TestDtypeAuto:
         assert JetModel.resolve_dtype(jnp.float32) == jnp.float32
 
 
+class TestUncollapsedSaveFits:
+    """collapse=False products must WRITE correct files — the reference
+    crashes on both shapes (4-D fails its ndims check; scalar 3-D hits
+    len() on a float, classes.py:1585/1619-1623).  Deliberate fidelity
+    deviation (PARITY.md)."""
+
+    def test_multichannel_4d(self, model_params, tmp_path):
+        from rajepy_tpu.io import fits as fitsio
+        jm = JetModel(small(model_params))
+        jm.time = 2.0 * 31536000.0
+        f = str(tmp_path / 'tau4d.fits')
+        freqs = np.array([5e9, 6e9, 7e9])
+        tau = np.asarray(jm.optical_depth_ff(freqs, savefits=f,
+                                             collapse=False))
+        assert tau.ndim == 4
+        data, hdr = fitsio.read_fits(f)
+        assert data.shape == (3, jm.ny, jm.nz, jm.nx)
+        assert hdr['CTYPE3'] == 'LINEAR'          # LOS axis, in au
+        assert hdr['CDELT3'] == pytest.approx(jm.csize)
+        assert hdr['CTYPE4'] == 'FREQ'
+        # odd nchan: CRVAL must be the frequency AT CRPIX (the reference
+        # formula is half a channel low for odd counts)
+        assert hdr['CRPIX4'] == 2.0
+        assert hdr['CRVAL4'] == pytest.approx(6e9)
+        assert hdr['CDELT4'] == pytest.approx(1e9)
+
+    def test_scalar_3d_los_cube(self, model_params, tmp_path):
+        from rajepy_tpu.io import fits as fitsio
+        jm = JetModel(small(model_params))
+        jm.time = 2.0 * 31536000.0
+        f = str(tmp_path / 'tau3d.fits')
+        jm.optical_depth_ff(6e9, savefits=f, collapse=False)
+        data, hdr = fitsio.read_fits(f)
+        assert data.shape == (jm.ny, jm.nz, jm.nx)
+        assert hdr['CTYPE3'] == 'LINEAR'
+        assert hdr['RESTFRQ'] == pytest.approx(6e9)
+        with pytest.raises(KeyError):
+            hdr['CTYPE4']
+
+    def test_even_nchan_header_unchanged(self, model_params, tmp_path):
+        """Even channel counts keep the reference's exact CRVAL3 value
+        (freq[n/2-1] + dnu/2) — the fix only moves odd/single counts."""
+        from rajepy_tpu.io import fits as fitsio
+        jm = JetModel(small(model_params))
+        jm.time = 2.0 * 31536000.0
+        f = str(tmp_path / 'flux.fits')
+        freqs = np.array([4e9, 5e9, 6e9, 7e9])
+        jm.flux_ff(freqs, savefits=f)
+        _, hdr = fitsio.read_fits(f)
+        assert hdr['CRPIX3'] == 2.5
+        assert hdr['CRVAL3'] == pytest.approx(5e9 + 0.5e9)  # ref formula
+
+
 class TestFloat32Mode:
     def test_f32_model_matches_f64(self, model_params):
         p = small(model_params)

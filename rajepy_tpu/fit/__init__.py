@@ -726,7 +726,8 @@ def build_vis_forward(jm, freqs, uvw_m, free: Sequence[str],
         sky = jnp.transpose(maps, (0, 2, 1))        # (n_chan, dec, ra)
         return _sampler.sample_vis_cube(
             sky, cell_rad, uvw, freqs_arr, apply_pb=apply_pb,
-            dish_diameter_m=dish_diameter_m, w_planes=w_planes)
+            dish_diameter_m=dish_diameter_m, w_planes=w_planes,
+            centre='fits')
 
     return forward, theta0
 

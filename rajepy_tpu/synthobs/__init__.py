@@ -54,7 +54,16 @@ def _elevation_window(ra_deg, dec_deg, tscop, min_el):
     if min(el_range) > min_el:
         time_up = int(24. * 60. * 60.)
     else:
-        time_up = int(7200.0 * astro.ha(ra_deg, dec_deg, lat, min_el))
+        ha_lim = float(astro.ha(ra_deg, dec_deg, lat, min_el))
+        if not np.isfinite(ha_lim):
+            # arccos out of range: the source never rises above (or
+            # never sets below) the elevation limit at this latitude —
+            # int(nan) would raise a bare conversion error otherwise
+            raise ValueError(
+                f"target (dec={dec_deg:.2f} deg) never rises above the "
+                f"elevation limit {min_el:.1f} deg at {tscop} "
+                f"(latitude {lat:.2f} deg) — no observable time")
+        time_up = int(7200.0 * ha_lim)
     return el_range, time_up, lon, lat
 
 
@@ -290,6 +299,22 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                     field_radius_rad / cnsts.ARCSEC, w_planes),
                 timestamp=False)
 
+    # the sky model carries no information beyond its pixel Nyquist
+    # 1/(2 cell): baselines out there degrid to 0 (sampler r4) — warn,
+    # since it means the model grid is too coarse for this array
+    uv_max_wav = float(np.max(np.abs(uvw[:, :2]))) * \
+        float(np.max(freqs)) / cnsts.C
+    nyq_wav = 0.5 / cell_model_rad
+    if uv_max_wav > nyq_wav and log:
+        log.add_entry(
+            "WARNING",
+            "longest baseline ({:.3g} wavelengths) exceeds the sky "
+            "model's pixel Nyquist ({:.3g}; model cell {:.2e} rad) — "
+            "those visibilities carry zero model flux; use a finer "
+            "model grid (smaller c_size or larger n_x/n_z) for this "
+            "array".format(uv_max_wav, nyq_wav, cell_model_rad),
+            timestamp=False)
+
     # --- visibilities per channel --------------------------------------- #
     lam = cnsts.C / freqs
     key = jax.random.PRNGKey(seed)
@@ -367,9 +392,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         h.update(np.ascontiguousarray(uvw).tobytes())
         h.update(np.ascontiguousarray(np.asarray(sigma)).tobytes())
         h.update(np.asarray(freqs).tobytes())
+        # 'centre-fits' tokens the phase-centre convention: vis sets
+        # sampled before the r4 WCS re-referencing must not be reused
         parts = [sky.shape, int(seed), bool(apply_pb), pb_model,
                  float(pb_blockage_m), int(w_planes), mean_dish,
-                 sorted((corruption or {}).items())]
+                 sorted((corruption or {}).items()), 'centre-fits']
         if applycal_gains:
             st = os.stat(applycal_gains)
             parts.append((os.path.abspath(applycal_gains),
@@ -411,7 +438,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 jnp.asarray(uvw, rdt),
                 jnp.asarray(freqs, rdt), sub, sigma, apply_pb=apply_pb,
                 dish_diameter_m=mean_dish, w_planes=w_planes,
-                pb_model=pb_model, pb_blockage_m=pb_blockage_m)
+                pb_model=pb_model, pb_blockage_m=pb_blockage_m,
+                centre='fits')
             kt.set_result((re_c, im_c, re_n, im_n))
         # keep visibilities as (re, im) float pairs end to end: complex
         # arrays can't cross the device boundary on TPU backends, and a
@@ -850,8 +878,12 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     out_hdr['CTYPE2'] = 'DEC--TAN'
     out_hdr['CRVAL1'] = ra_deg
     out_hdr['CRVAL2'] = dec_deg
-    out_hdr['CRPIX1'] = imsize / 2 + 0.5
-    out_hdr['CRPIX2'] = imsize / 2 + 0.5
+    # the imager's zero-phase point is integer pixel imsize//2 (FFT DC
+    # after fftshift), so CRPIX is that pixel 1-based — CASA's n/2+1
+    # convention; n/2+0.5 claimed a centre half an image pixel away
+    # (review r4)
+    out_hdr['CRPIX1'] = imsize // 2 + 1
+    out_hdr['CRPIX2'] = imsize // 2 + 1
     out_hdr['CDELT1'] = -cell_as / 3600.0
     out_hdr['CDELT2'] = cell_as / 3600.0
     out_hdr['BMAJ'] = np.degrees(bmaj_rad)
@@ -901,10 +933,16 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         # through the ONE shared implementation so sampling and pbcor
         # can never drift apart
         pb_freqs = freqs if cube_mode else np.asarray([run.freq])
-        pb = np.stack([sampler.primary_beam(
-            imsize, imsize, cell_rad, f, mean_dish, model=pb_model,
-            blockage_m=pb_blockage_m) for f in pb_freqs])
-        pbc = np.where(pb >= pblimit, restored_cube / pb, np.nan)
+        # channel-at-a-time: stacking all channels' PB planes plus the
+        # where/divide temporaries peaks at several GB of host RAM for a
+        # 1,000-channel cube, when one plane at a time costs a few MB
+        pbc = np.empty_like(np.asarray(restored_cube))
+        for k, f in enumerate(pb_freqs):
+            pb_k = np.asarray(sampler.primary_beam(
+                imsize, imsize, cell_rad, f, mean_dish, model=pb_model,
+                blockage_m=pb_blockage_m))
+            pbc[k] = np.where(pb_k >= pblimit, restored_cube[k] / pb_k,
+                              np.nan)
         pbcor_file = fitsfile.replace('.fits', '.pbcor.fits')
         with KernelTimer("synthobs: pbcor FITS write", log):
             fitsio.write_fits(pbcor_file,

@@ -759,9 +759,13 @@ def fit_psf_beam(psf, cell_rad: float) -> Tuple[float, float, float]:
     fwhm = 2.0 * np.sqrt(2.0 * np.log(2.0))
     bmaj = sig1 * fwhm * cell_rad
     bmin = sig2 * fwhm * cell_rad
-    bpa = 0.5 * np.degrees(np.arctan2(2 * mxy, mxx - myy))
-    # position angle: convention east of north; image x = -RA
-    return float(bmaj), float(bmin), float(90.0 - bpa)
+    theta = 0.5 * np.degrees(np.arctan2(2 * mxy, mxx - myy))
+    # position angle east of north (FITS/CASA BPA): the image basis is
+    # x = West (CDELT1 < 0), y = North, so an image-frame angle theta
+    # (from +x toward +y) maps to PA = theta - 90 — NOT 90 - theta,
+    # which mirrors the beam about north (review r4)
+    bpa = theta % 180.0 - 90.0
+    return float(bmaj), float(bmin), float(bpa)
 
 
 def gaussian_beam_kernel(n: int, cell_rad: float, bmaj_rad: float,
@@ -770,7 +774,9 @@ def gaussian_beam_kernel(n: int, cell_rad: float, bmaj_rad: float,
     yy, xx = np.mgrid[0:n, 0:n]
     x = (xx - n // 2) * cell_rad
     y = (yy - n // 2) * cell_rad
-    th = np.radians(90.0 - bpa_deg)
+    # inverse of fit_psf_beam's convention: PA east of north -> image
+    # angle theta = PA + 90 on the x=West/y=North basis
+    th = np.radians(bpa_deg + 90.0)
     xr = x * np.cos(th) + y * np.sin(th)
     yr = -x * np.sin(th) + y * np.cos(th)
     c = 4.0 * np.log(2.0)

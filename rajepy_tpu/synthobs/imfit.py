@@ -92,10 +92,13 @@ def fit_gaussian(image: np.ndarray,
                      'min_pix': max(nx / 30.0, 2.0), 'pa_deg': 0.0}
 
     fwhm = 2.0 * np.sqrt(2.0 * np.log(2.0))
+    # pa_deg is CASA-convention (east of north); _gauss2d's theta is the
+    # image-frame angle from +x on the x=West/y=North basis: theta =
+    # PA + 90 (seeding with raw PA put the major axis ~90 deg off)
     p0 = np.array([estimates['peak'], estimates['x'], estimates['y'],
                    max(estimates['maj_pix'] / fwhm, 0.5),
                    max(estimates['min_pix'] / fwhm, 0.5),
-                   np.radians(estimates['pa_deg'])])
+                   np.radians(estimates['pa_deg'] + 90.0)])
 
     img = np.nan_to_num(image, nan=0.0)
 
@@ -139,7 +142,8 @@ def fit_gaussian(image: np.ndarray,
     flux_err = np.sqrt(max(flux_var, 0.0))
     return {'peak': float(peak), 'x': float(x0), 'y': float(y0),
             'maj_pix': float(smaj * fwhm), 'min_pix': float(smin * fwhm),
-            'pa_deg': float(np.degrees(th) % 180.0),
+            # back to CASA convention: PA = theta - 90, east of north
+            'pa_deg': float((np.degrees(th) - 90.0) % 180.0),
             'flux_pixsum': float(total_flux),
             'peak_err': float(peak_e), 'x_err': float(x_e),
             'y_err': float(y_e), 'maj_pix_err': float(smaj_e * fwhm),

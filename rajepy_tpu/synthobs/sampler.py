@@ -43,6 +43,37 @@ def sky_fft(image, pad: int = _PAD):
     return jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(padded)))
 
 
+def _centre_shift(n: int, centre: str) -> float:
+    """Pixel offset of the requested phase centre from the FFT DC pixel
+    ``n // 2``.
+
+    ``'pixel'`` (default): the phase centre IS the DC pixel — the
+    convention of :func:`imaging.grid_and_image` and CLEAN component
+    images.  ``'fits'``: the centre sits at 0-based ``(n - 1) / 2``,
+    where the model FITS header's CRPIX ``n/2 + 0.5`` puts CRVAL
+    (between pixels for even n) — sampling a sky model with 'pixel'
+    references every visibility phase half a model cell away from the
+    header's CRVAL (review r4)."""
+    if centre == 'pixel':
+        return 0.0
+    if centre != 'fits':
+        raise ValueError(f"unknown centre convention {centre!r}")
+    return (n - 1) / 2.0 - n // 2          # -0.5 for even n, 0 for odd
+
+
+def _fits_centre_ramp(vis, cell_rad, u_wav, v_wav, nx: int, ny: int,
+                      centre: str):
+    """Re-reference degridded visibility phases from the DC pixel to the
+    requested centre: V_new = V * e^{+2 pi i (u l_c + v m_c)} with
+    (l_c, m_c) the centre's offset in the pixel convention."""
+    sx = _centre_shift(nx, centre)
+    sy = _centre_shift(ny, centre)
+    if sx == 0.0 and sy == 0.0:
+        return vis
+    ph = (2.0 * jnp.pi) * cell_rad * (sx * u_wav + sy * v_wav)
+    return vis * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
 def _kb_beta(width: int, sigma: int) -> float:
     """Beatty et al. (2005) optimal Kaiser-Bessel shape parameter for a
     kernel of support ``width`` cells at oversampling ``sigma``."""
@@ -111,7 +142,14 @@ def _kb_degrid(vis_grid, cell_rad, u_wav, v_wav, width: int, beta: float):
         nv, width * width)
     wgt = (ky[:, :, None] * kx[:, None, :]).reshape(nv, width * width)
     vals = jnp.take(vis_grid.reshape(-1), idx)
-    return jnp.sum(wgt * vals, axis=1)
+    out = jnp.sum(wgt * vals, axis=1)
+    # beyond the model grid's Nyquist (|u| > 1/(2 cell)) the clip above
+    # would silently return the grid-edge value at full kernel weight;
+    # the pixelated model carries no information there — return 0
+    # (simulate_observation warns when any baseline lands out here)
+    in_rng = ((fx >= 0) & (fx <= n_big[1] - 1) &
+              (fy >= 0) & (fy <= n_big[0] - 1))
+    return jnp.where(in_rng, out, jnp.zeros_like(out))
 
 
 def _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav):
@@ -131,13 +169,17 @@ def _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav):
     v01 = vis_grid[y0, x0 + 1]
     v10 = vis_grid[y0 + 1, x0]
     v11 = vis_grid[y0 + 1, x0 + 1]
-    return ((1 - ty) * ((1 - tx) * v00 + tx * v01) +
-            ty * ((1 - tx) * v10 + tx * v11))
+    out = ((1 - ty) * ((1 - tx) * v00 + tx * v01) +
+           ty * ((1 - tx) * v10 + tx * v11))
+    # out-of-Nyquist points: zero, not the clamped grid-edge value
+    in_rng = ((fx >= 0) & (fx <= n_big[1] - 1) &
+              (fy >= 0) & (fy <= n_big[0] - 1))
+    return jnp.where(in_rng, out, jnp.zeros_like(out))
 
 
-@partial(jax.jit, static_argnames=('pad', 'degrid'))
+@partial(jax.jit, static_argnames=('pad', 'degrid', 'centre'))
 def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD,
-               degrid: str = 'kb'):
+               degrid: str = 'kb', centre: str = 'pixel'):
     """Sample the sky model's Fourier transform at (u, v) [wavelengths].
 
     u is the east-west spatial frequency conjugate to RA offset, v conjugate
@@ -152,23 +194,26 @@ def sample_vis(image, cell_rad: float, u_wav, v_wav, pad: int = _PAD,
     # pin every operand to the image's precision: under x64 a python-float
     # cell size would promote the chain to f64/c128, which TPU rejects
     rdt = image.dtype
+    ny, nx = image.shape
     cell_rad = jnp.asarray(cell_rad, rdt)
     u_wav = jnp.asarray(u_wav, rdt)
     v_wav = jnp.asarray(v_wav, rdt)
     if degrid == 'kb':
         grid = sky_fft(_kb_correct(image, pad, _KB_W), pad=pad)
-        return _kb_degrid(grid, cell_rad, u_wav, v_wav, _KB_W,
-                          _kb_beta(_KB_W, pad))
-    if degrid != 'bilinear':
+        vis = _kb_degrid(grid, cell_rad, u_wav, v_wav, _KB_W,
+                         _kb_beta(_KB_W, pad))
+    elif degrid != 'bilinear':
         raise ValueError(f"unknown degrid mode {degrid!r}")
-    vis_grid = sky_fft(image, pad=pad)
-    return _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav)
+    else:
+        vis_grid = sky_fft(image, pad=pad)
+        vis = _bilerp_uv(vis_grid, cell_rad, u_wav, v_wav)
+    return _fits_centre_ramp(vis, cell_rad, u_wav, v_wav, nx, ny, centre)
 
 
-@partial(jax.jit, static_argnames=('n_wplanes', 'pad', 'degrid'))
+@partial(jax.jit, static_argnames=('n_wplanes', 'pad', 'degrid', 'centre'))
 def sample_vis_wstack(image, cell_rad: float, u_wav, v_wav, w_wav,
                       n_wplanes: int = 8, pad: int = _PAD,
-                      degrid: str = 'kb'):
+                      degrid: str = 'kb', centre: str = 'pixel'):
     """Wide-field visibility sampling by w-stacking.
 
     Handles the non-coplanar measurement equation the plain FFT path drops
@@ -241,7 +286,10 @@ def sample_vis_wstack(image, cell_rad: float, u_wav, v_wav, w_wav,
                                            jnp.zeros((), rdt)).dtype)
     acc, _ = jax.lax.scan(one_plane, acc0,
                           (planes, jnp.arange(n_wplanes, dtype=rdt)))
-    return acc
+    # the w-screens' n(l, m) is evaluated on the pixel grid either way —
+    # the half-cell centre shift's effect on n is second order; the
+    # (u, v) phase reference is what the ramp corrects
+    return _fits_centre_ramp(acc, cell_rad, u_wav, v_wav, nx, ny, centre)
 
 
 def n_wplanes_for(uvw_m, freq_hz: float, field_radius_rad: float,
@@ -264,23 +312,27 @@ def n_wplanes_for(uvw_m, freq_hz: float, field_radius_rad: float,
     return int(min(np.ceil(span_phase / dphi_max) + 1, max_planes))
 
 
-@jax.jit
-def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
+@partial(jax.jit, static_argnames=('centre',))
+def sample_vis_dft(image, cell_rad: float, u_wav, v_wav,
+                   centre: str = 'pixel'):
     """Exact direct-Fourier-transform visibilities.
 
     V(u, v) = sum_lm I[m, l] exp(-2 pi i (u l + v m)) over the image pixels
     with offsets (l, m) from the image centre in radians.  On TPU the two
     real matmuls (cos/sin factor against the pixel list) run on the MXU —
     this is the speed-of-light forward model for compact sky models, and
-    the accuracy oracle for the FFT+degrid path.
+    the accuracy oracle for the FFT+degrid path.  ``centre``: see
+    :func:`_centre_shift`.
     """
     ny, nx = image.shape
     rdt = image.dtype
     cell_rad = jnp.asarray(cell_rad, rdt)
     u_wav = jnp.asarray(u_wav, rdt)
     v_wav = jnp.asarray(v_wav, rdt)
-    l_ax = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_rad
-    m_ax = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_rad
+    cx = nx // 2 + _centre_shift(nx, centre)
+    cy = ny // 2 + _centre_shift(ny, centre)
+    l_ax = (jnp.arange(nx, dtype=rdt) - cx) * cell_rad
+    m_ax = (jnp.arange(ny, dtype=rdt) - cy) * cell_rad
     # flatten image; phase = -2 pi (u l + v m)
     ll, mm = jnp.meshgrid(l_ax, m_ax)
     flat_i = image.reshape(-1)
@@ -293,8 +345,9 @@ def sample_vis_dft(image, cell_rad: float, u_wav, v_wav):
     return jax.lax.complex(re, im)
 
 
-@jax.jit
-def sample_vis_dft_w(image, cell_rad: float, u_wav, v_wav, w_wav):
+@partial(jax.jit, static_argnames=('centre',))
+def sample_vis_dft_w(image, cell_rad: float, u_wav, v_wav, w_wav,
+                     centre: str = 'pixel'):
     """Exact non-coplanar (w-term) direct-Fourier-transform visibilities:
 
         V(u,v,w) = sum_lm I[m,l] e^{-2 pi i (u l + v m + w (n - 1))} / n,
@@ -313,8 +366,10 @@ def sample_vis_dft_w(image, cell_rad: float, u_wav, v_wav, w_wav):
     u_wav = jnp.asarray(u_wav, rdt)
     v_wav = jnp.asarray(v_wav, rdt)
     w_wav = jnp.asarray(w_wav, rdt)
-    l_ax = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_rad
-    m_ax = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_rad
+    cx = nx // 2 + _centre_shift(nx, centre)
+    cy = ny // 2 + _centre_shift(ny, centre)
+    l_ax = (jnp.arange(nx, dtype=rdt) - cx) * cell_rad
+    m_ax = (jnp.arange(ny, dtype=rdt) - cy) * cell_rad
     ll, mm = jnp.meshgrid(l_ax, m_ax)
     nn = jnp.sqrt(jnp.maximum(1.0 - ll ** 2 - mm ** 2, 1e-12))
     flat_i = (image / nn).reshape(-1)
@@ -347,12 +402,12 @@ def w_term_max_phase_error(uvw_m, freq_hz: float,
 
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
                                    'w_planes', 'degrid', 'pb_model',
-                                   'pb_blockage_m'))
+                                   'pb_blockage_m', 'centre'))
 def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
                     dish_diameter_m: float = 25.0, pad: int = _PAD,
                     batch_size: int = 4, w_planes: int = 0,
                     degrid: str = 'kb', pb_model: str = 'gaussian',
-                    pb_blockage_m: float = 0.0):
+                    pb_blockage_m: float = 0.0, centre: str = 'pixel'):
     """Channel-batched visibility sampling: (n_chan, n_vis) complex.
 
     The scalable replacement for looping :func:`sample_vis` per channel in
@@ -379,8 +434,10 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
     ny, nx = sky.shape[-2:]
     c = 299792458.0
     cell_r = jnp.asarray(cell_rad, rdt)
-    yy = (jnp.arange(ny, dtype=rdt) - ny // 2) * cell_r
-    xx = (jnp.arange(nx, dtype=rdt) - nx // 2) * cell_r
+    cy = ny // 2 + _centre_shift(ny, centre)
+    cx = nx // 2 + _centre_shift(nx, centre)
+    yy = (jnp.arange(ny, dtype=rdt) - cy) * cell_r
+    xx = (jnp.arange(nx, dtype=rdt) - cx) * cell_r
     r2 = yy[:, None] ** 2 + xx[None, :] ** 2
     uvw = jnp.asarray(uvw, rdt)
     freqs = jnp.asarray(freqs, rdt)
@@ -399,9 +456,9 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
             return sample_vis_wstack(
                 img, cell_r, uvw[:, 0] / lam, uvw[:, 1] / lam,
                 uvw[:, 2] / lam, n_wplanes=w_planes, pad=pad,
-                degrid=degrid)
+                degrid=degrid, centre=centre)
         return sample_vis(img, cell_r, uvw[:, 0] / lam, uvw[:, 1] / lam,
-                          pad=pad, degrid=degrid)
+                          pad=pad, degrid=degrid, centre=centre)
 
     return jax.lax.map(one_channel, (sky, freqs),
                        batch_size=min(batch_size, sky.shape[0]))
@@ -409,14 +466,15 @@ def sample_vis_cube(sky, cell_rad, uvw, freqs, apply_pb: bool = False,
 
 @partial(jax.jit, static_argnames=('pad', 'apply_pb', 'batch_size',
                                    'w_planes', 'degrid', 'pb_model',
-                                   'pb_blockage_m'))
+                                   'pb_blockage_m', 'centre'))
 def _sample_vis_chunk(sky, cell_rad, uvw, freqs, key, sigma,
                       apply_pb: bool = False,
                       dish_diameter_m: float = 25.0,
                       pad: int = _PAD, batch_size: int = 4,
                       w_planes: int = 0, degrid: str = 'kb',
                       pb_model: str = 'gaussian',
-                      pb_blockage_m: float = 0.0):
+                      pb_blockage_m: float = 0.0,
+                      centre: str = 'pixel'):
     """One compiled sampling+noise dispatch over a channel slice —
     complex values exist only inside the program (the axon TPU runtime
     cannot transfer or eagerly operate on complex64/128)."""
@@ -424,7 +482,7 @@ def _sample_vis_chunk(sky, cell_rad, uvw, freqs, key, sigma,
                           dish_diameter_m=dish_diameter_m, pad=pad,
                           batch_size=batch_size, w_planes=w_planes,
                           degrid=degrid, pb_model=pb_model,
-                          pb_blockage_m=pb_blockage_m)
+                          pb_blockage_m=pb_blockage_m, centre=centre)
     noisy = add_noise(key, vis, sigma)
     return vis.real, vis.imag, noisy.real, noisy.imag
 
@@ -436,7 +494,8 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
                                w_planes: int = 0, degrid: str = 'kb',
                                pb_model: str = 'gaussian',
                                pb_blockage_m: float = 0.0,
-                               chan_chunk: int = 256):
+                               chan_chunk: int = 256,
+                               centre: str = 'pixel'):
     """Channel-batched sampling + thermal noise, returning real/imag
     pairs: ``(re_clean, im_clean, re_noisy, im_noisy)``.
 
@@ -454,7 +513,7 @@ def sample_vis_cube_with_noise(sky, cell_rad, uvw, freqs, key, sigma,
     kw = dict(apply_pb=apply_pb, dish_diameter_m=dish_diameter_m,
               pad=pad, batch_size=batch_size, w_planes=w_planes,
               degrid=degrid, pb_model=pb_model,
-              pb_blockage_m=pb_blockage_m)
+              pb_blockage_m=pb_blockage_m, centre=centre)
     if n_chan <= chunk:
         return _sample_vis_chunk(sky, cell_rad, uvw, freqs, key, sigma,
                                  **kw)

@@ -1466,3 +1466,98 @@ class TestVisReuse:
         # and the set was rewritten whole
         with np.load(prods2['ms_noisy']) as f:
             assert f['vis_re'].ndim == 2
+
+
+class TestR4ConventionFixes:
+    """Round-4 review: PA/BPA conventions, phase-centre WCS referencing,
+    out-of-Nyquist degridding, and the never-rises elevation crash."""
+
+    def test_beam_kernel_pa_is_east_of_north(self):
+        """gaussian_beam_kernel(bpa=30) must have its major axis at
+        east-of-north PA 30 on the x=West/y=North image basis (the old
+        90-theta convention mirrored it to 150)."""
+        n, cell = 128, 1e-6
+        k = imaging.gaussian_beam_kernel(n, cell, 20e-6, 8e-6, 30.0)
+        yy, xx = np.mgrid[0:n, 0:n]
+        w = k * (k > 0.5)
+        mxx = (w * (xx - n // 2) ** 2).sum()
+        myy = (w * (yy - n // 2) ** 2).sum()
+        mxy = (w * (xx - n // 2) * (yy - n // 2)).sum()
+        theta = 0.5 * np.degrees(np.arctan2(2 * mxy, mxx - myy))
+        east = -np.cos(np.radians(theta))
+        north = np.sin(np.radians(theta))
+        pa = np.degrees(np.arctan2(east, north)) % 180.0
+        assert abs(pa - 30.0) < 1.5
+        # and fit_psf_beam round-trips the same convention
+        _, _, bpa = imaging.fit_psf_beam(k, cell)
+        assert abs((bpa - 30.0 + 90.0) % 180.0 - 90.0) < 1.5
+
+    def test_imfit_pa_is_east_of_north(self):
+        from rajepy_tpu.synthobs import imfit as imfit_mod
+        yy, xx = np.mgrid[0:128, 0:128]
+        # north-south source (pa = 0): elongated along y
+        img = np.exp(-0.5 * (((xx - 64) / 3.0) ** 2 +
+                             ((yy - 64) / 10.0) ** 2))
+        fit = imfit_mod.fit_gaussian(
+            img, estimates={'peak': 1.0, 'x': 64, 'y': 64,
+                            'maj_pix': 23.5, 'min_pix': 7.1,
+                            'pa_deg': 0.0})
+        assert abs((fit['pa_deg'] + 90.0) % 180.0 - 90.0) < 1.0
+        # east-west source (pa = 90): elongated along x
+        img2 = np.exp(-0.5 * (((xx - 64) / 10.0) ** 2 +
+                              ((yy - 64) / 3.0) ** 2))
+        fit2 = imfit_mod.fit_gaussian(
+            img2, estimates={'peak': 1.0, 'x': 64, 'y': 64,
+                             'maj_pix': 23.5, 'min_pix': 7.1,
+                             'pa_deg': 90.0})
+        assert abs(fit2['pa_deg'] - 90.0) < 1.0
+
+    def test_fits_centre_convention(self):
+        """centre='fits' references phases to the model header's CRVAL
+        position (0-based (n-1)/2): a delta at pixel n/2 of an even
+        image must carry the analytic half-pixel phase."""
+        n, cell = 64, 2e-6
+        rng = np.random.default_rng(3)
+        u = rng.uniform(-5e4, 5e4, 100)
+        v = rng.uniform(-5e4, 5e4, 100)
+        img = np.zeros((n, n))
+        img[n // 2, n // 2] = 1.0
+        vis = np.asarray(sampler.sample_vis_dft(
+            jnp.asarray(img), cell, jnp.asarray(u), jnp.asarray(v),
+            centre='fits'))
+        want = np.exp(-2j * np.pi * (u + v) * 0.5 * cell)
+        np.testing.assert_allclose(vis, want, atol=1e-12)
+        # the FFT+KB path agrees with the DFT under the same convention
+        kb = np.asarray(sampler.sample_vis(
+            jnp.asarray(img), cell, jnp.asarray(u), jnp.asarray(v),
+            centre='fits'))
+        np.testing.assert_allclose(kb, vis, atol=1e-5)
+        # odd sizes: both conventions coincide (centre IS a pixel)
+        img_o = np.zeros((n + 1, n + 1))
+        img_o[n // 2, n // 2] = 1.0
+        v_p = np.asarray(sampler.sample_vis_dft(
+            jnp.asarray(img_o), cell, jnp.asarray(u), jnp.asarray(v)))
+        v_f = np.asarray(sampler.sample_vis_dft(
+            jnp.asarray(img_o), cell, jnp.asarray(u), jnp.asarray(v),
+            centre='fits'))
+        np.testing.assert_allclose(v_p, v_f, atol=1e-14)
+
+    def test_out_of_nyquist_degrids_to_zero(self):
+        """Baselines beyond the model's pixel Nyquist must return 0, not
+        the clamped grid-edge visibility at full kernel weight."""
+        n, cell = 64, 2e-6
+        img = np.random.default_rng(0).normal(size=(n, n))
+        nyq = 0.5 / cell
+        u = np.array([0.3 * nyq, 1.5 * nyq, -2.0 * nyq])
+        v = np.array([0.1 * nyq, 0.0, 1.2 * nyq])
+        for degrid in ('kb', 'bilinear'):
+            vis = np.asarray(sampler.sample_vis(
+                jnp.asarray(img), cell, jnp.asarray(u), jnp.asarray(v),
+                degrid=degrid))
+            assert abs(vis[0]) > 0           # in-range survives
+            assert vis[1] == 0 and vis[2] == 0, degrid
+
+    def test_never_rises_is_a_clear_error(self):
+        from rajepy_tpu.synthobs import _elevation_window
+        with pytest.raises(ValueError, match="never rises"):
+            _elevation_window(180.0, -60.0, 'e-MERLIN', 20.0)

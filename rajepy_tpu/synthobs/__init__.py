@@ -94,7 +94,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                          applycal_gains: Optional[str] = None,
                          save_products: tuple = (),
                          shard_imaging: Optional[bool] = None,
-                         reuse_vis: bool = False
+                         reuse_vis: bool = False,
+                         export_uvfits: bool = False
                          ) -> Dict[str, str]:
     """Synthesise an interferometric observation of ``run``'s sky model.
 
@@ -203,6 +204,14 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     tclean).  ``Pipeline.execute(resume=True)`` passes this through
     automatically; a changed model or observation invalidates the
     signature and resamples.
+
+    ``export_uvfits=True`` additionally writes the clean and noisy
+    visibility sets as standard random-groups UVFITS files (with AIPS
+    AN antenna tables) next to the ``.vis.npz`` sets — openable by real
+    CASA (``importuvfits``), AIPS and difmap for reprocessing outside
+    this framework (:mod:`.uvfits`); products keys ``uvfits_clean``/
+    ``uvfits_noisy``.  Enable pipeline-wide via the params file:
+    ``params['synthobs'] = {'export_uvfits': True}``.
     """
     if pb_model not in ('gaussian', 'airy'):
         raise ValueError(f"unknown pb_model {pb_model!r} (gaussian/airy)")
@@ -525,6 +534,34 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             with atomic_write(noisy_vis_file) as f:
                 np.savez(f, uvw=uvw, vis_re=re_nn, vis_im=im_nn,
                          freqs=freqs, sigma=sigma, resume_sig=vis_sig)
+
+    uvfits_files = {}
+    if export_uvfits:
+        # standard-format copies of the visibility sets, openable by
+        # real CASA (importuvfits)/AIPS/difmap — the interoperability
+        # the reference got for free from CASA's own measurement sets
+        from . import uvfits as uvfits_mod
+        a1, a2, t_idx = calibration.vis_metadata(n_samp, _pairs)
+        time_s = (t_idx + 0.5) * t_int_eff
+        for tag, (vr, vi, sg) in {
+                'uvfits_clean': (re_cn, im_cn, 0.0),
+                'uvfits_noisy': (re_nn, im_nn, sigma)}.items():
+            suffix = '.uvfits' if tag.endswith('clean') else \
+                '.noisy.uvfits'
+            fname = os.path.join(synobs_dcy, f'SynObs.{base}{suffix}')
+            with KernelTimer(f"synthobs: {tag} write", log):
+                uvfits_mod.write_uvfits(
+                    fname, uvw, vr, vi, freqs, ant['xyz'], a1, a2,
+                    time_s, ra_deg, dec_deg, sigma=sg,
+                    ant_names=ant.get('names'), source='TARGET',
+                    telescope=str(tscop))
+            uvfits_files[tag] = fname
+        if log:
+            log.add_entry(
+                "INFO",
+                "Exported UVFITS visibility sets (clean + noisy) to "
+                f"{os.path.basename(uvfits_files['uvfits_noisy'])}",
+                timestamp=False)
 
     # --- imaging (classes.py:2761-2788) ---------------------------------- #
     # multi-frequency synthesis: all channels on one grid (continuum) or a
@@ -904,6 +941,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
     products = {'ms_clean': clean_vis_file, 'ms_noisy': noisy_vis_file,
                 'clean_image': fitsfile}
+    products.update(uvfits_files)
     if re_sc is not None:
         products['ms_selfcal'] = selfcal_vis_file
         products['gains'] = gains_file

@@ -1,0 +1,461 @@
+"""Random-groups UVFITS export/import for the native visibility sets.
+
+The reference's synthetic observations live inside CASA measurement sets
+that any radio-interferometry package can open; this framework's native
+path keeps visibilities in ``.vis.npz`` files that only it reads.  This
+module closes that interoperability gap: :func:`write_uvfits` renders a
+sampled visibility set as a standard random-groups UVFITS file — the
+interchange format CASA (``importuvfits``), AIPS and difmap all ingest —
+with the AIPS AN antenna table real imaging software requires, and
+:func:`read_uvfits` parses it back (the round-trip oracle, and an import
+path for visibilities produced elsewhere).
+
+Dependency-free, like :mod:`rajepy_tpu.io.fits` (astropy is not part of
+the runtime footprint): the writer emits the header cards, group
+parameters and binary-table bytes directly.
+
+Conventions (AIPS memo 117 / the original UVFITS definition):
+
+- group parameters ``UU---SIN``/``VV---SIN``/``WW---SIN`` are baseline
+  coordinates in SECONDS (metres / c), for the same (u, v, w) the
+  sampler's forward model used with its e^{-2 pi i (u l + v m + w (n-1))}
+  measurement kernel (sampler.py:sample_vis_dft_w) — the AIPS sign
+  convention;
+- ``BASELINE`` = 256 * ant1 + ant2 with 1-based antenna numbers,
+  ant1 < ant2;
+- the date is split over two ``DATE`` parameters (integer-ish day +
+  day fraction) so float32 group parameters keep millisecond precision;
+  ``PZERO5`` carries the Julian-date origin;
+- regular axes are (COMPLEX=3 [re, im, weight], STOKES=1 [I], FREQ,
+  RA=1, DEC=1), float32 (``BITPIX=-32``), weights = 1/sigma^2 of the
+  per-channel thermal noise (or 1 for noiseless sets);
+- groups are time-sorted (time-major, baseline-minor — the 'TB' order
+  AIPS tasks expect), which is the sampler's native flattening.
+
+The reference has no counterpart (its measurement sets are CASA's own
+product, classes.py:2510-2788); this is a beyond-reference addition so
+native-path users can reprocess simulated data in real packages.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..utils.misc import atomic_write
+from ..io.fits import _card, BLOCK
+
+C_MPS = 299792458.0
+#: J2000.0 epoch's civil date, JD 2451544.5 = 2000-01-01T00:00:00 UTC —
+#: the default observation date for simulated tracks (model time is the
+#: jet's age, not a calendar date)
+JD_2000_01_01 = 2451544.5
+
+
+def _pad_block(b: bytes, fill: bytes = b'\x00') -> bytes:
+    return b + fill * (-len(b) % BLOCK)
+
+
+def _header_bytes(cards) -> bytes:
+    text = ''.join(cards).encode('ascii')
+    return _pad_block(text, b' ')
+
+
+def write_uvfits(filename: str,
+                 uvw_m: np.ndarray,
+                 vis_re: np.ndarray,
+                 vis_im: np.ndarray,
+                 freqs_hz: np.ndarray,
+                 ant_xyz: np.ndarray,
+                 ant1: np.ndarray,
+                 ant2: np.ndarray,
+                 time_s: np.ndarray,
+                 ra_deg: float,
+                 dec_deg: float,
+                 *,
+                 sigma=0.0,
+                 ant_names: Optional[Sequence[str]] = None,
+                 source: str = 'TARGET',
+                 telescope: str = 'ARRAY',
+                 jd0: float = JD_2000_01_01,
+                 overwrite: bool = True) -> str:
+    """Write visibilities as a random-groups UVFITS file + AIPS AN table.
+
+    Parameters
+    ----------
+    uvw_m : (n_vis, 3) baseline coordinates in metres.
+    vis_re, vis_im : (n_chan, n_vis) visibility parts (the framework's
+        device-boundary (re, im) float-pair convention).
+    freqs_hz : (n_chan,) channel centre frequencies (uniform spacing).
+    ant_xyz : (n_ant, 3) station positions in metres (ECEF/ITRF).
+    ant1, ant2 : (n_vis,) 0-based antenna indices, ant1 < ant2.
+    time_s : (n_vis,) visibility timestamps in seconds from the start of
+        the (simulated) observation.
+    sigma : per-channel thermal-noise rms (scalar or (n_chan,)); group
+        weights are 1/sigma^2, or 1.0 where sigma == 0 (noiseless).
+    jd0 : Julian date of ``time_s == 0``.
+
+    Returns the filename.
+    """
+    if os.path.exists(filename) and not overwrite:
+        raise FileExistsError(filename)
+    uvw_m = np.asarray(uvw_m, np.float64)
+    vis_re = np.atleast_2d(np.asarray(vis_re, np.float64))
+    vis_im = np.atleast_2d(np.asarray(vis_im, np.float64))
+    freqs = np.atleast_1d(np.asarray(freqs_hz, np.float64))
+    ant_xyz = np.asarray(ant_xyz, np.float64)
+    n_chan, n_vis = vis_re.shape
+    if vis_im.shape != (n_chan, n_vis):
+        raise ValueError(f"vis_im shape {vis_im.shape} != vis_re "
+                         f"{(n_chan, n_vis)}")
+    if uvw_m.shape != (n_vis, 3):
+        raise ValueError(f"uvw_m shape {uvw_m.shape} != {(n_vis, 3)}")
+    if freqs.size != n_chan:
+        raise ValueError(f"{freqs.size} frequencies for {n_chan} channels")
+    ant1 = np.asarray(ant1, np.int64)
+    ant2 = np.asarray(ant2, np.int64)
+    if np.any(ant1 >= ant2):
+        raise ValueError("UVFITS requires ant1 < ant2 per baseline")
+    n_ant = ant_xyz.shape[0]
+    if np.any(ant2 >= n_ant) or np.any(ant1 < 0):
+        raise ValueError("antenna index out of range of ant_xyz")
+    if n_ant > 255:
+        # the classic BASELINE encoding holds 1..255 per antenna slot
+        raise ValueError("the BASELINE convention supports <= 255 "
+                         f"antennas (got {n_ant})")
+    time_s = np.asarray(time_s, np.float64)
+    if time_s.shape != (n_vis,):
+        raise ValueError(f"time_s shape {time_s.shape} != {(n_vis,)}")
+
+    chan_w = float(freqs[1] - freqs[0]) if n_chan > 1 else 1.0
+    sig = np.broadcast_to(np.asarray(sigma, np.float64), (n_chan,))
+    wgt = np.where(sig > 0.0, 1.0 / np.where(sig > 0.0, sig, 1.0) ** 2,
+                   1.0)
+
+    cards = [
+        _card('SIMPLE', True, 'conforms to FITS standard'),
+        _card('BITPIX', -32, 'array data type'),
+        _card('NAXIS', 6, 'number of regular axes'),
+        _card('NAXIS1', 0, 'random groups'),
+        _card('NAXIS2', 3, 'complex: real, imag, weight'),
+        _card('NAXIS3', 1, 'stokes'),
+        _card('NAXIS4', int(n_chan), 'frequency channels'),
+        _card('NAXIS5', 1, 'RA'),
+        _card('NAXIS6', 1, 'DEC'),
+        _card('EXTEND', True, 'antenna table follows'),
+        _card('GROUPS', True, 'random-groups UVFITS'),
+        _card('PCOUNT', 6, 'group parameters'),
+        _card('GCOUNT', int(n_vis), 'visibilities'),
+        _card('OBJECT', source),
+        _card('TELESCOP', telescope),
+        _card('INSTRUME', telescope),
+        _card('EPOCH', 2000.0, 'equinox of RA/DEC'),
+        _card('BSCALE', 1.0),
+        _card('BZERO', 0.0),
+        _card('BUNIT', 'JY'),
+        _card('OBSRA', float(ra_deg), 'phase centre RA (deg)'),
+        _card('OBSDEC', float(dec_deg), 'phase centre DEC (deg)'),
+        _card('CTYPE2', 'COMPLEX'),
+        _card('CRVAL2', 1.0), _card('CRPIX2', 1.0), _card('CDELT2', 1.0),
+        _card('CTYPE3', 'STOKES'),
+        _card('CRVAL3', 1.0, 'Stokes I'),
+        _card('CRPIX3', 1.0), _card('CDELT3', 1.0),
+        _card('CTYPE4', 'FREQ'),
+        _card('CRVAL4', float(freqs[0]), 'first channel frequency (Hz)'),
+        _card('CRPIX4', 1.0),
+        _card('CDELT4', chan_w, 'channel width (Hz)'),
+        _card('CTYPE5', 'RA'),
+        _card('CRVAL5', float(ra_deg)),
+        _card('CRPIX5', 1.0), _card('CDELT5', 1.0),
+        _card('CTYPE6', 'DEC'),
+        _card('CRVAL6', float(dec_deg)),
+        _card('CRPIX6', 1.0), _card('CDELT6', 1.0),
+        _card('PTYPE1', 'UU---SIN', 'baseline u (seconds)'),
+        _card('PSCAL1', 1.0), _card('PZERO1', 0.0),
+        _card('PTYPE2', 'VV---SIN', 'baseline v (seconds)'),
+        _card('PSCAL2', 1.0), _card('PZERO2', 0.0),
+        _card('PTYPE3', 'WW---SIN', 'baseline w (seconds)'),
+        _card('PSCAL3', 1.0), _card('PZERO3', 0.0),
+        _card('PTYPE4', 'BASELINE', '256*ant1 + ant2 (1-based)'),
+        _card('PSCAL4', 1.0), _card('PZERO4', 0.0),
+        _card('PTYPE5', 'DATE', 'Julian date part 1'),
+        _card('PSCAL5', 1.0), _card('PZERO5', float(jd0)),
+        _card('PTYPE6', 'DATE', 'Julian date part 2'),
+        _card('PSCAL6', 1.0), _card('PZERO6', 0.0),
+        _card('HISTORY', 'written by rajepy_tpu.synthobs.uvfits'),
+        _card('END'),
+    ]
+
+    # group payload: (n_vis, 6 params + 3*n_chan data), float32 big-endian
+    day = time_s / 86400.0
+    day_int = np.floor(day)
+    pars = np.empty((n_vis, 6), np.float32)
+    pars[:, 0] = (uvw_m[:, 0] / C_MPS).astype(np.float32)
+    pars[:, 1] = (uvw_m[:, 1] / C_MPS).astype(np.float32)
+    pars[:, 2] = (uvw_m[:, 2] / C_MPS).astype(np.float32)
+    pars[:, 3] = (256 * (ant1 + 1) + (ant2 + 1)).astype(np.float32)
+    pars[:, 4] = day_int.astype(np.float32)
+    pars[:, 5] = (day - day_int).astype(np.float32)
+
+    data = np.empty((n_vis, n_chan, 3), np.float32)
+    data[:, :, 0] = vis_re.T
+    data[:, :, 1] = vis_im.T
+    data[:, :, 2] = wgt[None, :]
+    groups = np.concatenate(
+        [pars, data.reshape(n_vis, 3 * n_chan)], axis=1).astype('>f4')
+
+    an_bytes = _an_table_bytes(ant_xyz, ant_names, telescope,
+                               float(freqs[0]), jd0)
+
+    with atomic_write(filename) as f:
+        f.write(_header_bytes(cards))
+        f.write(memoryview(np.ascontiguousarray(groups)).cast('B'))
+        f.write(b'\x00' * (-groups.nbytes % BLOCK))
+        f.write(an_bytes)
+    return filename
+
+
+def _an_table_bytes(ant_xyz: np.ndarray,
+                    ant_names: Optional[Sequence[str]],
+                    array_name: str, ref_freq_hz: float,
+                    jd0: float) -> bytes:
+    """AIPS AN binary-table extension (header + rows), the antenna
+    catalogue CASA's importuvfits and AIPS require to map BASELINE codes
+    to stations."""
+    n_ant = ant_xyz.shape[0]
+    if ant_names is None:
+        ant_names = [f'ANT{i + 1:03d}' for i in range(n_ant)]
+
+    cols = [            # (TTYPE, TFORM, TUNIT, bytes)
+        ('ANNAME', '8A', '', 8),
+        ('STABXYZ', '3D', 'METERS', 24),
+        ('ORBPARM', '0D', '', 0),
+        ('NOSTA', '1J', '', 4),
+        ('MNTSTA', '1J', '', 4),
+        ('STAXOF', '1E', 'METERS', 4),
+        ('POLTYA', '1A', '', 1),
+        ('POLAA', '1E', 'DEGREES', 4),
+        ('POLCALA', '1E', '', 4),
+        ('POLTYB', '1A', '', 1),
+        ('POLAB', '1E', 'DEGREES', 4),
+        ('POLCALB', '1E', '', 4),
+    ]
+    row_bytes = sum(c[3] for c in cols)
+
+    cards = [
+        _card('XTENSION', 'BINTABLE', 'binary table'),
+        _card('BITPIX', 8),
+        _card('NAXIS', 2),
+        _card('NAXIS1', row_bytes, 'bytes per row'),
+        _card('NAXIS2', n_ant, 'antennas'),
+        _card('PCOUNT', 0), _card('GCOUNT', 1),
+        _card('TFIELDS', len(cols)),
+        _card('EXTNAME', 'AIPS AN'),
+        _card('EXTVER', 1),
+    ]
+    for i, (name, form, unit, _) in enumerate(cols, start=1):
+        cards.append(_card(f'TTYPE{i}', name))
+        cards.append(_card(f'TFORM{i}', form))
+        if unit:
+            cards.append(_card(f'TUNIT{i}', unit))
+    cards += [
+        # per-station absolute ECEF coordinates -> zero array centre
+        _card('ARRAYX', 0.0), _card('ARRAYY', 0.0), _card('ARRAYZ', 0.0),
+        _card('GSTIA0', 0.0, 'GST at IAT=0 (deg; simulated track)'),
+        _card('DEGPDY', 360.98564497330, 'earth rotation rate (deg/day)'),
+        _card('FREQ', float(ref_freq_hz), 'reference frequency (Hz)'),
+        _card('RDATE', _jd_to_date(jd0), 'reference date'),
+        _card('POLARX', 0.0), _card('POLARY', 0.0),
+        _card('UT1UTC', 0.0), _card('DATUTC', 0.0),
+        _card('TIMSYS', 'UTC'),
+        _card('ARRNAM', array_name[:8]),
+        _card('XYZHAND', 'RIGHT'),
+        _card('FRAME', 'ITRF'),
+        _card('NUMORB', 0), _card('NOPCAL', 0), _card('NO_IF', 1),
+        _card('FREQID', -1), _card('IATUTC', 0.0),
+        _card('END'),
+    ]
+
+    rows = bytearray()
+    for i in range(n_ant):
+        rows += f'{ant_names[i]:<8.8}'.encode('ascii')
+        rows += np.asarray(ant_xyz[i], '>f8').tobytes()
+        rows += np.asarray([i + 1], '>i4').tobytes()        # NOSTA
+        rows += np.asarray([0], '>i4').tobytes()            # MNTSTA alt-az
+        rows += np.asarray([0.0], '>f4').tobytes()          # STAXOF
+        rows += b'R'
+        rows += np.asarray([0.0, 0.0], '>f4').tobytes()     # POLAA, POLCALA
+        rows += b'L'
+        rows += np.asarray([0.0, 0.0], '>f4').tobytes()     # POLAB, POLCALB
+    assert len(rows) == row_bytes * n_ant
+    return _header_bytes(cards) + _pad_block(bytes(rows))
+
+
+def _jd_to_date(jd: float) -> str:
+    """Julian date -> 'YYYY-MM-DD' (Fliegel & Van Flandern 1968)."""
+    j = int(jd + 0.5)
+    f = j + 1401 + (((4 * j + 274277) // 146097) * 3) // 4 - 38
+    e = 4 * f + 3
+    g = (e % 1461) // 4
+    h = 5 * g + 2
+    day = (h % 153) // 5 + 1
+    month = (h // 153 + 2) % 12 + 1
+    year = e // 1461 - 4716 + (12 + 2 - month) // 12
+    return f'{year:04d}-{month:02d}-{day:02d}'
+
+
+# ---------------------------------------------------------------------- #
+# reader                                                                  #
+# ---------------------------------------------------------------------- #
+
+def _read_header(raw: bytes, pos: int):
+    """Parse one FITS header starting at ``pos``: returns (dict of the
+    LAST value per key, ordered (key, value) list, next position)."""
+    from ..io.fits import _parse_value
+    hdr: Dict[str, object] = {}
+    ordered = []
+    while True:
+        block = raw[pos:pos + BLOCK].decode('ascii', errors='replace')
+        if len(block) < BLOCK:
+            raise ValueError("truncated FITS header")
+        pos += BLOCK
+        done = False
+        for i in range(0, BLOCK, 80):
+            card = block[i:i + 80]
+            key = card[:8].strip()
+            if key == 'END':
+                done = True
+                break
+            if not key or card[8:10] != '= ':
+                continue
+            rest = card[10:]
+            if rest.lstrip().startswith("'"):
+                q = rest.index("'")
+                q2 = rest.index("'", q + 1)
+                while q2 + 1 < len(rest) and rest[q2 + 1] == "'":
+                    q2 = rest.index("'", q2 + 2)
+                value = _parse_value(rest[:q2 + 1])
+            else:
+                value = _parse_value(rest.split('/', 1)[0])
+            hdr[key] = value
+            ordered.append((key, value))
+        if done:
+            return hdr, ordered, pos
+
+
+def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
+    """Read a random-groups UVFITS file written by :func:`write_uvfits`
+    (or any single-source, single-IF file using the classic conventions).
+
+    Returns a dict: ``uvw`` (n_vis, 3) in METRES, ``ant1``/``ant2``
+    (0-based), ``jd`` (n_vis) full Julian dates, ``vis_re``/``vis_im``
+    (n_chan, n_vis), ``weights`` (n_chan, n_vis), ``freqs`` (n_chan,),
+    ``ra_deg``/``dec_deg``/``source``, ``ant_xyz``/``ant_names`` from the
+    AN table (empty if absent).
+    """
+    with open(filename, 'rb') as f:
+        raw = f.read()
+    hdr, ordered, pos = _read_header(raw, 0)
+    if not hdr.get('GROUPS'):
+        raise ValueError(f"{filename}: not a random-groups UVFITS file")
+    if int(hdr['BITPIX']) != -32:
+        raise ValueError("only BITPIX=-32 UVFITS is supported")
+    naxes = [int(hdr[f'NAXIS{i}']) for i in
+             range(1, int(hdr['NAXIS']) + 1)]
+    pcount = int(hdr['PCOUNT'])
+    gcount = int(hdr['GCOUNT'])
+    per_group = pcount + int(np.prod(naxes[1:]))
+    flat = np.frombuffer(raw, '>f4', count=gcount * per_group,
+                         offset=pos).reshape(gcount, per_group)
+    pos += ((gcount * per_group * 4 + BLOCK - 1) // BLOCK) * BLOCK
+
+    # group-parameter columns by PTYPE (DATE may appear twice)
+    pscal = [float(hdr.get(f'PSCAL{i}', 1.0)) for i in range(1, pcount + 1)]
+    pzero = [float(hdr.get(f'PZERO{i}', 0.0)) for i in range(1, pcount + 1)]
+    ptypes = [str(hdr.get(f'PTYPE{i}', '')) for i in range(1, pcount + 1)]
+
+    def par(prefix):
+        idx = [i for i, t in enumerate(ptypes) if t.startswith(prefix)]
+        if not idx:
+            raise ValueError(f"no {prefix} group parameter")
+        # multi-part parameters (DATE) sum: value = sum(p_i*scal + zero)
+        return sum(flat[:, i].astype(np.float64) * pscal[i] + pzero[i]
+                   for i in idx)
+
+    uvw = np.stack([par('UU'), par('VV'), par('WW')], axis=1) * C_MPS
+    bl_code = par('BASELINE').astype(np.int64)
+    ant1 = bl_code // 256 - 1
+    ant2 = bl_code % 256 - 1
+    jd = par('DATE')
+
+    # regular axes: NAXIS2.. listed fastest-first; find COMPLEX/FREQ
+    ctypes = {str(hdr.get(f'CTYPE{i}', '')): i
+              for i in range(2, int(hdr['NAXIS']) + 1)}
+    n_per_ax = {i: naxes[i - 1] for i in range(2, int(hdr['NAXIS']) + 1)}
+    i_freq = ctypes.get('FREQ')
+    if i_freq is None:
+        raise ValueError("no FREQ axis")
+    n_chan = n_per_ax[i_freq]
+    # data as (..., FREQ, ..., COMPLEX) C-order = axes reversed
+    shape = tuple(reversed(naxes[1:]))
+    dat = flat[:, pcount:].reshape((gcount,) + shape).astype(np.float64)
+    # move FREQ and COMPLEX to the back: FITS axis k (fastest = 2) is
+    # C-axis nax-(k-1) of ``shape``, +1 for the group axis in front
+    nax = len(shape)
+    ax_complex = 1 + (nax - 1)      # NAXIS2 is always the last C axis
+    ax_freq = 1 + (nax - (i_freq - 1))
+    dat = np.moveaxis(dat, (ax_freq, ax_complex), (-2, -1))
+    if int(np.prod(dat.shape[1:-2])) != 1:
+        raise ValueError("only single-source, single-IF, single-stokes "
+                         f"UVFITS is supported (axes {naxes[1:]})")
+    dat = dat.reshape(gcount, n_chan, 3)
+
+    freqs = (float(hdr['CRVAL4' if i_freq == 4 else f'CRVAL{i_freq}']) +
+             (np.arange(n_chan) -
+              (float(hdr.get(f'CRPIX{i_freq}', 1.0)) - 1.0)) *
+             float(hdr.get(f'CDELT{i_freq}', 1.0)))
+
+    out = {
+        'uvw': uvw, 'ant1': ant1, 'ant2': ant2, 'jd': jd,
+        'vis_re': dat[:, :, 0].T.copy(),
+        'vis_im': dat[:, :, 1].T.copy(),
+        'weights': dat[:, :, 2].T.copy(),
+        'freqs': freqs,
+        'ra_deg': float(hdr.get('OBSRA', hdr.get('CRVAL5', 0.0))),
+        'dec_deg': float(hdr.get('OBSDEC', hdr.get('CRVAL6', 0.0))),
+        'source': str(hdr.get('OBJECT', '')),
+        'ant_xyz': np.zeros((0, 3)), 'ant_names': [],
+    }
+
+    # AN table (optional)
+    while pos < len(raw):
+        try:
+            ehdr, _, dpos = _read_header(raw, pos)
+        except (ValueError, KeyError):
+            break
+        nbytes = int(ehdr.get('NAXIS1', 0)) * int(ehdr.get('NAXIS2', 0))
+        next_pos = dpos + ((nbytes + BLOCK - 1) // BLOCK) * BLOCK
+        if str(ehdr.get('EXTNAME', '')).strip() == 'AIPS AN':
+            n_ant = int(ehdr['NAXIS2'])
+            row = int(ehdr['NAXIS1'])
+            names, xyz = [], np.zeros((n_ant, 3))
+            # column offsets from the TFORMs
+            sizes = {'A': 1, 'E': 4, 'J': 4, 'D': 8}
+            offs, off = {}, 0
+            for i in range(1, int(ehdr['TFIELDS']) + 1):
+                form = str(ehdr[f'TFORM{i}']).strip()
+                rep = int(form[:-1]) if form[:-1] else 1
+                offs[str(ehdr[f'TTYPE{i}']).strip()] = off
+                off += rep * sizes[form[-1]]
+            for k in range(n_ant):
+                base = dpos + k * row
+                names.append(raw[base + offs['ANNAME']:
+                                 base + offs['ANNAME'] + 8]
+                             .decode('ascii').strip())
+                xyz[k] = np.frombuffer(raw, '>f8', count=3,
+                                       offset=base + offs['STABXYZ'])
+            out['ant_xyz'] = xyz
+            out['ant_names'] = names
+        pos = next_pos
+    return out

@@ -1561,3 +1561,172 @@ class TestR4ConventionFixes:
         from rajepy_tpu.synthobs import _elevation_window
         with pytest.raises(ValueError, match="never rises"):
             _elevation_window(180.0, -60.0, 'e-MERLIN', 20.0)
+
+
+class TestUVFITS:
+    """Random-groups UVFITS export/import (synthobs/uvfits.py): the
+    standard-format bridge to real CASA/AIPS the reference got for free
+    from CASA's own measurement sets."""
+
+    def _synthetic_set(self, n_ant=4, n_t=3, n_chan=5, seed=0):
+        rng = np.random.default_rng(seed)
+        ant_xyz = rng.normal(scale=5e3, size=(n_ant, 3)) + \
+            np.array([-1.6e6, -5.0e6, 3.5e6])
+        i, j = np.triu_indices(n_ant, k=1)
+        n_bl = i.size
+        ant1 = np.tile(i, n_t)
+        ant2 = np.tile(j, n_t)
+        time_s = np.repeat(np.arange(n_t) * 60.0 + 30.0, n_bl)
+        uvw = rng.normal(scale=1e4, size=(n_t * n_bl, 3))
+        vis_re = rng.normal(size=(n_chan, n_t * n_bl))
+        vis_im = rng.normal(size=(n_chan, n_t * n_bl))
+        freqs = 1e9 + np.arange(n_chan) * 1e6
+        return dict(uvw=uvw, vis_re=vis_re, vis_im=vis_im, freqs=freqs,
+                    ant_xyz=ant_xyz, ant1=ant1, ant2=ant2, time_s=time_s)
+
+    def test_roundtrip(self, tmp_path):
+        from rajepy_tpu.synthobs import uvfits
+        s = self._synthetic_set()
+        sigma = np.linspace(1e-4, 3e-4, 5)
+        fn = uvfits.write_uvfits(
+            str(tmp_path / 'rt.uvfits'), s['uvw'], s['vis_re'],
+            s['vis_im'], s['freqs'], s['ant_xyz'], s['ant1'], s['ant2'],
+            s['time_s'], ra_deg=123.456, dec_deg=-25.1, sigma=sigma,
+            ant_names=['N1', 'N2', 'N3', 'N4'], source='JET',
+            telescope='VLA')
+        out = uvfits.read_uvfits(fn)
+        # float32 group parameters: uvw |.| ~ 1e4 m -> sub-mm rounding
+        np.testing.assert_allclose(out['uvw'], s['uvw'],
+                                   rtol=2e-7, atol=5e-3)
+        np.testing.assert_array_equal(out['ant1'], s['ant1'])
+        np.testing.assert_array_equal(out['ant2'], s['ant2'])
+        jd_expect = uvfits.JD_2000_01_01 + s['time_s'] / 86400.0
+        assert np.max(np.abs(out['jd'] - jd_expect)) < 1e-7  # < 10 ms
+        np.testing.assert_allclose(out['vis_re'], s['vis_re'], rtol=3e-7,
+                                   atol=3e-7)
+        np.testing.assert_allclose(out['vis_im'], s['vis_im'], rtol=3e-7,
+                                   atol=3e-7)
+        np.testing.assert_allclose(
+            out['weights'], np.broadcast_to((1.0 / sigma ** 2)[:, None],
+                                            out['weights'].shape),
+            rtol=3e-7)
+        np.testing.assert_allclose(out['freqs'], s['freqs'], rtol=0,
+                                   atol=1e-6)
+        assert out['ra_deg'] == pytest.approx(123.456)
+        assert out['dec_deg'] == pytest.approx(-25.1)
+        assert out['source'] == 'JET'
+        # AN table round trip (f64 columns: exact)
+        np.testing.assert_allclose(out['ant_xyz'], s['ant_xyz'],
+                                   rtol=0, atol=0)
+        assert out['ant_names'] == ['N1', 'N2', 'N3', 'N4']
+
+    def test_noiseless_weights_are_unity(self, tmp_path):
+        from rajepy_tpu.synthobs import uvfits
+        s = self._synthetic_set(n_chan=2)
+        fn = uvfits.write_uvfits(
+            str(tmp_path / 'w1.uvfits'), s['uvw'], s['vis_re'],
+            s['vis_im'], s['freqs'][:2], s['ant_xyz'], s['ant1'],
+            s['ant2'], s['time_s'], ra_deg=0.0, dec_deg=0.0, sigma=0.0)
+        out = uvfits.read_uvfits(fn)
+        np.testing.assert_array_equal(out['weights'], 1.0)
+
+    def test_file_structure(self, tmp_path):
+        """FITS-standard invariants: 2880-byte blocks, SIMPLE first,
+        GROUPS random-parameter layout, AN extension present."""
+        from rajepy_tpu.synthobs import uvfits
+        s = self._synthetic_set()
+        fn = uvfits.write_uvfits(
+            str(tmp_path / 'fs.uvfits'), s['uvw'], s['vis_re'],
+            s['vis_im'], s['freqs'], s['ant_xyz'], s['ant1'], s['ant2'],
+            s['time_s'], ra_deg=1.0, dec_deg=2.0)
+        raw = open(fn, 'rb').read()
+        assert len(raw) % 2880 == 0
+        assert raw[:6] == b'SIMPLE'
+        hdr, _, pos = uvfits._read_header(raw, 0)
+        assert hdr['GROUPS'] is True
+        assert hdr['PCOUNT'] == 6
+        assert hdr['GCOUNT'] == s['uvw'].shape[0]
+        assert hdr['NAXIS1'] == 0
+        assert hdr['CTYPE4'] == 'FREQ'
+        assert b'AIPS AN' in raw
+        # date helper: JD origin renders as the J2000 civil date
+        assert uvfits._jd_to_date(uvfits.JD_2000_01_01) == '2000-01-01'
+
+    def test_validation(self, tmp_path):
+        from rajepy_tpu.synthobs import uvfits
+        s = self._synthetic_set()
+        kw = dict(ra_deg=0.0, dec_deg=0.0)
+        with pytest.raises(ValueError, match="ant1 < ant2"):
+            uvfits.write_uvfits(
+                str(tmp_path / 'x.uvfits'), s['uvw'], s['vis_re'],
+                s['vis_im'], s['freqs'], s['ant_xyz'], s['ant2'],
+                s['ant1'], s['time_s'], **kw)
+        with pytest.raises(ValueError, match="vis_im shape"):
+            uvfits.write_uvfits(
+                str(tmp_path / 'x.uvfits'), s['uvw'], s['vis_re'],
+                s['vis_im'][:2], s['freqs'], s['ant_xyz'], s['ant1'],
+                s['ant2'], s['time_s'], **kw)
+        with pytest.raises(ValueError, match="255"):
+            big = np.zeros((300, 3))
+            uvfits.write_uvfits(
+                str(tmp_path / 'x.uvfits'), s['uvw'], s['vis_re'],
+                s['vis_im'], s['freqs'], big, s['ant1'], s['ant2'],
+                s['time_s'], **kw)
+
+    def test_end_to_end_export(self, model_params, tmp_path):
+        """simulate_observation(export_uvfits=True) writes UVFITS sets
+        consistent with the native .vis.npz products."""
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation, uvfits
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'uvf')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        pline = rajepy_tpu.Pipeline(rajepy_tpu.JetModel(p), pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        prods = simulate_observation(pline, pline.runs[0], niter=0,
+                                     export_uvfits=True)
+        assert os.path.exists(prods['uvfits_clean'])
+        assert os.path.exists(prods['uvfits_noisy'])
+        out = uvfits.read_uvfits(prods['uvfits_noisy'])
+        with np.load(prods['ms_noisy']) as f:
+            scale = float(np.max(np.abs(f['vis_re']))) + 1e-30
+            np.testing.assert_allclose(out['vis_re'], f['vis_re'],
+                                       rtol=0, atol=3e-7 * scale)
+            np.testing.assert_allclose(out['vis_im'], f['vis_im'],
+                                       rtol=0, atol=3e-7 * scale)
+            np.testing.assert_allclose(
+                out['uvw'], f['uvw'], rtol=2e-7,
+                atol=6e-7 * float(np.max(np.abs(f['uvw']))))
+            np.testing.assert_allclose(out['freqs'], f['freqs'],
+                                       rtol=0, atol=1e-3)
+            sig = np.broadcast_to(np.asarray(f['sigma'], float),
+                                  out['freqs'].shape)
+            np.testing.assert_allclose(
+                out['weights'],
+                np.broadcast_to((1.0 / sig ** 2)[:, None],
+                                out['weights'].shape), rtol=3e-7)
+        # antenna table matches the bundled VLA-B config
+        cfg = observatories.read_antenna_config(
+            observatories.cfg_file('VLA', 'B'))
+        np.testing.assert_allclose(out['ant_xyz'], cfg['xyz'],
+                                   rtol=0, atol=0)
+        # baselines are the (i < j) pair enumeration, time-major
+        assert np.all(out['ant1'] < out['ant2'])
+        assert int(out['ant2'].max()) == cfg['xyz'].shape[0] - 1
+        # clean set carries unit weights
+        out_c = uvfits.read_uvfits(prods['uvfits_clean'])
+        np.testing.assert_array_equal(out_c['weights'], 1.0)

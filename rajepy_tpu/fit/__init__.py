@@ -763,6 +763,30 @@ def fit_visibilities(jm, freqs, uvw_m, vis_obs, *, sigma=None,
                     optimizer, n_starts, start_spread, seed, mesh)
 
 
+def fit_uvfits(jm, uvfits_file: str, **kwargs) -> FitResult:
+    """Fit freed parameters to the visibilities in a UVFITS file.
+
+    The uv-plane analogue of fitting to a CASA measurement set: any
+    random-groups UVFITS (this framework's ``export_uvfits`` products,
+    or real observed data exported by CASA/AIPS) is read by
+    :func:`rajepy_tpu.synthobs.uvfits.read_uvfits` and handed to
+    :func:`fit_visibilities` with the file's (u, v, w), channel
+    frequencies and weights (sigma = 1/sqrt(weight); zero-weight
+    visibilities are excluded from the chi-squared).  All
+    :func:`fit_visibilities` keyword arguments pass through; an explicit
+    ``sigma`` overrides the file weights.
+    """
+    from ..synthobs.uvfits import read_uvfits
+    d = read_uvfits(uvfits_file)
+    vis = d['vis_re'] + 1j * d['vis_im']
+    if kwargs.get('sigma') is None:
+        w = d['weights']
+        # zero weight -> zero chi-squared contribution (1/sigma^2 = 0)
+        kwargs['sigma'] = np.where(
+            w > 0, 1.0 / np.sqrt(np.where(w > 0, w, 1.0)), np.inf)
+    return fit_visibilities(jm, d['freqs'], d['uvw'], vis, **kwargs)
+
+
 def fit_closures(jm, freqs, uvw_m, vis_obs, *, n_ant: int, n_t: int,
                  free: Sequence[str] = ('properties.mlr_bj',),
                  use_phases: bool = True, use_log_amps: bool = True,

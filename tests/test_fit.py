@@ -392,6 +392,42 @@ class TestRecovery:
         assert res.values['properties.mlr_bj'] == \
             pytest.approx(2e-7, rel=0.02)
 
+    def test_fit_from_uvfits_file(self, model_params, tmp_path):
+        # the measurement-set workflow: visibilities land in a standard
+        # UVFITS file (export_uvfits / real observed data) and fit_uvfits
+        # recovers parameters straight from the file, using its weights
+        from rajepy_tpu.synthobs import uvfits
+        p = _small(model_params)
+        rng = np.random.default_rng(7)
+        n_ant = 25                       # 25*24/2 = 300 baselines
+        i, j = np.triu_indices(n_ant, k=1)
+        uvw = rng.normal(0, 2e4, (i.size, 3))
+        freqs = np.array([1e11, 3e11])
+        true = copy.deepcopy(p)
+        true['properties'].update(mlr_bj=2e-7)
+        jm_t = JetModel(true)
+        jm_t.time = 0.0
+        fwd_t, th_t = jfit.build_vis_forward(jm_t, freqs, uvw,
+                                             ('properties.mlr_bj',))
+        vis = np.asarray(fwd_t(th_t))
+        sigma = 0.02 * np.abs(vis).max()
+        vis = vis + (rng.normal(0, sigma, vis.shape) +
+                     1j * rng.normal(0, sigma, vis.shape))
+        fn = uvfits.write_uvfits(
+            str(tmp_path / 'obs.uvfits'), uvw, vis.real, vis.imag,
+            freqs, rng.normal(0, 1e4, (n_ant, 3)), i, j,
+            np.full(i.size, 30.0), ra_deg=100.0, dec_deg=20.0,
+            sigma=sigma)
+
+        jm = JetModel(p)
+        jm.time = 0.0
+        res = jfit.fit_uvfits(jm, fn, free=('properties.mlr_bj',),
+                              steps=200, learning_rate=0.05)
+        assert res.values['properties.mlr_bj'] == \
+            pytest.approx(2e-7, rel=0.02)
+        # the file's weights reproduce the chi-squared noise floor
+        assert 1.0 < res.loss[-1] < 3.0
+
     def test_visibility_fit_rejects_dist(self, model_params):
         jm = JetModel(_small(model_params))
         with pytest.raises(ValueError, match="pixel scale"):

@@ -42,6 +42,18 @@ __all__ = ["simulate_observation", "observatories", "uvgen", "sampler",
            "imaging", "imfit_mod", "calibration"]
 
 
+def _product_path(fitsfile: str, suffix: str) -> str:
+    """Sibling product filename: swap the '.fits' extension for
+    ``suffix`` ('.pbcor.fits', '.estimates', ...).  A bare str.replace
+    corrupts paths whose DIRECTORIES contain the substring (a model_dcy
+    like '.../uvfits_demo/' turned the estimates path into a
+    nonexistent directory — review r4)."""
+    root, ext = os.path.splitext(fitsfile)
+    if ext != '.fits':
+        raise ValueError(f"expected a .fits product path, got {fitsfile}")
+    return root + suffix
+
+
 def _elevation_window(ra_deg, dec_deg, tscop, min_el):
     """Time above the elevation limit per day [s] (classes.py:2510-2529)."""
     lon, lat, _ = observatories.observatory_location(tscop)
@@ -949,15 +961,15 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
     if not cube_mode and mtmfs_maps:
         # mtmfs Taylor/spectral-index products (tclean writes .tt0/.tt1/
         # .alpha image sets; the restored image above is tt0)
-        tt1_file = fitsfile.replace('.fits', '.tt1.fits')
+        tt1_file = _product_path(fitsfile, '.tt1.fits')
         with KernelTimer("synthobs: tt1 FITS write", log):
             fitsio.write_fits(tt1_file, mtmfs_maps['tt1'], out_hdr)
         hdr_a = out_hdr.copy()
         hdr_a['BUNIT'] = ''     # the spectral index is dimensionless
-        alpha_file = fitsfile.replace('.fits', '.alpha.fits')
+        alpha_file = _product_path(fitsfile, '.alpha.fits')
         with KernelTimer("synthobs: alpha FITS write", log):
             fitsio.write_fits(alpha_file, mtmfs_maps['alpha'], hdr_a)
-        alpha_err_file = fitsfile.replace('.fits', '.alpha.error.fits')
+        alpha_err_file = _product_path(fitsfile, '.alpha.error.fits')
         with KernelTimer("synthobs: alpha.error FITS write", log):
             fitsio.write_fits(alpha_err_file, mtmfs_maps['alpha_error'],
                               hdr_a)
@@ -981,7 +993,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 blockage_m=pb_blockage_m))
             pbc[k] = np.where(pb_k >= pblimit, restored_cube[k] / pb_k,
                               np.nan)
-        pbcor_file = fitsfile.replace('.fits', '.pbcor.fits')
+        pbcor_file = _product_path(fitsfile, '.pbcor.fits')
         with KernelTimer("synthobs: pbcor FITS write", log):
             fitsio.write_fits(pbcor_file,
                               pbc if cube_mode else pbc[0], out_hdr)
@@ -1010,7 +1022,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 hdr_p._cards = [c for c in hdr_p._cards
                                 if not c[0].endswith('3')]
             hdr_p['BUNIT'] = bunits.get(name, '')
-            pfile = fitsfile.replace('.fits', f'.{name}.fits')
+            pfile = _product_path(fitsfile, f'.{name}.fits')
             with KernelTimer(f"synthobs: {name} FITS write", log):
                 fitsio.write_fits(pfile, arr, hdr_p)
             products[name] = pfile
@@ -1048,7 +1060,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         if conv_min > conv_maj:
             conv_maj, conv_min = conv_min, conv_maj
 
-        est_file = fitsfile.replace('fits', 'estimates')
+        est_file = _product_path(fitsfile, '.estimates')
+        products['estimates'] = est_file
         with open(est_file, 'wt') as f:
             f.write('{:.6f}, {:.1f}, {:.1f}, {:.5f}arcsec, {:.5f}arcsec, '
                     '{:.2f}deg'.format(peak_flux, imsize / 2.0, imsize / 2.0,
@@ -1064,10 +1077,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                        'min_pix': conv_min / cell_as,
                        'pa_deg': mp['geometry']['pa']},
             beam_area_pix=beam_area_pix)
-        imfit_file = fitsfile.replace('fits', 'imfit')
+        imfit_file = _product_path(fitsfile, '.imfit')
         if fit is not None:
             imfit_mod.write_imfit_summary(imfit_file, fit, cell_as,
                                           beam_area_pix)
+            products['imfit'] = imfit_file
             run.results['imfit'] = {
                 h: {'val': v['value'], 'unit': v['units']}
                 for h, v in casa_imfit_file_to_dict(imfit_file).items()

@@ -1730,3 +1730,49 @@ class TestUVFITS:
         # clean set carries unit weights
         out_c = uvfits.read_uvfits(prods['uvfits_clean'])
         np.testing.assert_array_equal(out_c['weights'], 1.0)
+
+
+class TestProductPathDerivation:
+    """Sibling product filenames swap the .fits EXTENSION — a bare
+    str.replace corrupted every derived path when the model directory
+    itself contained 'fits' (e.g. .../uvfits_demo/), sending the imfit
+    estimates write into a nonexistent directory (review r4)."""
+
+    def test_product_path_helper(self):
+        from rajepy_tpu.synthobs import _product_path
+        assert _product_path('/a/myfits/x.imaging.fits', '.estimates') \
+            == '/a/myfits/x.imaging.estimates'
+        assert _product_path('/a/b/x.fits', '.pbcor.fits') \
+            == '/a/b/x.pbcor.fits'
+        with pytest.raises(ValueError, match="expected a .fits"):
+            _product_path('/a/b/x.npz', '.estimates')
+
+    def test_simulation_in_a_fits_named_directory(self, model_params,
+                                                  tmp_path):
+        import rajepy_tpu
+        from rajepy_tpu.synthobs import simulate_observation
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'uvfits_demo' / 'run')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([2.2e10]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'B')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([5e7])},
+            'rrls': {'times': np.array([]), 'lines': None,
+                     't_obs': None, 'tscps': None, 't_ints': None,
+                     'bws': None, 'chanws': None},
+        }
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=40, n_z=16)
+        pline = rajepy_tpu.Pipeline(rajepy_tpu.JetModel(p), pparams)
+        pline.execute(simobserve=False, verbose=False, resume=False,
+                      clobber=True, plot=False)
+        prods = simulate_observation(pline, pline.runs[0], niter=0,
+                                     pbcor=True)
+        for key in ('clean_image', 'estimates', 'imfit',
+                    'clean_image_pbcor'):
+            assert key in prods and os.path.exists(prods[key]), key
+            assert 'uvfits_demo' in prods[key]

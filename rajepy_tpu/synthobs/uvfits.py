@@ -143,10 +143,12 @@ def write_uvfits(filename: str,
         _card('NAXIS4', int(n_chan), 'frequency channels'),
         _card('NAXIS5', 1, 'RA'),
         _card('NAXIS6', 1, 'DEC'),
-        _card('EXTEND', True, 'antenna table follows'),
+        # FITS 4.0 3.3.2: GROUPS/PCOUNT/GCOUNT immediately follow the
+        # last NAXISn card (EXTEND only after them)
         _card('GROUPS', True, 'random-groups UVFITS'),
         _card('PCOUNT', 6, 'group parameters'),
         _card('GCOUNT', int(n_vis), 'visibilities'),
+        _card('EXTEND', True, 'antenna table follows'),
         _card('OBJECT', source),
         _card('TELESCOP', telescope),
         _card('INSTRUME', telescope),

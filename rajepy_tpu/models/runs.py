@@ -77,7 +77,11 @@ class ContinuumRun:
         self._freq = freq
         self._t_obs = t_obs
         self._t_int = t_int
-        self._tscop = tuple(tscop) if tscop is not None else None
+        # coerce to builtin str: params arrive as numpy-array elements and
+        # np.str_ reprs (`np.str_('VLA')`) would otherwise deface every
+        # rendered run table / pipeline log under numpy 2
+        self._tscop = (tuple(str(t) for t in tscop)
+                       if tscop is not None else None)
         self._products = {}
         self._results = {}
 
@@ -215,7 +219,7 @@ class RRLRun(ContinuumRun):
                  t_int: Optional[float] = None,
                  tscp: Optional[Tuple[str, str]] = None,
                  lte: bool = True):
-        self.line = line
+        self.line = str(line) if line is not None else None
         # beyond-reference: an optional 'lte' array in the rrls params
         # section runs this line's RT non-LTE (departure coefficients
         # auto-derived from the bundled case-B table; the reference has
@@ -263,6 +267,16 @@ class Pointing:
         self._epoch = epoch
         self._ra_deg = astro.parse_ra(ra)
         self._dec_deg = astro.parse_dec(dec)
+        # frame-correct J2000 coordinates: the reference's FK4-frame
+        # SkyCoord (classes.py:3195-3200) lets consumers transform B1950
+        # input; our tuple stand-in converts eagerly (zero-proper-motion
+        # FK4->FK5, ops.astronomy.fk4_to_fk5, ~0.01" accuracy) instead of
+        # silently treating B1950 degrees as J2000 (~0.7 deg error).
+        if epoch == 'B1950':
+            self._ra_j2000, self._dec_j2000 = astro.fk4_to_fk5(
+                self._ra_deg, self._dec_deg)
+        else:
+            self._ra_j2000, self._dec_j2000 = self._ra_deg, self._dec_deg
 
     @property
     def time(self):
@@ -309,5 +323,13 @@ class Pointing:
 
     @property
     def coord(self):
-        """(ra_deg, dec_deg) — in place of the reference's SkyCoord."""
+        """(ra_deg, dec_deg) in the J2000/FK5 frame — in place of the
+        reference's SkyCoord.  B1950 input is FK4->FK5 converted; use
+        :attr:`coord_native` for the raw parsed values in the pointing's
+        own epoch."""
+        return (self._ra_j2000, self._dec_j2000)
+
+    @property
+    def coord_native(self):
+        """(ra_deg, dec_deg) exactly as parsed, in ``epoch``'s frame."""
         return (self._ra_deg, self._dec_deg)

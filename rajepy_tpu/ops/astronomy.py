@@ -63,6 +63,67 @@ def format_hmsdms(ra_deg: float, dec_deg: float) -> str:
     return f"{h:02d}h{m:02d}m{s:09.6f}s {sign}{dd:02d}d{dm:02d}m{ds:09.6f}s"
 
 
+# --------------------------------------------------------------------- #
+# FK4 (B1950) <-> FK5 (J2000) conversion.
+#
+# The reference's Pointing builds an FK4-frame SkyCoord for
+# epoch='B1950' (classes.py:3195-3200) so consumers can obtain
+# frame-correct coordinates; astropy is absent here, so we implement the
+# standard zero-proper-motion conversion (SLALIB fk45z / Aoki et al.
+# 1983): remove the FK4 catalogue's elliptic aberration terms
+# (E-terms), then rotate by the combined precession + equinox-correction
+# matrix.  The fictitious-proper-motion correction is proportional to
+# (observation epoch - B1950) and vanishes for the default B1950
+# observation epoch (astropy's FK4 default obstime), so it is omitted.
+# Accuracy ~0.01 arcsec, versus the ~0.7 deg error of treating B1950
+# coordinates as J2000.
+# --------------------------------------------------------------------- #
+
+# E-terms of aberration (radians), SLALIB fk45z A vector
+_FK4_ETERMS = np.array([-1.62557e-6, -0.31919e-6, -0.13843e-6])
+
+# B1950 -> J2000 rotation (position part of the fk45z EM matrix)
+_FK4_TO_FK5 = np.array([
+    [+0.999925678186902, -0.011182059642247, -0.004857946558960],
+    [+0.011182059571766, +0.999937478448132, -0.000027176441185],
+    [+0.004857946721186, -0.000027147426498, +0.999988199738770]])
+
+
+def _unit_vec(ra_deg: float, dec_deg: float) -> np.ndarray:
+    ra = np.radians(ra_deg)
+    dec = np.radians(dec_deg)
+    return np.array([np.cos(dec) * np.cos(ra),
+                     np.cos(dec) * np.sin(ra),
+                     np.sin(dec)])
+
+
+def _vec_to_radec(v: np.ndarray) -> Tuple[float, float]:
+    ra = float(np.degrees(np.arctan2(v[1], v[0]))) % 360.0
+    dec = float(np.degrees(np.arcsin(v[2] / np.linalg.norm(v))))
+    return ra, dec
+
+
+def fk4_to_fk5(ra_deg: float, dec_deg: float) -> Tuple[float, float]:
+    """B1950/FK4 catalogue place -> J2000/FK5 place, degrees (zero proper
+    motion, observation epoch B1950.0)."""
+    r0 = _unit_vec(ra_deg, dec_deg)
+    # remove E-terms: catalogue place -> mean place
+    r1 = r0 - _FK4_ETERMS + np.dot(r0, _FK4_ETERMS) * r0
+    r1 /= np.linalg.norm(r1)
+    return _vec_to_radec(_FK4_TO_FK5 @ r1)
+
+
+def fk5_to_fk4(ra_deg: float, dec_deg: float) -> Tuple[float, float]:
+    """J2000/FK5 place -> B1950/FK4 catalogue place, degrees (inverse of
+    :func:`fk4_to_fk5`; E-terms restored iteratively)."""
+    r1 = _FK4_TO_FK5.T @ _unit_vec(ra_deg, dec_deg)
+    r0 = r1.copy()
+    for _ in range(3):  # converges to <1e-12 rad in 2 iterations
+        r0 = r1 + _FK4_ETERMS - np.dot(r0, _FK4_ETERMS) * r0
+        r0 /= np.linalg.norm(r0)
+    return _vec_to_radec(r0)
+
+
 def elevation(ra_deg: float, dec_deg: float, lat: float, lst: float) -> float:
     """Elevation [deg] of (ra, dec) for an observer at latitude ``lat`` [deg]
     at local sidereal time ``lst`` [hours] (astronomy.py:7-47)."""

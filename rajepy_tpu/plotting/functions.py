@@ -37,30 +37,138 @@ def _finish(fig, show_plot: bool, savefig: Union[bool, str]):
 
 def equalise_axes(ax, fix_x: bool = False, fix_y: bool = False,
                   fix_z: bool = False):
-    """Make axis ranges equal (functions.py:20-103)."""
-    xlims = ax.get_xlim()
-    ylims = ax.get_ylim()
-    span = max(xlims[1] - xlims[0], ylims[1] - ylims[0])
-    if not fix_x:
-        cx = 0.5 * (xlims[0] + xlims[1])
-        xlims = (cx - span / 2, cx + span / 2)
-        ax.set_xlim(xlims)
-    if not fix_y:
-        cy = 0.5 * (ylims[0] + ylims[1])
-        ylims = (cy - span / 2, cy + span / 2)
-        ax.set_ylim(ylims)
+    """Make axis ranges equal (functions.py:20-103).
+
+    Full reference semantics: auto-detects 2-D vs 3-D axes and linear vs
+    log scaling per axis; at most one of ``fix_x``/``fix_y``/``fix_z`` may
+    be True, in which case that axis's span is imposed on the others
+    (potentially clipping data).  Returns ``(xlims, ylims)`` for 2-D axes
+    and ``(xlims, ylims, zlims)`` for 3-D ones.
+
+    One reference defect is NOT replicated: its 3-D log detection tests
+    the truthiness of ``get_zscale()`` (functions.py:40-44), which is the
+    string ``'linear'`` for linear axes — so every 3-D z axis was treated
+    as logarithmic.  We compare against ``'log'`` like the x/y branches.
+    """
+    if sum((fix_x, fix_y, fix_z)) not in (0, 1):
+        raise ValueError("Only 1 of fix_x, fix_y or fix_z can be set to "
+                         "True as a maximum")
+    logx = ax.get_xscale() == 'log'
+    logy = ax.get_yscale() == 'log'
+    try:
+        logz = ax.get_zscale() == 'log'
+        ndims = 3
+    except AttributeError:
+        ndims = 2
+        logz = False
+
+    def _span(lims, log):
+        lims = np.log10(lims) if log else np.asarray(lims, dtype=float)
+        return float(np.ptp(lims))
+
+    def _centred(lims, log, r):
+        lims = np.log10(lims) if log else np.asarray(lims, dtype=float)
+        mid = float(np.mean(lims))
+        lo, hi = mid - r / 2.0, mid + r / 2.0
+        return (10 ** lo, 10 ** hi) if log else (lo, hi)
+
+    spans = [_span(ax.get_xlim(), logx), _span(ax.get_ylim(), logy)]
+    if ndims == 3:
+        spans.append(_span(ax.get_zlim(), logz))
+    r = max(spans)
+    if fix_x:
+        r = spans[0]
+    elif fix_y:
+        r = spans[1]
+    elif ndims == 3 and fix_z:
+        r = spans[2]
+
+    xlims = _centred(ax.get_xlim(), logx, r)
+    ax.set_xlim(xlims)
+    ylims = _centred(ax.get_ylim(), logy, r)
+    ax.set_ylim(ylims)
+    if ndims == 3:
+        zlims = _centred(ax.get_zlim(), logz, r)
+        ax.set_zlim(zlims)
+        return xlims, ylims, zlims
     return xlims, ylims
 
 
 def make_colorbar(cax, cmax, cmin=0, position='right',
                   orientation='vertical', numlevels=50, colmap='viridis',
-                  norm=None):
-    """Standalone colourbar on a provided axes (functions.py:106-179)."""
-    if norm is None:
-        norm = Normalize(vmin=cmin, vmax=cmax)
-    cb = matplotlib.colorbar.ColorbarBase(
-        cax, cmap=plt.get_cmap(colmap), norm=norm, orientation=orientation)
-    return cb
+                  norm=None, maxticks=None, minticks=False, tickformat=None,
+                  hidespines=False):
+    """Standalone colourbar drawn onto a provided axes
+    (functions.py:106-179), honouring the full reference signature:
+    ``position`` places the tick labels (left/right for vertical,
+    top/bottom for horizontal), ``numlevels`` sets the contourf level
+    count, ``maxticks``/``minticks`` accept a tick-value list or a
+    matplotlib Locator (``maxticks=None`` means AutoLocator, the
+    reference's default; ``minticks=True`` means AutoMinorLocator),
+    ``tickformat`` is a FuncFormatter callable and ``hidespines`` removes
+    the left/bottom/top spines.
+    """
+    from matplotlib.ticker import (AutoLocator, AutoMinorLocator,
+                                   FuncFormatter, Locator)
+    try:
+        from matplotlib.colors import SymLogNorm
+    except ImportError:  # pragma: no cover
+        SymLogNorm = ()
+    if isinstance(norm, SymLogNorm):
+        raise NotImplementedError(
+            "SymLogNorm colourbars are not supported (reference "
+            "functions.py:118-119)")
+    log = isinstance(norm, LogNorm)
+    if log:
+        levs = np.logspace(np.log10(cmin) if cmin > 0 else np.log10(cmax) - 3,
+                           np.log10(cmax), numlevels + 1)
+    else:
+        if norm is None:
+            norm = Normalize(vmin=cmin, vmax=cmax)
+        levs = np.linspace(cmin, cmax, numlevels + 1)
+    if np.ptp(levs) == 0:  # degenerate range guard (functions.py:135-141)
+        levs = (np.logspace(np.log10(levs[0]) - 1, np.log10(levs[0]),
+                            numlevels + 1) if log and levs[0] > 0
+                else np.linspace(levs[0] - 0.5, levs[0] + 0.5,
+                                 numlevels + 1))
+    ramp = np.stack([levs, levs])
+    across = np.stack([np.zeros_like(levs), np.ones_like(levs)])
+    if orientation == 'vertical':
+        cax.contourf(across, ramp, ramp, cmap=colmap, levels=levs, norm=norm)
+        cax.yaxis.set_ticks_position(position)
+        cax.xaxis.set_ticks([])
+        axis = cax.yaxis
+        if log:
+            cax.set_yscale('log')
+    elif orientation == 'horizontal':
+        cax.contourf(ramp, across, ramp, cmap=colmap, levels=levs, norm=norm)
+        cax.xaxis.set_ticks_position(position)
+        cax.yaxis.set_ticks([])
+        axis = cax.xaxis
+        if log:
+            cax.set_xscale('log')
+    else:
+        raise ValueError("Orientation must be 'vertical' or 'horizontal'")
+
+    if not log:
+        if isinstance(maxticks, list):
+            axis.set_ticks(maxticks)
+        elif isinstance(maxticks, Locator):
+            axis.set_major_locator(maxticks)
+        elif maxticks is None:
+            axis.set_major_locator(AutoLocator())
+        if isinstance(minticks, list):
+            axis.set_ticks(minticks, minor=True)
+        elif isinstance(minticks, Locator):
+            axis.set_minor_locator(minticks)
+        elif minticks:
+            axis.set_minor_locator(AutoMinorLocator())
+    if tickformat:
+        axis.set_major_formatter(FuncFormatter(tickformat))
+    if hidespines:
+        for spine in ('left', 'bottom', 'top'):
+            cax.spines[spine].set_visible(False)
+    return axis
 
 
 def _los_mean(arr, axis):

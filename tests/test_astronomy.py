@@ -28,6 +28,63 @@ class TestCoordinateParsing:
                                .rstrip('s')) == pytest.approx(dec, abs=1e-6)
 
 
+class TestFK4FK5:
+    """FK4 (B1950) <-> FK5 (J2000) conversion (ops.astronomy.fk4_to_fk5;
+    the reference delegates to astropy SkyCoord, classes.py:3195-3200).
+
+    Anchors are published conversions: the textbook B1950 origin
+    (Explanatory Supplement: 00h02m33.77s +00d16'42.1") and 3C 273
+    (B1950 12h26m33.246s +02d19'43.31" vs its ICRS position
+    187.2779154, +2.0523883 deg).  Both hold to ~0.1 arcsec here — the
+    quoted anchors themselves carry ~0.05" of rounding.
+    """
+
+    def test_b1950_origin(self):
+        ra, dec = astro.fk4_to_fk5(0.0, 0.0)
+        exp_ra = (2 * 60 + 33.77) / 3600 * 15
+        exp_dec = (16 * 60 + 42.1) / 3600
+        assert abs(ra - exp_ra) * 3600 < 0.1
+        assert abs(dec - exp_dec) * 3600 < 0.1
+
+    def test_3c273(self):
+        rb = astro.parse_ra("12h26m33.246s")
+        db = astro.parse_dec("+02d19m43.31s")
+        ra, dec = astro.fk4_to_fk5(rb, db)
+        assert abs(ra - 187.2779154) * 3600 < 0.15
+        assert abs(dec - 2.0523883) * 3600 < 0.15
+
+    def test_round_trip(self):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            ra = float(rng.uniform(0, 360))
+            dec = float(rng.uniform(-89, 89))
+            rb, db = astro.fk5_to_fk4(ra, dec)
+            r2, d2 = astro.fk4_to_fk5(rb, db)
+            assert abs(r2 - ra) * 3600 < 1e-6
+            assert abs(d2 - dec) * 3600 < 1e-6
+
+    def test_magnitude_of_precession(self):
+        # B1950->J2000 moves equatorial coordinates by ~0.7 deg -- the
+        # error the conversion exists to remove
+        ra, dec = astro.fk4_to_fk5(187.0, 2.0)
+        sep = np.hypot((ra - 187.0) * np.cos(np.radians(2.0)), dec - 2.0)
+        assert 0.5 < sep < 1.0
+
+    def test_pointing_b1950_coord_is_j2000(self):
+        from rajepy_tpu import Pointing
+        p = Pointing(0.0, '12:26:33.246', '+02:19:43.31', 60.0,
+                     epoch='B1950')
+        # native values are the parsed B1950 ones (what ra/dec render)
+        assert p.coord_native[0] == pytest.approx(
+            astro.parse_ra('12:26:33.246'), rel=1e-12)
+        # coord is frame-correct J2000
+        assert abs(p.coord[0] - 187.2779154) * 3600 < 0.15
+        assert abs(p.coord[1] - 2.0523883) * 3600 < 0.15
+        # J2000 pointings: coord == coord_native
+        q = Pointing(0.0, '12:26:33.246', '+02:19:43.31', 60.0)
+        assert q.coord == q.coord_native
+
+
 class TestElevation:
     def test_transit_elevation(self):
         # at transit (lst = ra), elevation = 90 - |lat - dec|

@@ -161,6 +161,20 @@ class TestStr:
         assert 'H58a' in str(rr)
         assert rr.fits_flux.endswith('Flux_Day365_H58a.fits')
 
+    def test_no_numpy_scalar_reprs_in_tables(self, tmp_path):
+        """np.str_ params-array elements must not deface run tables
+        (numpy 2 reprs them as np.str_('VLA'))."""
+        from rajepy_tpu.models.runs import ContinuumRun, RRLRun
+        tscop = tuple(np.array(['VLA', 'A']))  # np.str_ elements
+        r = ContinuumRun(str(tmp_path), 1.0, 6e9, 1e8, 1e7, 600, 5, tscop)
+        assert "('VLA', 'A')" in str(r)
+        assert 'np.str_' not in str(r)
+        assert all(type(t) is str for t in r.tscop)
+        rr = RRLRun(str(tmp_path), 1.0, np.str_('H58a'), 1e8, 1e7, 600, 5,
+                    tscop)
+        assert 'np.str_' not in str(rr)
+        assert type(rr.line) is str
+
 
 class TestPipelineIntegration:
     def _pparams(self, tmp_path, **continuum):

@@ -215,3 +215,74 @@ def test_gain_plot(tmp_path):
     pfunc.gain_plot(g_re[None].repeat(5, 0), g_im[None].repeat(5, 0),
                     savefig=f2)
     _check(f2)
+
+
+def test_equalise_axes_full_signature():
+    """2-D/3-D, linear/log, fix_* semantics (reference functions.py:20-103)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    ax.set_xlim(0, 10)
+    ax.set_ylim(0, 2)
+    xl, yl = pfunc.equalise_axes(ax)
+    assert xl[1] - xl[0] == pytest.approx(10)
+    assert yl[1] - yl[0] == pytest.approx(10)
+    # fix_y imposes the (smaller) y span on x
+    ax.set_xlim(0, 10)
+    ax.set_ylim(0, 2)
+    xl, yl = pfunc.equalise_axes(ax, fix_y=True)
+    assert xl[1] - xl[0] == pytest.approx(2)
+    assert yl == (0, 2)
+    # log axes equalise in decades
+    ax2 = fig.add_subplot()
+    ax2.set_xscale('log')
+    ax2.set_yscale('log')
+    ax2.set_xlim(1, 1e4)
+    ax2.set_ylim(1, 10)
+    xl, yl = pfunc.equalise_axes(ax2)
+    assert np.log10(yl[1] / yl[0]) == pytest.approx(4)
+    with pytest.raises(ValueError):
+        pfunc.equalise_axes(ax, fix_x=True, fix_y=True)
+    plt.close(fig)
+    # 3-D: returns three lim pairs, linear z must NOT be treated as log
+    fig3 = plt.figure()
+    ax3 = fig3.add_subplot(projection='3d')
+    ax3.set_xlim(0, 4)
+    ax3.set_ylim(0, 2)
+    ax3.set_zlim(0, 1)
+    xl, yl, zl = pfunc.equalise_axes(ax3)
+    for lims in (xl, yl, zl):
+        assert lims[1] - lims[0] == pytest.approx(4)
+    plt.close(fig3)
+
+
+def test_make_colorbar_full_signature(tmp_path):
+    """position/numlevels/maxticks/minticks/tickformat/hidespines are
+    honoured (reference functions.py:106-179)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import LogNorm, SymLogNorm
+    from matplotlib.ticker import MultipleLocator
+    fig, caxes = plt.subplots(1, 4, figsize=(8, 3))
+    axis = pfunc.make_colorbar(caxes[0], 10.0, cmin=0.0, position='left',
+                               numlevels=16, colmap='plasma',
+                               maxticks=[0, 5, 10], minticks=True,
+                               hidespines=True)
+    assert list(axis.get_ticklocs()) == [0, 5, 10]
+    assert not caxes[0].spines['top'].get_visible()
+    assert caxes[0].yaxis.get_ticks_position() == 'left'
+    pfunc.make_colorbar(caxes[1], 1e3, cmin=1.0,
+                        norm=LogNorm(vmin=1.0, vmax=1e3))
+    assert caxes[1].get_yscale() == 'log'
+    pfunc.make_colorbar(caxes[2], 5.0, cmin=0.0, orientation='horizontal',
+                        position='top', maxticks=MultipleLocator(2.5),
+                        tickformat=lambda v, p: f'{v:.1f}x')
+    labels = [t.get_text() for t in caxes[2].get_xticklabels()]
+    assert any(lb.endswith('x') for lb in labels)
+    with pytest.raises(NotImplementedError):
+        pfunc.make_colorbar(caxes[3], 1.0,
+                            norm=SymLogNorm(linthresh=0.1, vmin=-1, vmax=1))
+    with pytest.raises(ValueError):
+        pfunc.make_colorbar(caxes[3], 1.0, orientation='diagonal')
+    f = str(tmp_path / 'cbar.png')
+    fig.savefig(f)
+    _check(f)
+    plt.close(fig)

@@ -444,7 +444,14 @@ def pipeline_bench(n=256, freqs=(1.5e9, 6e9, 2.2e10, 4.3e10)):
     """Warm end-to-end wall seconds for the fixed 4-run 256^3 continuum
     pipeline (RT + FITS + synthobs + imfit; BASELINE.md's pipeline-level
     metric): execute once cold (includes every distinct jit compile),
-    then once more warm on the same Pipeline.  Returns (cold_s, warm_s).
+    then once more warm on the same Pipeline.
+
+    Returns (cold_s, warm_s, device_s, transfer_s): the warm run's
+    KernelTimer stage totals split into device-compute seconds vs
+    device->host-transfer + disk-IO seconds
+    (utils.profiling.split_stage_times) — the axon tunnel's transfer
+    rate swings 3-4x run to run, so only the compute component is a
+    meaningful regression signal.
     """
     import copy
     import shutil
@@ -481,13 +488,20 @@ def pipeline_bench(n=256, freqs=(1.5e9, 6e9, 2.2e10, 4.3e10)):
         pline.execute(simobserve=True, verbose=False, resume=False,
                       clobber=True, plot=False)
         cold = time.perf_counter() - t0
+        from rajepy_tpu.utils import profiling
+        profiling.collect_stage_times(True)
         t0 = time.perf_counter()
         pline.execute(simobserve=True, verbose=False, resume=False,
                       clobber=True, plot=False)
         warm = time.perf_counter() - t0
+        device_s, transfer_s, other_s = profiling.split_stage_times()
+        profiling.collect_stage_times(False)
+        log("pipeline stage split (warm): device compute "
+            f"{device_s:.1f}s, transfer+IO {transfer_s:.1f}s, "
+            f"untimed/other {warm - device_s - transfer_s:.1f}s")
     finally:
         shutil.rmtree(td, ignore_errors=True)
-    return cold, warm
+    return cold, warm, device_s, transfer_s
 
 
 def previous_round_json():
@@ -578,17 +592,29 @@ def main():
     # continuum pipeline, with a noise-aware regression flag against the
     # previous round's recorded value (the axon tunnel jitters single
     # runs up to ~50%, BASELINE.md — so the flag fires only beyond 1.5x)
-    pipe_warm = pipe_cold = None
+    pipe_warm = pipe_cold = pipe_device = pipe_transfer = None
     pipe_regression = None
     try:
-        pipe_cold, pipe_warm = pipeline_bench()
+        pipe_cold, pipe_warm, pipe_device, pipe_transfer = pipeline_bench()
         log(f"pipeline_4run_256_warm={pipe_warm:.1f}s (cold incl. "
-            f"compiles {pipe_cold:.1f}s)")
+            f"compiles {pipe_cold:.1f}s; device {pipe_device:.1f}s, "
+            f"transfer+IO {pipe_transfer:.1f}s)")
         prev = previous_round_json()
+        # the regression flag keys on the DEVICE-COMPUTE component: the
+        # warm wall band is 3.6x wide on identical code (tunnel
+        # transfer-rate variance, BASELINE.md), so a wall-keyed flag
+        # either false-alarms or masks a real compute regression
+        prev_dev = (prev or {}).get('pipeline_4run_256_device_s')
         prev_warm = (prev or {}).get('pipeline_4run_256_warm_s')
-        if prev_warm:
+        if prev_dev:
+            pipe_regression = bool(pipe_device > 1.5 * float(prev_dev))
+            log(f"pipeline device compute vs previous round: "
+                f"{pipe_device:.1f}s vs {float(prev_dev):.1f}s -> "
+                f"{'REGRESSION (beyond the 1.5x band)' if pipe_regression else 'ok'}")
+        elif prev_warm:     # previous rounds recorded only the wall time
             pipe_regression = bool(pipe_warm > 1.5 * float(prev_warm))
-            log(f"pipeline warm vs previous round: {pipe_warm:.1f}s vs "
+            log(f"pipeline warm vs previous round (wall-keyed; no "
+                f"device split recorded before r5): {pipe_warm:.1f}s vs "
                 f"{float(prev_warm):.1f}s -> "
                 f"{'REGRESSION (beyond the 1.5x jitter band)' if pipe_regression else 'ok'}")
     except Exception as exc:
@@ -606,6 +632,8 @@ def main():
     if pipe_warm is not None:
         out["pipeline_4run_256_warm_s"] = round(pipe_warm, 1)
         out["pipeline_4run_256_cold_s"] = round(pipe_cold, 1)
+        out["pipeline_4run_256_device_s"] = round(pipe_device, 1)
+        out["pipeline_4run_256_transfer_s"] = round(pipe_transfer, 1)
     if pipe_regression is not None:
         out["pipeline_regression_vs_prev"] = pipe_regression
     print(json.dumps(out))

@@ -771,10 +771,20 @@ def fit_uvfits(jm, uvfits_file: str, **kwargs) -> FitResult:
     or real observed data exported by CASA/AIPS) is read by
     :func:`rajepy_tpu.synthobs.uvfits.read_uvfits` and handed to
     :func:`fit_visibilities` with the file's (u, v, w), channel
-    frequencies and weights (sigma = 1/sqrt(weight); zero-weight
-    visibilities are excluded from the chi-squared).  All
-    :func:`fit_visibilities` keyword arguments pass through; an explicit
-    ``sigma`` overrides the file weights.
+    frequencies and weights (sigma = 1/sqrt(weight); weights <= 0 are
+    the UVFITS flagging convention and those visibilities are excluded
+    from the chi-squared).  All :func:`fit_visibilities` keyword
+    arguments pass through; an explicit ``sigma`` overrides the file
+    weights.
+
+    Data-convention contract: visibilities are assumed to follow the
+    AIPS/memo-117 phase sign (V = ∫ I e^{-2πi(ul+vm+w(n-1))}, the
+    convention ``write_uvfits`` produces and CASA/AIPS exports use).
+    A conjugated (or otherwise mismatched) file does not fail silently:
+    with correct per-file weights the converged ``FitResult.loss`` sits
+    at the reduced-chi-squared floor (≈1–3); a final loss far above
+    that signals a convention mismatch
+    (tests/test_uvfits_adversarial.py::TestFitUVFITSFailureModes).
     """
     from ..synthobs.uvfits import read_uvfits
     d = read_uvfits(uvfits_file)

@@ -438,17 +438,22 @@ class Pipeline:
                         # (JetModel.continuum_rt_products /
                         # rrl_rt_products), then the writes below
                         # consume the cached arrays
-                        if run.obs_type == 'continuum':
-                            em_c, tau_c, flux_c = \
-                                self.model.continuum_rt_products(
-                                    run.chan_freqs)
-                        else:
-                            em_c, tau_c, flux_c = \
-                                self.model.rrl_rt_products(
-                                    run.line, run.chan_freqs,
-                                    contsub=False,
-                                    lte=getattr(run, 'lte', True))
+                        from .utils.profiling import KernelTimer
+                        with KernelTimer("rt stage: device compute",
+                                         self.log) as kt:
+                            if run.obs_type == 'continuum':
+                                em_c, tau_c, flux_c = \
+                                    self.model.continuum_rt_products(
+                                        run.chan_freqs)
+                            else:
+                                em_c, tau_c, flux_c = \
+                                    self.model.rrl_rt_products(
+                                        run.line, run.chan_freqs,
+                                        contsub=False,
+                                        lte=getattr(run, 'lte', True))
+                            kt.set_result((em_c, tau_c, flux_c))
                         fan = {'em': em_c, 'tau': tau_c, 'flux': flux_c}
+                    write_t0 = _time.perf_counter()
 
                     # NB within every write guard below fan is non-None:
                     # fan skips computing only when all three products
@@ -498,6 +503,10 @@ class Pipeline:
                         # per-channel summed fluxes (classes.py:2468-2471)
                         flux = np.nansum(np.nansum(fluxes, axis=1), axis=1)
                     self.runs[idx].results['flux'] = flux
+                    from .utils.profiling import record_stage
+                    record_stage(
+                        "rt stage: product transfer + FITS write",
+                        _time.perf_counter() - write_t0)
                     self.log.add_entry(
                         "INFO", "[timing] rt stage (compute + FITS): "
                         f"{_time.perf_counter() - rt_t0:.3f}s",

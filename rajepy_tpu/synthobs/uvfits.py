@@ -75,6 +75,7 @@ def write_uvfits(filename: str,
                  dec_deg: float,
                  *,
                  sigma=0.0,
+                 flags: Optional[np.ndarray] = None,
                  ant_names: Optional[Sequence[str]] = None,
                  source: str = 'TARGET',
                  telescope: str = 'ARRAY',
@@ -94,6 +95,9 @@ def write_uvfits(filename: str,
         the (simulated) observation.
     sigma : per-channel thermal-noise rms (scalar or (n_chan,)); group
         weights are 1/sigma^2, or 1.0 where sigma == 0 (noiseless).
+    flags : optional bool array broadcastable to (n_chan, n_vis);
+        flagged visibilities get NEGATED weights (the UVFITS flagging
+        convention — readers treat weight <= 0 as flagged).
     jd0 : Julian date of ``time_s == 0``.
 
     Returns the filename.
@@ -204,6 +208,10 @@ def write_uvfits(filename: str,
     data[:, :, 0] = vis_re.T
     data[:, :, 1] = vis_im.T
     data[:, :, 2] = wgt[None, :]
+    if flags is not None:
+        fl = np.broadcast_to(np.asarray(flags, bool), (n_chan, n_vis))
+        data[:, :, 2] = np.where(fl.T, -np.abs(data[:, :, 2]),
+                                 data[:, :, 2])
     groups = np.concatenate(
         [pars, data.reshape(n_vis, 3 * n_chan)], axis=1).astype('>f4')
 
@@ -309,6 +317,42 @@ def _jd_to_date(jd: float) -> str:
 
 # ---------------------------------------------------------------------- #
 # reader                                                                  #
+#                                                                          #
+# Supported-format matrix (see also tests/test_synthobs.py::TestUVFITS*): #
+#                                                                          #
+#   layout variant                      | behaviour                        #
+#   ------------------------------------+--------------------------------- #
+#   GROUPS random-groups, BITPIX=-32    | supported (anything else is a    #
+#                                       | clear ValueError)                #
+#   COMPLEX axis length 3 (re,im,wt)    | supported                        #
+#   COMPLEX axis length 2 (re,im)       | supported, weights = 1           #
+#   regular-axis order                  | any (axes located by CTYPE)      #
+#   STOKES: single I plane              | supported                        #
+#   STOKES: RR,LL / XX,YY (+ cross     | supported - parallel hands are   #
+#   hands)                              | weight-averaged to I; flagged    #
+#                                       | hands drop out; cross ignored    #
+#   STOKES: single RR/LL/XX/YY          | supported (treated as an I       #
+#                                       | estimate; assumes unpolarised)   #
+#   STOKES: cross-hand only (RL/XY...)  | ValueError naming the codes      #
+#   single IF axis (or none)            | supported                        #
+#   multi-IF + AIPS FQ table            | supported - IFs stack IF-major   #
+#                                       | onto the channel axis with the   #
+#                                       | FQ frequency offsets/sidebands   #
+#   multi-IF without an FQ table        | ValueError                       #
+#   FREQSEL / SOURCE group params       | supported when constant;         #
+#                                       | multi-setup/multi-source files   #
+#                                       | are a ValueError                 #
+#   DATE as two parameters              | supported (summed)               #
+#   DATE as one parameter               | supported                        #
+#   PZERO/PSCAL on any parameter        | applied (incl. UU/VV/WW)         #
+#   BASELINE = 256 a1 + a2              | supported                        #
+#   BASELINE >= 65536 (2048 a1 + a2     | supported (the AIPS >255-antenna #
+#   + 65536 extension)                  | extension)                       #
+#   ANTENNA1/ANTENNA2 params instead    | supported                        #
+#   neither BASELINE nor ANTENNA1/2     | ValueError                       #
+#   weights <= 0                        | returned as-is; consumers        #
+#                                       | (fit_uvfits) treat them as       #
+#                                       | flagged                          #
 # ---------------------------------------------------------------------- #
 
 def _read_header(raw: bytes, pos: int):
@@ -346,77 +390,269 @@ def _read_header(raw: bytes, pos: int):
             return hdr, ordered, pos
 
 
+#: Stokes/correlation codes of the FITS convention (positive: true
+#: Stokes; negative: correlations)
+_STOKES_NAMES = {1: 'I', 2: 'Q', 3: 'U', 4: 'V', -1: 'RR', -2: 'LL',
+                 -3: 'RL', -4: 'LR', -5: 'XX', -6: 'YY', -7: 'XY',
+                 -8: 'YX'}
+_PARALLEL_HANDS = ((-1, -2), (-5, -6))   # (RR, LL), (XX, YY)
+
+_TFORM_SIZES = {'A': 1, 'E': 4, 'J': 4, 'D': 8, 'I': 2, 'L': 1, 'X': 1}
+_TFORM_DTYPES = {'E': '>f4', 'J': '>i4', 'D': '>f8', 'I': '>i2'}
+
+
+def _read_bintable(raw: bytes, ehdr: Dict[str, object],
+                   dpos: int) -> Dict[str, object]:
+    """Parse a BINTABLE extension's columns into {TTYPE: list | (n_rows,
+    rep) array} (character columns decode to stripped strings)."""
+    n_rows = int(ehdr['NAXIS2'])
+    row = int(ehdr['NAXIS1'])
+    cols = {}
+    off = 0
+    for i in range(1, int(ehdr['TFIELDS']) + 1):
+        form = str(ehdr[f'TFORM{i}']).strip()
+        code = form[-1]
+        rep = int(form[:-1]) if form[:-1] else 1
+        name = str(ehdr.get(f'TTYPE{i}', f'COL{i}')).strip()
+        cols[name] = (off, code, rep)
+        off += rep * _TFORM_SIZES[code]
+    if off > row:
+        raise ValueError(f"BINTABLE row length {row} < summed column "
+                         f"widths {off}")
+    out: Dict[str, object] = {}
+    for name, (o, code, rep) in cols.items():
+        if code == 'A':
+            out[name] = [raw[dpos + k * row + o:dpos + k * row + o + rep]
+                         .decode('ascii', errors='replace').strip()
+                         for k in range(n_rows)]
+        elif code in _TFORM_DTYPES:
+            out[name] = np.stack([
+                np.frombuffer(raw, _TFORM_DTYPES[code], count=rep,
+                              offset=dpos + k * row + o)
+                for k in range(n_rows)]) if n_rows else \
+                np.zeros((0, rep))
+        # L/X columns are not needed by AN/FQ tables; skipped
+    return out
+
+
+def _read_extensions(raw: bytes, pos: int) -> Dict[str, tuple]:
+    """Scan FITS extensions after ``pos``: {EXTNAME: (header, columns)}."""
+    exts = {}
+    while pos < len(raw):
+        try:
+            ehdr, _, dpos = _read_header(raw, pos)
+        except (ValueError, KeyError):
+            break
+        nbytes = int(ehdr.get('NAXIS1', 0)) * int(ehdr.get('NAXIS2', 0))
+        pos = dpos + ((nbytes + BLOCK - 1) // BLOCK) * BLOCK
+        name = str(ehdr.get('EXTNAME', '')).strip()
+        if str(ehdr.get('XTENSION', '')).strip() == 'BINTABLE' and name:
+            try:
+                exts[name] = (ehdr, _read_bintable(raw, ehdr, dpos))
+            except (ValueError, KeyError):    # unparseable column set:
+                exts[name] = (ehdr, {})       # keep the header only
+    return exts
+
+
+def _combine_stokes(dat: np.ndarray, codes: np.ndarray):
+    """(g, n_st, n_chan, [re, im, wt]) -> Stokes-I (g, n_chan, 3).
+
+    A single I/parallel-hand plane passes through; RR+LL (or XX+YY) are
+    weight-averaged with flagged (weight <= 0) hands dropping out of the
+    average; anything else is a clear error.
+    """
+    codes = [int(c) for c in codes]
+    names = [_STOKES_NAMES.get(c, str(c)) for c in codes]
+    if 1 in codes:
+        return dat[:, codes.index(1)]
+    for pair in _PARALLEL_HANDS:
+        if pair[0] in codes and pair[1] in codes:
+            a = dat[:, codes.index(pair[0])]
+            b = dat[:, codes.index(pair[1])]
+            wa = np.maximum(a[..., 2], 0.0)
+            wb = np.maximum(b[..., 2], 0.0)
+            wsum = wa + wb
+            div = np.where(wsum > 0.0, wsum, 1.0)
+            out = np.empty_like(a)
+            out[..., 0] = (wa * a[..., 0] + wb * b[..., 0]) / div
+            out[..., 1] = (wa * a[..., 1] + wb * b[..., 1]) / div
+            out[..., 2] = wsum    # flagged where both hands flagged
+            return out
+    if len(codes) == 1 and codes[0] in (-1, -2, -5, -6):
+        # a lone parallel hand is an I estimate for unpolarised sources
+        return dat[:, 0]
+    raise ValueError(
+        "cannot form Stokes I from correlations "
+        f"{names}: need an I plane, an RR/LL or XX/YY pair, or a single "
+        "parallel hand")
+
+
 def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
     """Read a random-groups UVFITS file written by :func:`write_uvfits`
-    (or any single-source, single-IF file using the classic conventions).
+    or by real packages (CASA ``exportuvfits``, AIPS FITTP).  The
+    supported-format matrix is documented at the top of this section;
+    unsupported layouts raise ``ValueError`` naming the offending
+    construct rather than mis-reading.
 
     Returns a dict: ``uvw`` (n_vis, 3) in METRES, ``ant1``/``ant2``
     (0-based), ``jd`` (n_vis) full Julian dates, ``vis_re``/``vis_im``
-    (n_chan, n_vis), ``weights`` (n_chan, n_vis), ``freqs`` (n_chan,),
-    ``ra_deg``/``dec_deg``/``source``, ``ant_xyz``/``ant_names`` from the
-    AN table (empty if absent).
+    (n_chan, n_vis) Stokes-I parts, ``weights`` (n_chan, n_vis; <= 0
+    means flagged), ``freqs`` (n_chan,; IF-major when IFs were stacked),
+    ``n_if``/``stokes`` layout info, ``ra_deg``/``dec_deg``/``source``,
+    ``ant_xyz``/``ant_names`` from the AN table (empty if absent).
     """
     with open(filename, 'rb') as f:
         raw = f.read()
     hdr, ordered, pos = _read_header(raw, 0)
-    if not hdr.get('GROUPS'):
+    if not hdr.get('GROUPS') or int(hdr.get('NAXIS1', -1)) != 0:
         raise ValueError(f"{filename}: not a random-groups UVFITS file")
     if int(hdr['BITPIX']) != -32:
-        raise ValueError("only BITPIX=-32 UVFITS is supported")
+        raise ValueError(
+            f"only BITPIX=-32 UVFITS is supported (got {hdr['BITPIX']})")
     naxes = [int(hdr[f'NAXIS{i}']) for i in
              range(1, int(hdr['NAXIS']) + 1)]
     pcount = int(hdr['PCOUNT'])
     gcount = int(hdr['GCOUNT'])
     per_group = pcount + int(np.prod(naxes[1:]))
+    if pos + gcount * per_group * 4 > len(raw):
+        raise ValueError(f"{filename}: truncated group data "
+                         f"(GCOUNT={gcount}, PCOUNT={pcount})")
     flat = np.frombuffer(raw, '>f4', count=gcount * per_group,
                          offset=pos).reshape(gcount, per_group)
     pos += ((gcount * per_group * 4 + BLOCK - 1) // BLOCK) * BLOCK
+    exts = _read_extensions(raw, pos)
 
-    # group-parameter columns by PTYPE (DATE may appear twice)
+    # group-parameter columns by PTYPE (DATE may appear once or twice)
     pscal = [float(hdr.get(f'PSCAL{i}', 1.0)) for i in range(1, pcount + 1)]
     pzero = [float(hdr.get(f'PZERO{i}', 0.0)) for i in range(1, pcount + 1)]
-    ptypes = [str(hdr.get(f'PTYPE{i}', '')) for i in range(1, pcount + 1)]
+    ptypes = [str(hdr.get(f'PTYPE{i}', '')).strip()
+              for i in range(1, pcount + 1)]
 
-    def par(prefix):
-        idx = [i for i, t in enumerate(ptypes) if t.startswith(prefix)]
+    def par_idx(prefix):
+        return [i for i, t in enumerate(ptypes) if t.startswith(prefix)]
+
+    def par(prefix, required=True):
+        idx = par_idx(prefix)
         if not idx:
-            raise ValueError(f"no {prefix} group parameter")
+            if required:
+                raise ValueError(f"no {prefix} group parameter "
+                                 f"(PTYPEs: {ptypes})")
+            return None
         # multi-part parameters (DATE) sum: value = sum(p_i*scal + zero)
         return sum(flat[:, i].astype(np.float64) * pscal[i] + pzero[i]
                    for i in idx)
 
     uvw = np.stack([par('UU'), par('VV'), par('WW')], axis=1) * C_MPS
-    bl_code = par('BASELINE').astype(np.int64)
-    ant1 = bl_code // 256 - 1
-    ant2 = bl_code % 256 - 1
+    bl = par('BASELINE', required=False)
+    if bl is not None:
+        bl_code = np.round(bl).astype(np.int64)
+        ext = bl_code >= 65536          # AIPS >255-antenna extension:
+        a1 = np.where(ext, (bl_code - 65536) // 2048, bl_code // 256)
+        a2 = np.where(ext, (bl_code - 65536) % 2048, bl_code % 256)
+        ant1, ant2 = a1 - 1, a2 - 1
+    else:
+        a1 = par('ANTENNA1', required=False)
+        a2 = par('ANTENNA2', required=False)
+        if a1 is None or a2 is None:
+            raise ValueError("no BASELINE or ANTENNA1/ANTENNA2 group "
+                             f"parameters (PTYPEs: {ptypes})")
+        ant1 = np.round(a1).astype(np.int64) - 1
+        ant2 = np.round(a2).astype(np.int64) - 1
     jd = par('DATE')
 
-    # regular axes: NAXIS2.. listed fastest-first; find COMPLEX/FREQ
-    ctypes = {str(hdr.get(f'CTYPE{i}', '')): i
+    # multi-setup / multi-source files need per-group table dereferencing
+    for ptype, what in (('FREQSEL', 'frequency setups'),
+                        ('SOURCE', 'sources')):
+        vals = par(ptype, required=False)
+        if vals is not None and np.unique(np.round(vals)).size > 1:
+            raise ValueError(
+                f"multiple {what} in one file are not supported "
+                f"({ptype} takes {np.unique(np.round(vals)).size} values)")
+
+    # regular axes located by CTYPE, any order
+    ctypes = {str(hdr.get(f'CTYPE{i}', '')).strip(): i
               for i in range(2, int(hdr['NAXIS']) + 1)}
     n_per_ax = {i: naxes[i - 1] for i in range(2, int(hdr['NAXIS']) + 1)}
     i_freq = ctypes.get('FREQ')
     if i_freq is None:
-        raise ValueError("no FREQ axis")
+        raise ValueError(f"no FREQ axis (CTYPEs: {sorted(ctypes)})")
+    i_cplx = ctypes.get('COMPLEX')
+    if i_cplx is None:
+        raise ValueError(f"no COMPLEX axis (CTYPEs: {sorted(ctypes)})")
+    n_cplx = n_per_ax[i_cplx]
+    if n_cplx not in (2, 3):
+        raise ValueError(f"COMPLEX axis length {n_cplx} not in (2, 3)")
+    i_stok = ctypes.get('STOKES')
+    n_stok = n_per_ax.get(i_stok, 1) if i_stok else 1
+    i_if = ctypes.get('IF')
+    n_if = n_per_ax.get(i_if, 1) if i_if else 1
     n_chan = n_per_ax[i_freq]
-    # data as (..., FREQ, ..., COMPLEX) C-order = axes reversed
-    shape = tuple(reversed(naxes[1:]))
-    dat = flat[:, pcount:].reshape((gcount,) + shape).astype(np.float64)
-    # move FREQ and COMPLEX to the back: FITS axis k (fastest = 2) is
-    # C-axis nax-(k-1) of ``shape``, +1 for the group axis in front
-    nax = len(shape)
-    ax_complex = 1 + (nax - 1)      # NAXIS2 is always the last C axis
-    ax_freq = 1 + (nax - (i_freq - 1))
-    dat = np.moveaxis(dat, (ax_freq, ax_complex), (-2, -1))
-    if int(np.prod(dat.shape[1:-2])) != 1:
-        raise ValueError("only single-source, single-IF, single-stokes "
-                         f"UVFITS is supported (axes {naxes[1:]})")
-    dat = dat.reshape(gcount, n_chan, 3)
 
-    freqs = (float(hdr['CRVAL4' if i_freq == 4 else f'CRVAL{i_freq}']) +
-             (np.arange(n_chan) -
-              (float(hdr.get(f'CRPIX{i_freq}', 1.0)) - 1.0)) *
-             float(hdr.get(f'CDELT{i_freq}', 1.0)))
+    # every remaining axis (RA, DEC, ...) must be degenerate
+    for name, i in ctypes.items():
+        if i not in (i_freq, i_cplx, i_stok, i_if) and n_per_ax[i] != 1:
+            raise ValueError(f"non-degenerate {name} axis "
+                             f"(length {n_per_ax[i]}) is not supported")
+
+    # data C-order = FITS axes reversed; FITS axis k (k >= 2) is C axis
+    # nax-(k-1) of the per-group shape, +1 for the leading group axis
+    shape = tuple(reversed(naxes[1:]))
+    nax = len(shape)
+    dat = flat[:, pcount:].reshape((gcount,) + shape).astype(np.float64)
+
+    def c_axis(fits_axis):
+        return 1 + (nax - (fits_axis - 1))
+    move_from = [c_axis(i_cplx), c_axis(i_freq)]
+    move_to = [-1, -2]
+    if i_stok:
+        move_from.append(c_axis(i_stok))
+        move_to.append(-3)
+    if i_if:
+        move_from.append(c_axis(i_if))
+        move_to.append(-4)
+    dat = np.moveaxis(dat, move_from, move_to)
+    dat = dat.reshape(gcount, n_if, n_stok, n_chan, n_cplx)
+    if n_cplx == 2:     # re, im only: unit weights
+        dat = np.concatenate([dat, np.ones_like(dat[..., :1])], axis=-1)
+
+    # stokes combination per IF, then stack IFs onto the channel axis
+    stokes_codes = (np.round(
+        float(hdr.get(f'CRVAL{i_stok}', 1.0)) +
+        (np.arange(n_stok) - (float(hdr.get(f'CRPIX{i_stok}', 1.0)) - 1.0))
+        * float(hdr.get(f'CDELT{i_stok}', 1.0))).astype(int)
+        if i_stok else np.array([1]))
+    dat = _combine_stokes(
+        dat.reshape(gcount * n_if, n_stok, n_chan, 3), stokes_codes
+    ).reshape(gcount, n_if, n_chan, 3)
+
+    # channel frequencies; multi-IF needs the FQ table's offsets
+    crval = float(hdr[f'CRVAL{i_freq}'])
+    crpix = float(hdr.get(f'CRPIX{i_freq}', 1.0))
+    cdelt = float(hdr.get(f'CDELT{i_freq}', 1.0))
+    chan_off = np.arange(n_chan) - (crpix - 1.0)
+    if n_if == 1:
+        freqs = crval + chan_off * cdelt
+    else:
+        if 'AIPS FQ' not in exts:
+            raise ValueError(f"{n_if} IFs but no AIPS FQ table: per-IF "
+                             "frequencies are undefined")
+        fq = exts['AIPS FQ'][1]
+        try:
+            if_freq = np.asarray(fq['IF FREQ'], np.float64)[0]
+            ch_width = np.asarray(fq['CH WIDTH'], np.float64)[0]
+            sideband = np.asarray(fq.get(
+                'SIDEBAND', np.ones((1, n_if))), np.float64)[0]
+        except (KeyError, IndexError) as e:
+            raise ValueError(f"AIPS FQ table is missing column {e}")
+        if if_freq.size != n_if:
+            raise ValueError(f"AIPS FQ table describes {if_freq.size} "
+                             f"IFs, data has {n_if}")
+        # AIPS convention: CH WIDTH is positive, SIDEBAND signs it
+        step = np.where(ch_width == 0.0, cdelt, ch_width) * \
+            np.where(sideband == 0.0, 1.0, sideband)
+        freqs = (crval + if_freq[:, None] +
+                 chan_off[None, :] * step[:, None]).reshape(-1)
+    dat = dat.reshape(gcount, n_if * n_chan, 3)
 
     out = {
         'uvw': uvw, 'ant1': ant1, 'ant2': ant2, 'jd': jd,
@@ -424,40 +660,38 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
         'vis_im': dat[:, :, 1].T.copy(),
         'weights': dat[:, :, 2].T.copy(),
         'freqs': freqs,
-        'ra_deg': float(hdr.get('OBSRA', hdr.get('CRVAL5', 0.0))),
-        'dec_deg': float(hdr.get('OBSDEC', hdr.get('CRVAL6', 0.0))),
+        'n_if': n_if,
+        'stokes': [_STOKES_NAMES.get(int(c), str(int(c)))
+                   for c in stokes_codes],
+        'ra_deg': float(hdr.get('OBSRA', hdr.get(f'CRVAL{ctypes.get("RA", 0)}', 0.0)
+                                if 'RA' in ctypes else 0.0)),
+        'dec_deg': float(hdr.get('OBSDEC', hdr.get(f'CRVAL{ctypes.get("DEC", 0)}', 0.0)
+                                 if 'DEC' in ctypes else 0.0)),
         'source': str(hdr.get('OBJECT', '')),
         'ant_xyz': np.zeros((0, 3)), 'ant_names': [],
     }
 
-    # AN table (optional)
-    while pos < len(raw):
-        try:
-            ehdr, _, dpos = _read_header(raw, pos)
-        except (ValueError, KeyError):
-            break
-        nbytes = int(ehdr.get('NAXIS1', 0)) * int(ehdr.get('NAXIS2', 0))
-        next_pos = dpos + ((nbytes + BLOCK - 1) // BLOCK) * BLOCK
-        if str(ehdr.get('EXTNAME', '')).strip() == 'AIPS AN':
-            n_ant = int(ehdr['NAXIS2'])
-            row = int(ehdr['NAXIS1'])
-            names, xyz = [], np.zeros((n_ant, 3))
-            # column offsets from the TFORMs
-            sizes = {'A': 1, 'E': 4, 'J': 4, 'D': 8}
-            offs, off = {}, 0
-            for i in range(1, int(ehdr['TFIELDS']) + 1):
-                form = str(ehdr[f'TFORM{i}']).strip()
-                rep = int(form[:-1]) if form[:-1] else 1
-                offs[str(ehdr[f'TTYPE{i}']).strip()] = off
-                off += rep * sizes[form[-1]]
-            for k in range(n_ant):
-                base = dpos + k * row
-                names.append(raw[base + offs['ANNAME']:
-                                 base + offs['ANNAME'] + 8]
-                             .decode('ascii').strip())
-                xyz[k] = np.frombuffer(raw, '>f8', count=3,
-                                       offset=base + offs['STABXYZ'])
+    if 'AIPS AN' in exts:
+        an = exts['AIPS AN'][1]
+        if 'STABXYZ' in an and 'ANNAME' in an:
+            # per the AN convention STABXYZ is relative to ARRAYX/Y/Z
+            ahdr = exts['AIPS AN'][0]
+            centre = np.array([float(ahdr.get(k, 0.0))
+                               for k in ('ARRAYX', 'ARRAYY', 'ARRAYZ')])
+            xyz = np.asarray(an['STABXYZ'], np.float64) + centre
+            names = list(an['ANNAME'])
+            # BASELINE codes reference NOSTA station numbers, which real
+            # files may list out of order or with gaps: scatter rows to
+            # index NOSTA-1 so ant1/ant2 index ant_xyz directly
+            if 'NOSTA' in an and len(an['NOSTA']):
+                nosta = np.asarray(an['NOSTA'], np.int64).ravel()
+                size = int(nosta.max())
+                full_xyz = np.full((size, 3), np.nan)
+                full_names = [''] * size
+                for k, st in enumerate(nosta):
+                    full_xyz[st - 1] = xyz[k]
+                    full_names[st - 1] = names[k]
+                xyz, names = full_xyz, full_names
             out['ant_xyz'] = xyz
             out['ant_names'] = names
-        pos = next_pos
     return out

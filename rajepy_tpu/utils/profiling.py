@@ -40,6 +40,63 @@ def _sync(result) -> None:
         break
 
 
+# --------------------------------------------------------------------- #
+# stage-time aggregation (opt-in): bench.py separates device-compute
+# seconds from transfer/IO seconds so the pipeline regression flag keys
+# on compute, not on the remote tunnel's 3-4x ambient transfer variance
+# (BASELINE.md pipeline metric; r4 review).
+# --------------------------------------------------------------------- #
+
+_STAGE_TIMES: dict = {}
+_COLLECTING = False
+
+#: stage-name substrings whose time is device compute (dispatch-to-sync
+#: of jitted programs; cube/mfs imaging timers include their overlapped
+#: per-chunk host drains, which the overlap makes inseparable)
+DEVICE_STAGE_MARKERS = ('grid fill', 'device compute', 'uv tracks',
+                        'vis sampling', 'gain corruption', 'applycal',
+                        'imaging', 'selfcal round')
+#: stage-name substrings whose time is device->host product transfer
+#: plus disk IO
+TRANSFER_STAGE_MARKERS = ('write', 'product transfer')
+
+
+def collect_stage_times(enable: bool = True) -> None:
+    """Start (or stop) aggregating KernelTimer/record_stage durations
+    into a process-global registry; starting clears it."""
+    global _COLLECTING
+    _COLLECTING = enable
+    if enable:
+        _STAGE_TIMES.clear()
+
+
+def record_stage(name: str, seconds: float) -> None:
+    """Add ``seconds`` to the named stage's total (no-op unless
+    :func:`collect_stage_times` is active)."""
+    if _COLLECTING:
+        _STAGE_TIMES[name] = _STAGE_TIMES.get(name, 0.0) + float(seconds)
+
+
+def stage_times() -> dict:
+    """Snapshot of the aggregated {stage name: total seconds}."""
+    return dict(_STAGE_TIMES)
+
+
+def split_stage_times(times: Optional[dict] = None):
+    """(device_compute_s, transfer_io_s, other_s) totals of a stage-time
+    dict per the marker lists above."""
+    times = stage_times() if times is None else times
+    dev = tr = other = 0.0
+    for name, s in times.items():
+        if any(m in name for m in TRANSFER_STAGE_MARKERS):
+            tr += s
+        elif any(m in name for m in DEVICE_STAGE_MARKERS):
+            dev += s
+        else:
+            other += s
+    return dev, tr, other
+
+
 class KernelTimer:
     """``with KernelTimer("fill factors", log) as t: ...`` — logs the
     elapsed wall time with a device sync at exit."""
@@ -63,6 +120,8 @@ class KernelTimer:
         if self._result is not None:
             _sync(self._result)
         self.elapsed = time.perf_counter() - self._t0
+        if exc_type is None:
+            record_stage(self.name, self.elapsed)
         if self.log is not None and exc_type is None:
             self.log.add_entry(
                 "INFO", f"[timing] {self.name}: {self.elapsed:.3f}s",

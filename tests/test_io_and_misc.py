@@ -628,3 +628,71 @@ class TestReviewRegressionsR3S6:
         with pytest.raises(ValueError, match='axis4 requires axis3'):
             misc.reorder_axes(np.zeros((2, 3, 4, 5)), ra_axis=3,
                               dec_axis=2, axis4=0, axis4_type='freq')
+
+
+class TestStageTimeSplit:
+    """bench.py's pipeline metric splits device-compute from transfer/IO
+    seconds via the KernelTimer stage registry (utils.profiling;
+    BASELINE.md pipeline metric, r4 review item 5)."""
+
+    def test_registry_and_split(self):
+        from rajepy_tpu.utils import profiling
+        profiling.collect_stage_times(True)
+        try:
+            profiling.record_stage('rt stage: device compute', 1.0)
+            profiling.record_stage('rt stage: device compute', 0.5)
+            profiling.record_stage(
+                'rt stage: product transfer + FITS write', 0.25)
+            profiling.record_stage('synthobs: vis npz write', 0.25)
+            profiling.record_stage('synthobs: mfs imaging (64px)', 2.0)
+            profiling.record_stage('unclassified thing', 0.125)
+            with profiling.KernelTimer('synthobs: uv tracks') as kt:
+                pass
+            times = profiling.stage_times()
+            assert times['rt stage: device compute'] == 1.5
+            assert 'synthobs: uv tracks' in times
+            dev, tr, other = profiling.split_stage_times(times)
+            assert tr == 0.5
+            assert other == 0.125
+            assert dev == pytest.approx(
+                3.5 + times['synthobs: uv tracks'])
+        finally:
+            profiling.collect_stage_times(False)
+        # disabled: record_stage is a no-op and the registry is frozen
+        profiling.record_stage('rt stage: device compute', 99.0)
+        assert profiling.stage_times()['rt stage: device compute'] == 1.5
+
+    def test_pipeline_execute_records_stages(self, model_params,
+                                             tmp_path):
+        import copy
+        import rajepy_tpu
+        from rajepy_tpu.utils import profiling
+        p = copy.deepcopy(model_params)
+        p['grid'].update(n_x=16, n_y=32, n_z=16)
+        pparams = {
+            'min_el': 20.,
+            'dcys': {'model_dcy': str(tmp_path / 'out')},
+            'continuum': {'times': np.array([0.]),
+                          'freqs': np.array([6e9]),
+                          't_obs': np.array([1200]),
+                          'tscps': np.array([('VLA', 'A')]),
+                          't_ints': np.array([60]),
+                          'bws': np.array([1e8]),
+                          'chanws': np.array([1e8])},
+            'rrls': {'times': np.array([]), 'lines': None, 't_obs': None,
+                     'tscps': None, 't_ints': None, 'bws': None,
+                     'chanws': None},
+        }
+        pline = rajepy_tpu.Pipeline(rajepy_tpu.JetModel(p), pparams)
+        profiling.collect_stage_times(True)
+        try:
+            pline.execute(simobserve=True, verbose=False, resume=False,
+                          clobber=True, plot=False)
+            dev, tr, other = profiling.split_stage_times()
+        finally:
+            profiling.collect_stage_times(False)
+        assert dev > 0.0       # grid fill + rt compute + sampling/imaging
+        assert tr > 0.0        # FITS/npz writes
+        names = profiling.stage_times()
+        assert any('rt stage: device compute' in k for k in names)
+        assert any('product transfer' in k for k in names)

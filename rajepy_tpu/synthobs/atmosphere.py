@@ -4,12 +4,28 @@ The reference's simobserve runs CASA's ``thermalnoise='tsys-atm'`` mode,
 which derives Tsys(nu, elevation, pwv) from the ATM atmospheric model with
 ``user_pwv`` / ``t_ground`` knobs (/root/reference/casa/tasks.py:196-206).
 This module is a compact parametric stand-in (equivalence is statistical,
-matching CASA's behaviour in trend, not bitwise): a two-component zenith
-opacity — a dry term with the O2 60/118.75 GHz features and a wet term
-linear in precipitable water vapour with the 22.235/183.31 GHz H2O lines
-plus the mm continuum calibrated to the standard tau_225 ~ 0.0059 +
-0.042 pwv[mm] site fit — propagated through the single-slab radiative
+matching CASA's behaviour in trend and, at the anchor points below, in
+magnitude — not bitwise): a two-component zenith opacity — a dry term
+with the O2 60-GHz band and 118.75 GHz line, and a wet term linear in
+precipitable water vapour with the 22.235/183.31/325.15 GHz H2O lines
+plus the mm continuum — propagated through the single-slab radiative
 Tsys equation referenced above the atmosphere.
+
+External anchors (tests/test_synthobs.py::TestAtmosphereAnchors):
+
+* tau_225(pwv) = 0.0059 + 0.042 pwv[mm] — the Chajnantor-style 225 GHz
+  tipping-radiometer site fit, EXACT by construction (the wet continuum
+  coefficient is solved so line wings + continuum hit 0.042/mm at
+  225 GHz); the independent Mauna Kea CSO fit pwv = 20 (tau_225 - 0.016)
+  brackets the same curve to ~30%, which is the honest inter-site spread
+  of such fits and the model's accuracy tier for window opacities.
+* the 183.31 GHz H2O line saturates (zenith tau > 3 at 0.5 mm pwv —
+  why ALMA's water-vapour radiometers observe it), ~6.3/mm at centre.
+* the 60 GHz O2 complex is opaque (tau ~ 20 through the whole band,
+  modelled as a Gaussian band so its wings do NOT pollute the 90 GHz
+  window the way a Lorentzian would).
+* 3 mm window: tau(90 GHz, 1 mm) ~ 0.01-0.08; 345/225 GHz wet-opacity
+  ratio 2.0-3.2 (f^2 continuum + the 325 GHz line wing).
 
 The per-telescope catalogue SEFDs (observatories.DEFAULT_SEFD) stay the
 calibration anchor: :func:`sefd_scale` returns the ratio of Tsys at the
@@ -25,27 +41,57 @@ T_CMB = 2.725
 REF_PWV_MM = 1.0
 REF_ELEVATION_DEG = 90.0
 
+# wet H2O lines: (centre GHz, amplitude nepers/mm at centre, HWHM GHz)
+_H2O_LINES = ((22.235, 0.013, 2.5),
+              (183.31, 6.3, 1.6),
+              (325.15, 1.5, 2.0))
+#: total wet opacity per mm pwv at 225 GHz (the site-fit slope)
+_TAU225_WET_PER_MM = 0.042
+#: dry opacity at 225 GHz (the site-fit intercept)
+_TAU225_DRY = 0.0059
+
 
 def _lorentz(f_ghz, f0_ghz, gamma_ghz):
     return gamma_ghz ** 2 / ((f_ghz - f0_ghz) ** 2 + gamma_ghz ** 2)
 
 
+def _wet_lines(f):
+    out = 0.0
+    for f0, amp, gam in _H2O_LINES:
+        out = out + amp * _lorentz(f, f0, gam)
+    return out
+
+
+# wet continuum coefficient solved so that lines + continuum give
+# exactly _TAU225_WET_PER_MM at 225 GHz
+_WET_CONT = _TAU225_WET_PER_MM - float(_wet_lines(225.0))
+
+
+def _dry(f):
+    # continuum (~f^2) + the O2 60 GHz band as a GAUSSIAN band (a
+    # Lorentzian's wings would add ~0.3 nepers at 90 GHz where the real
+    # window opacity is ~0.03) + the 118.75 GHz O2 line; the continuum
+    # constant is solved so tau_dry(225) = _TAU225_DRY
+    band = (20.0 * np.exp(-((f - 60.0) / 7.0) ** 2) +
+            1.0 * _lorentz(f, 118.75, 1.0))
+    return 4.0e-8 * f ** 2 + band
+
+
+_DRY_CONST = _TAU225_DRY - float(_dry(225.0))
+
+
 def zenith_opacity(freq_hz, pwv_mm: float):
     """Zenith atmospheric opacity tau(nu) [nepers].
 
-    Dry: continuum + O2 complexes at 60 and 118.75 GHz.  Wet (per mm
-    pwv): H2O lines at 22.235 and 183.31 GHz + the f^2 mm continuum
-    (anchored to tau_225 = 0.0059 + 0.042 pwv).
+    Dry: continuum + the O2 60 GHz band and 118.75 GHz line.  Wet (per
+    mm pwv): H2O lines at 22.235 (weak), 183.31 (saturated) and
+    325.15 GHz + the f^2 mm continuum; calibrated so
+    tau(225 GHz) = 0.0059 + 0.042 pwv exactly (module docstring
+    anchors).
     """
     f = np.asarray(freq_hz, dtype=float) / 1e9
-    # dry continuum tuned so tau_dry(225 GHz) ~ 0.006 (the dry part of
-    # the standard tau_225 site fit)
-    tau_dry = (0.001 + 5.0e-8 * f ** 2 +
-               3.5 * _lorentz(f, 60.0, 4.0) +
-               0.70 * _lorentz(f, 118.75, 1.5))
-    k_wet = (0.042 * (f / 225.0) ** 2 +
-             0.010 * _lorentz(f, 22.235, 2.2) +
-             0.70 * _lorentz(f, 183.31, 3.0))
+    tau_dry = _DRY_CONST + _dry(f)
+    k_wet = _WET_CONT * (f / 225.0) ** 2 + _wet_lines(f)
     return tau_dry + float(pwv_mm) * k_wet
 
 

@@ -577,6 +577,70 @@ class TestNoiseStatistics:
                                   rel=1e-12)
 
 
+class TestAtmosphereAnchors:
+    """External quantitative anchors for the atmosphere model (r4 review:
+    trend tests alone pass any sign-correct model).  Published values the
+    model must hit, with tolerances reflecting the honest spread of the
+    published fits themselves (see atmosphere.py docstring)."""
+
+    def test_tau225_site_fit_exact(self):
+        """tau_225 = 0.0059 + 0.042 pwv (Chajnantor-style tipping fit) is
+        the calibration and must hold EXACTLY across pwv — not just at
+        the 1 mm point the model was historically tuned at."""
+        from rajepy_tpu.synthobs import atmosphere as atm
+        for pwv in (0.0, 0.5, 1.0, 2.0, 4.0, 8.0):
+            assert atm.zenith_opacity(225e9, pwv) == \
+                pytest.approx(0.0059 + 0.042 * pwv, rel=1e-10)
+
+    def test_tau225_independent_mauna_kea_fit(self):
+        """The INDEPENDENT CSO/Mauna Kea relation pwv[mm] =
+        20 (tau_225 - 0.016) brackets the model to the ~35% inter-site
+        spread of such fits — the documented accuracy tier."""
+        from rajepy_tpu.synthobs import atmosphere as atm
+        for pwv in (1.0, 2.0, 4.0):
+            mk = 0.016 + 0.05 * pwv
+            assert 0.6 < atm.zenith_opacity(225e9, pwv) / mk < 1.35
+
+    def test_183ghz_line_saturates(self):
+        """The 183.31 GHz H2O line is optically thick even in dry
+        conditions (zenith tau > 3 at 0.5 mm — the reason ALMA water
+        vapour radiometers observe it); ~6-7 nepers at 1 mm (ATM/am
+        models)."""
+        from rajepy_tpu.synthobs import atmosphere as atm
+        assert atm.zenith_opacity(183.31e9, 0.5) > 3.0
+        assert 4.0 < atm.zenith_opacity(183.31e9, 1.0) < 12.0
+
+    def test_o2_band_opaque_but_windows_clean(self):
+        """The 60 GHz O2 complex is opaque (tau ~ tens) across
+        52-66 GHz, yet must NOT leak into the 90 GHz window (ALMA band 3
+        zenith tau ~ 0.02-0.06 at 1 mm pwv) — the band is modelled with
+        Gaussian, not Lorentzian, wings for exactly this reason."""
+        from rajepy_tpu.synthobs import atmosphere as atm
+        for f in (52e9, 60e9, 66e9):
+            assert atm.zenith_opacity(f, 0.0) > 5.0
+        assert 0.01 < atm.zenith_opacity(90e9, 1.0) < 0.08
+        # 118.75 GHz O2 line: tau ~ 1 at zenith
+        assert 0.5 < atm.zenith_opacity(118.75e9, 0.0) < 2.0
+
+    def test_345_to_225_wet_ratio(self):
+        """Submm/mm wet-opacity ratio: published tau_345/tau_225 wet
+        scaling is ~2.4-3 (SMA/ALMA); the f^2 continuum + 325 GHz line
+        wing must land in a 2.0-3.2 band."""
+        from rajepy_tpu.synthobs import atmosphere as atm
+        for pwv in (1.0, 3.0):
+            w225 = atm.zenith_opacity(225e9, pwv) - \
+                atm.zenith_opacity(225e9, 0.0)
+            w345 = atm.zenith_opacity(345e9, pwv) - \
+                atm.zenith_opacity(345e9, 0.0)
+            assert 2.0 < w345 / w225 < 3.2
+
+    def test_22ghz_line_magnitude(self):
+        """K-band water line: zenith tau at 22.235 GHz for humid (6 mm
+        pwv) conditions is ~0.05-0.15 (VLA K-band experience)."""
+        from rajepy_tpu.synthobs import atmosphere as atm
+        assert 0.04 < atm.zenith_opacity(22.235e9, 6.0) < 0.15
+
+
 class TestAtmosphere:
     """The tsys-atm analogue (synthobs.atmosphere): CASA simobserve's
     thermalnoise='tsys-atm' with user_pwv/t_ground knobs

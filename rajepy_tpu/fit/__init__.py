@@ -1139,6 +1139,13 @@ def fit_rrl_spectrum(jm, line: str, freqs, observed, *, errors=None,
     note the near-degeneracy documented at :data:`SUPPORTED_FREE` —
     free one coefficient at a time unless another observable pins the
     other.
+
+    Accuracy contract for ``lte=False`` with TABLE-DERIVED coefficients
+    (no explicit ``departure_coeffs``): the statistical sigmas from
+    :func:`laplace_uncertainties` do NOT include the b_n table's
+    collisional-rate systematic — add
+    :func:`rrl_departure_systematic` in quadrature (it can dominate in
+    the low-n_e regime where b_n is far from 1).
     """
     forward, theta0 = build_rrl_spectrum_forward(
         jm, line, freqs, free, time, contsub=contsub, lte=lte,
@@ -1178,6 +1185,78 @@ def fit_rrl_cube(jm, line: str, freqs, observed_cube, *, errors=None,
                     _power_norm_loss(observed_cube, errors), steps,
                     learning_rate, optimizer, n_starts, start_spread,
                     seed, mesh)
+
+
+def rrl_departure_systematic(jm, line: str, freqs, theta,
+                             free: Sequence[str], *, cube: bool = False,
+                             time=None, contsub: bool = True
+                             ) -> Dict[str, float]:
+    """Systematic uncertainties on a non-LTE RRL fit's freed parameters
+    from the departure-coefficient table's collisional-rate error band.
+
+    A ``fit_rrl_spectrum``/``fit_rrl_cube`` run with ``lte=False`` and
+    TABLE-DERIVED coefficients inherits the table's rate-prescription
+    systematic (ops.departure.b_n_systematic: the spread of the case-B
+    solution under x0.5/x2 van-Regemorter/Thomson rate scaling — there
+    is no digitised published b_n tabulation in this environment, so
+    this bounds the dominant rate-tier error by construction).  This
+    helper propagates it to first order: the forward is re-evaluated at
+    the fit optimum ``theta`` with the COHERENT 'lo'/'hi' coefficient
+    pairs (both levels at the same rate scale — their errors are
+    correlated through the common rates), and the model shift is mapped
+    to the parameter shift that would absorb it through the pseudo-
+    inverse of the forward jacobian:
+
+        dtheta = J^+ (forward_shifted - forward_central).
+
+    Returns ``{path: systematic sigma}`` in VALUE space (delta method
+    for log parameters, matching :func:`laplace_uncertainties`); add in
+    quadrature to the statistical sigmas.  Irrelevant (zero) when the
+    fit FREED the coefficients (data constrains them) or was given
+    explicit measured ``departure_coeffs``.
+
+    Do NOT assume it vanishes for dense (thermalised) jets: detailed
+    balance pins each b to 1 at every rate scale (per-LEVEL systematic
+    < 1e-3), but the G&S beta amplification feels the level DIFFERENCE
+    divided by h nu / k T_e ~ 1e-4 — so the rate-scale spread of
+    (b_n2 - b_n1) propagates to a few-percent T_0 systematic even at
+    n_e ~ 1e7 cm^-3 (measured in
+    tests/test_fit.py::test_departure_systematic_dense_jet).
+    """
+    free = tuple(free)
+    for p in free:
+        if p in _NONLTE_FREE:
+            raise ValueError(
+                f"{p} was a FREE parameter: the data constrained it and "
+                "the table systematic does not apply — drop it from "
+                "`free` here and propagate only the fixed-coefficient "
+                "error")
+    theta = jnp.asarray(np.asarray(theta, float), jnp.float64)
+    builder = build_rrl_forward if cube else build_rrl_spectrum_forward
+    b_c = jm.departure_coefficients(line)
+    fwd_c, _ = builder(jm, line, freqs, free, time, contsub=contsub,
+                       lte=False, departure_coeffs=b_c)
+
+    def flat(th):
+        return jnp.ravel(fwd_c(th))
+
+    y0 = np.asarray(flat(theta))
+    J = np.asarray(jax.jacobian(flat)(theta))
+    dtheta_max = np.zeros(len(free))
+    for which in ('lo', 'hi'):
+        b_s = jm.departure_coefficients_at_scale(line, which)
+        fwd_s, _ = builder(jm, line, freqs, free, time, contsub=contsub,
+                           lte=False, departure_coeffs=b_s)
+        dy = np.asarray(jnp.ravel(fwd_s(theta))) - y0
+        dth, *_ = np.linalg.lstsq(J, dy, rcond=None)
+        dtheta_max = np.maximum(dtheta_max, np.abs(dth))
+    out = {}
+    for i, path in enumerate(free):
+        if SUPPORTED_FREE[path] == 'log':
+            out[path] = float(np.exp(theta[i])) * float(dtheta_max[i])
+        else:
+            out[path] = float(dtheta_max[i])
+    return out
 
 
 # --------------------------------------------------------------------------- #

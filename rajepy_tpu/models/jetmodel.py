@@ -1437,6 +1437,28 @@ class JetModel:
         cache[key] = (b_n1, b_n2)
         return b_n1, b_n2
 
+    def departure_coefficient_systematic(self, line: str):
+        """(s_n1, s_n2): the collisional-rate-prescription systematic of
+        :meth:`departure_coefficients` (ops.departure.b_n_systematic —
+        the spread of the table under x0.5/x2 rate scaling, the van
+        Regemorter/Thomson accuracy class).  Propagate into non-LTE fit
+        uncertainties via :func:`rajepy_tpu.fit.rrl_departure_systematic`
+        when the fit used table-derived coefficients."""
+        from ..ops import departure as dep
+        _, n, dn = mrrl.rrl_parser(line)
+        t_char, ne_char = self.characteristic_conditions()
+        return dep.b_n_pair_systematic(n, dn, t_char, ne_char)
+
+    def departure_coefficients_at_scale(self, line: str, which: str):
+        """(b_n1, b_n2) from the rate-scale-band edge tables
+        (``which`` in 'lo'/'hi'/'central') at the jet's characteristic
+        conditions — the COHERENT shifted pairs the systematic
+        propagation uses (both levels at the same rate scale)."""
+        from ..ops import departure as dep
+        _, n, dn = mrrl.rrl_parser(line)
+        t_char, ne_char = self.characteristic_conditions()
+        return dep.b_n_pair(n, dn, t_char, ne_char, which)
+
     def departure_coefficient_maps(self, line: str):
         """Per-sightline (b_n1, b_n2) maps, shape (nx, nz): the case-B
         table evaluated at each LOS column's EM-weighted (T_e, n_e) —

@@ -226,7 +226,17 @@ def _rates_at_T(T: float):
     return ns, A, C_up, alpha, c_ion, dE
 
 
-def solve_bn(T: float, ne_cm3: float) -> np.ndarray:
+#: the collisional-rate scale factors whose b_n spread defines the
+#: tabulated systematic: van Regemorter/Thomson rates belong to the
+#: factor-of-2 semi-empirical accuracy class, so the half-spread of the
+#: solutions under 0.5x/2x rate scaling bounds the prescription error
+#: (it vanishes identically at high n_e, where exact collisional
+#: detailed balance pins b = 1 at EVERY rate scale)
+RATE_SCALE_BAND = (0.5, 2.0)
+
+
+def solve_bn(T: float, ne_cm3: float,
+             rate_scale: float = 1.0) -> np.ndarray:
     """Case-B departure coefficients b_n for n = 2..N_SOLVE at electron
     temperature ``T`` [K] and density ``ne_cm3`` [cm^-3].
 
@@ -235,8 +245,15 @@ def solve_bn(T: float, ne_cm3: float) -> np.ndarray:
     collisional ionisation/three-body recombination (detailed balance),
     and r carries radiative recombination plus the b = 1 closure from
     levels N_SOLVE+1..N_EXT.  Returns b indexed by [n - 2].
+
+    ``rate_scale`` multiplies every collisional rate (excitation,
+    ionisation and — through detailed balance — their inverses): the
+    systematic-error probe of the van Regemorter/Thomson tier.
     """
     ns, A, C_up, alpha, c_ion, dE = _rates_at_T(float(T))
+    if rate_scale != 1.0:
+        C_up = C_up * float(rate_scale)
+        c_ion = c_ion * float(rate_scale)
     ne = float(ne_cm3) * 1e6                       # [m^-3]
     kT = _KB * float(T)
 
@@ -304,46 +321,63 @@ def _self_check():
 
 
 def build_table(verbose: bool = False) -> dict:
-    """Solve the full (T, n_e) grid and return the table arrays."""
+    """Solve the full (T, n_e) grid — at the central rates and at the
+    RATE_SCALE_BAND edges — and return the table arrays."""
     _self_check()
-    nb = np.empty((TABLE_LOGT.size, TABLE_LOGNE.size, TABLE_N.size))
+    shape = (TABLE_LOGT.size, TABLE_LOGNE.size, TABLE_N.size)
+    nb = np.empty(shape)
+    nb_lo = np.empty(shape)       # rate_scale = RATE_SCALE_BAND[0]
+    nb_hi = np.empty(shape)       # rate_scale = RATE_SCALE_BAND[1]
     for i, lt in enumerate(TABLE_LOGT):
         for j, ln in enumerate(TABLE_LOGNE):
-            b = solve_bn(10.0 ** lt, 10.0 ** ln)
-            nb[i, j] = b[TABLE_N - 2]
+            nb[i, j] = solve_bn(10.0 ** lt, 10.0 ** ln)[TABLE_N - 2]
+            nb_lo[i, j] = solve_bn(10.0 ** lt, 10.0 ** ln,
+                                   RATE_SCALE_BAND[0])[TABLE_N - 2]
+            nb_hi[i, j] = solve_bn(10.0 ** lt, 10.0 ** ln,
+                                   RATE_SCALE_BAND[1])[TABLE_N - 2]
         if verbose:
             print(f"departure table: T = {10.0 ** lt:.0f} K done")
-    return {'b': nb.astype(np.float32), 'n': TABLE_N.astype(np.int32),
+    return {'b': nb.astype(np.float32),
+            'b_lo': nb_lo.astype(np.float32),
+            'b_hi': nb_hi.astype(np.float32),
+            'n': TABLE_N.astype(np.int32),
             'logT': TABLE_LOGT.astype(np.float64),
             'logne': TABLE_LOGNE.astype(np.float64)}
 
 
 @functools.lru_cache(maxsize=1)
-def get_table() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Bundled (b, n, logT, logne) table; built on first use if the
-    data file is absent (and cached there when writable)."""
+def _get_table_dict() -> dict:
+    """Bundled table dict; (re)built on first use if the data file is
+    absent or predates the systematic bands (and cached when writable)."""
     if os.path.exists(_TABLE_FILE):
         t = np.load(_TABLE_FILE)
-        return (t['b'], t['n'], t['logT'], t['logne'])
+        if 'b_lo' in t.files:
+            return {k: t[k] for k in t.files}
     tab = build_table()
     try:
         np.savez_compressed(_TABLE_FILE, **tab)
     except OSError:
         pass
-    return (tab['b'], tab['n'], tab['logT'], tab['logne'])
+    return tab
 
 
-def b_n(n: int, T_e, ne_cm3):
-    """Departure coefficient b_n at (T_e [K], n_e [cm^-3]) by bilinear
-    interpolation in (log10 T, log10 n_e) — numpy host-side; clamps to
-    the table edges (the high-n_e edge is b = 1 to 1e-3 by the exact
-    collisional detailed balance).  Works on scalars or arrays."""
-    b, ns, logT, logne = get_table()
+def get_table() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Bundled (b, n, logT, logne) central table (see
+    :func:`_get_table_dict` for the rate-scale band companions)."""
+    t = _get_table_dict()
+    return (t['b'], t['n'], t['logT'], t['logne'])
+
+
+def _interp(table3, n: int, T_e, ne_cm3, ns, logT, logne):
+    """Bilinear interpolation of one (logT, logne, n) table at level
+    ``n`` — numpy host-side; clamps to the table edges (the high-n_e
+    edge is b = 1 to 1e-3 by the exact collisional detailed balance).
+    Works on scalars or arrays."""
     n = int(n)
     if not ns[0] <= n <= ns[-1]:
         raise ValueError(f"departure table covers n in "
                          f"[{ns[0]}, {ns[-1]}], got {n}")
-    bn = b[:, :, n - int(ns[0])]
+    bn = table3[:, :, n - int(ns[0])]
     lt = np.clip(np.log10(np.asarray(T_e, float)), logT[0], logT[-1])
     ln = np.clip(np.log10(np.asarray(ne_cm3, float)), logne[0],
                  logne[-1])
@@ -359,9 +393,46 @@ def b_n(n: int, T_e, ne_cm3):
             ft * ((1 - fn) * v10 + fn * v11))
 
 
-def b_n_pair(n: int, dn: int, T_e, ne_cm3):
+def b_n(n: int, T_e, ne_cm3, which: str = 'central'):
+    """Departure coefficient b_n at (T_e [K], n_e [cm^-3]).
+
+    ``which``: 'central' (the van Regemorter/Thomson rates), or
+    'lo'/'hi' — the RATE_SCALE_BAND edge solutions (collisional rates
+    x0.5 / x2) whose spread is the tabulated rate-prescription
+    systematic."""
+    t = _get_table_dict()
+    key = {'central': 'b', 'lo': 'b_lo', 'hi': 'b_hi'}[which]
+    return _interp(t[key], n, T_e, ne_cm3, t['n'], t['logT'], t['logne'])
+
+
+def b_n_systematic(n: int, T_e, ne_cm3):
+    """1-sigma-style systematic on :func:`b_n` from the collisional-rate
+    prescription: the max deviation of the RATE_SCALE_BAND edge
+    solutions from the central one.  NO digitised published b_n table
+    (Salem & Brocklehurst 1979 / Storey & Hummer 1995) is available in
+    this offline environment, so this bounds the dominant (rate-tier)
+    error by construction rather than by external comparison — the
+    distinction is documented in PARITY.md."""
+    c = b_n(n, T_e, ne_cm3)
+    lo = b_n(n, T_e, ne_cm3, 'lo')
+    hi = b_n(n, T_e, ne_cm3, 'hi')
+    return np.maximum(np.abs(lo - c), np.abs(hi - c))
+
+
+def b_n_pair(n: int, dn: int, T_e, ne_cm3, which: str = 'central'):
     """(b_n1, b_n2) for an RRL transition n -> n + dn at (T_e, n_e) —
     what :meth:`JetModel._check_nonlte` derives when the user supplies no
-    explicit ``departure_coeffs``."""
-    return (float(b_n(n, T_e, ne_cm3)),
-            float(b_n(n + int(dn), T_e, ne_cm3)))
+    explicit ``departure_coeffs``.  ``which`` as in :func:`b_n`; the
+    'lo'/'hi' pairs are COHERENT (both levels solved at the same rate
+    scale), which is how the systematic must be propagated — the two
+    coefficients' errors are almost fully correlated through the common
+    rates, and the G&S beta amplification term feels their DIFFERENCE."""
+    return (float(b_n(n, T_e, ne_cm3, which)),
+            float(b_n(n + int(dn), T_e, ne_cm3, which)))
+
+
+def b_n_pair_systematic(n: int, dn: int, T_e, ne_cm3):
+    """(s_n1, s_n2): the rate-prescription systematics of the
+    :func:`b_n_pair` coefficients (max |edge - central| per level)."""
+    return (float(b_n_systematic(n, T_e, ne_cm3)),
+            float(b_n_systematic(n + int(dn), T_e, ne_cm3)))

@@ -997,6 +997,82 @@ class TestNonLTEFitting:
         with pytest.raises(ValueError, match="only meaningful"):
             jfit.build_sed_forward(jm, SED_FREQS, ('nonlte.b_n2',))
 
+    def test_departure_systematic_propagation(self, model_params):
+        """The b_n table's rate-prescription band propagates into fit
+        errors (r4 review item 1): synthesise the observation with the
+        'hi' rate-band-edge coefficients (truth at the edge of the
+        systematic band), fit T_0 with the table-central ones, and check
+        rrl_departure_systematic BRACKETS the real parameter bias — the
+        bias the statistical sigma alone underestimates severalfold."""
+        p = _small(model_params)
+        # optically thin jet: characteristic n_e ~ 2e4 cm^-3 where the
+        # table systematic is a few percent of b (dense jets pin b = 1
+        # at every rate scale and the systematic vanishes)
+        p['properties'].update(mlr_bj=1e-10, mlr_rj=5e-11)
+        p['ejection'] = {'t_0': np.array([]), 'hl': np.array([]),
+                         'chi': np.array([]), 'which': np.array([])}
+        line, free = 'H58a', ('properties.T_0',)
+        freqs = _H58A_NU0 + np.linspace(-6e6, 6e6, 17)
+        jm_t = JetModel(copy.deepcopy(p))
+        jm_t.time = 0.0
+        b_hi = jm_t.departure_coefficients_at_scale(line, 'hi')
+        b_c = jm_t.departure_coefficients(line)
+        assert b_hi[0] > b_c[0]         # the band edge is a real shift
+        fwd_t, th_t = jfit.build_rrl_spectrum_forward(
+            jm_t, line, freqs, free, lte=False, departure_coeffs=b_hi)
+        obs = np.asarray(fwd_t(th_t))
+
+        jm = JetModel(copy.deepcopy(p))
+        jm.time = 0.0
+        res = jfit.fit_rrl_spectrum(jm, line, freqs, obs, free=free,
+                                    steps=200, learning_rate=0.05,
+                                    lte=False)
+        bias = abs(res.values['properties.T_0'] - 1e4)
+        assert bias > 50.0              # the systematic is REAL
+        sys = jfit.rrl_departure_systematic(jm, line, freqs, res.theta,
+                                            free)
+        s = sys['properties.T_0']
+        # first-order propagation brackets the actual bias
+        assert 0.5 * bias < s < 4.0 * bias
+        # ...and dominates the statistical sigma of this noiseless fit
+        fwd_c, _ = jfit.build_rrl_spectrum_forward(
+            jm, line, freqs, free, lte=False, departure_coeffs=b_c)
+        stat, _ = jfit.laplace_uncertainties(fwd_c, res.theta, obs, free)
+        assert s > 2.0 * stat['properties.T_0']
+
+    def test_departure_systematic_rejects_freed_coefficients(
+            self, model_params):
+        jm = JetModel(_small(model_params))
+        jm.time = 0.0
+        freqs = _H58A_NU0 + np.linspace(-6e6, 6e6, 5)
+        with pytest.raises(ValueError, match="FREE parameter"):
+            jfit.rrl_departure_systematic(
+                jm, 'H58a', freqs, np.zeros(1), ('nonlte.b_n2',))
+
+    def test_departure_systematic_dense_jet(self, model_params):
+        """Dense (thermalised) jet: each b is pinned to 1 at every rate
+        scale (per-LEVEL systematic < 1e-3) — yet the propagated T_0
+        systematic does NOT vanish, because the G&S beta amplification
+        divides the level DIFFERENCE (b_n2 - b_n1) by h nu / k T ~ 1e-4
+        and that difference keeps its ~50% rate-scale spread.  The
+        honest contract: non-LTE T_0 carries a few-percent rate-model
+        systematic even where b ~ 1."""
+        p = _small(model_params)
+        p['ejection'] = {'t_0': np.array([]), 'hl': np.array([]),
+                         'chi': np.array([]), 'which': np.array([])}
+        jm = JetModel(p)
+        jm.time = 0.0
+        s1, s2 = jm.departure_coefficient_systematic('H58a')
+        assert s1 < 2e-3 and s2 < 2e-3     # per-level pinning holds
+        freqs = _H58A_NU0 + np.linspace(-6e6, 6e6, 9)
+        fwd, th0 = jfit.build_rrl_spectrum_forward(
+            jm, 'H58a', freqs, ('properties.T_0',), lte=False,
+            departure_coeffs=jm.departure_coefficients('H58a'))
+        sys = jfit.rrl_departure_systematic(
+            jm, 'H58a', freqs, th0, ('properties.T_0',))
+        # measured ~700 K (7%) at r5; pin the order of magnitude
+        assert 100.0 < sys['properties.T_0'] < 3000.0
+
     def test_map_departure_coeffs_accepted(self, model_params):
         """departure_coefficient_maps output is a documented
         departure_coeffs= input: the fit forwards must take the

@@ -364,6 +364,66 @@ class TestDepartureCoefficients:
             dep.b_n(5000, 1e4, 1e4)
 
 
+class TestDepartureSystematic:
+    """The quantified rate-prescription error band (r4 review item 1):
+    the table carries x0.5/x2 collisional-rate edge solutions
+    (RATE_SCALE_BAND — the van Regemorter/Thomson accuracy class) whose
+    spread is the b_n systematic, propagated into non-LTE fit errors by
+    fit.rrl_departure_systematic.  No digitised Salem & Brocklehurst
+    (1979) / Storey & Hummer (1995) tabulation is available offline, so
+    the central solution is pinned to figure-level literature bands and
+    the systematic is the by-construction rate-tier bound (PARITY.md)."""
+
+    def test_band_magnitude_and_structure(self):
+        from rajepy_tpu.ops import departure as dep
+        # the band is widest in the radiative-cascade regime...
+        s_low = float(dep.b_n_systematic(100, 1e4, 1e2))
+        assert 0.02 < s_low < 0.15
+        # ...and vanishes at high n_e: detailed balance pins b = 1 at
+        # EVERY rate scale
+        s_dense = float(dep.b_n_systematic(100, 1e4, 1e12))
+        assert s_dense < 1e-4
+        assert float(dep.b_n_systematic(58, 1e4, 1e6)) < 0.02
+
+    def test_edge_tables_bracket_sensibly(self):
+        """Stronger collisions (the 'hi' x2 table) push b towards 1;
+        weaker pull it away — at every tabulated RRL point below the
+        thermalised regime."""
+        from rajepy_tpu.ops import departure as dep
+        t = dep._get_table_dict()
+        n_sel = (t['n'] >= 40) & (t['n'] <= 200)
+        lo_ne = t['logne'] <= 6.0
+        b = t['b'][:, lo_ne][:, :, n_sel]
+        b_hi = t['b_hi'][:, lo_ne][:, :, n_sel]
+        b_lo = t['b_lo'][:, lo_ne][:, :, n_sel]
+        assert (b_hi >= b - 1e-5).all()
+        assert (b_lo <= b + 1e-5).all()
+
+    def test_central_values_in_literature_bands(self):
+        """Figure-level anchors from the published case-B b_n curves
+        (Brocklehurst 1970 / S&B 1979 as reproduced in Gordon &
+        Sorochenko 2002): generous bands reflecting read-off-a-figure
+        precision."""
+        from rajepy_tpu.ops import departure as dep
+        assert 0.70 < float(dep.b_n(100, 1e4, 1e2)) < 0.90
+        assert 0.90 < float(dep.b_n(100, 1e4, 1e4)) < 1.00
+        assert 0.80 < float(dep.b_n(58, 1e4, 1e4)) < 0.95
+        assert 0.55 < float(dep.b_n(58, 1e4, 1e2)) < 0.75
+        assert 0.93 < float(dep.b_n(170, 1e4, 1e2)) < 1.00
+
+    def test_coherent_pairs_and_jetmodel_accessors(self, model_params=None):
+        from rajepy_tpu.ops import departure as dep
+        (b1, b2) = dep.b_n_pair(58, 1, 1e4, 1e4)
+        (l1, l2) = dep.b_n_pair(58, 1, 1e4, 1e4, 'lo')
+        (h1, h2) = dep.b_n_pair(58, 1, 1e4, 1e4, 'hi')
+        s1, s2 = dep.b_n_pair_systematic(58, 1, 1e4, 1e4)
+        assert l1 < b1 < h1 and l2 < b2 < h2
+        assert s1 == pytest.approx(max(abs(l1 - b1), abs(h1 - b1)))
+        # coherence: the shifted pairs keep b2 > b1 (the amplification
+        # sign survives the rate-scale perturbation)
+        assert l2 > l1 and h2 > h1
+
+
 class TestDepartureMaps:
     def test_per_sightline_maps(self):
         """departure_coefficient_maps: (nx, nz) per-column coefficients

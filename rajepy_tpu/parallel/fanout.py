@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import constants as cnsts
 from ..models import ejection as ej
 from ..ops import radtrans as rt
+from ..ops import rrls as mrrl
 
 
 def run_mesh(mesh: Optional[Mesh] = None) -> Mesh:
@@ -134,13 +135,22 @@ def continuum_runs_fanout(model, years, freqs_mat,
 
 
 def rrl_runs_fanout(model, line: str, years, freqs_mat,
-                    mesh: Optional[Mesh] = None, contsub: bool = False):
+                    mesh: Optional[Mesh] = None, contsub: bool = False,
+                    b_pairs=None):
     """All epochs of one RRL line in one sharded program.
 
     Returns numpy ``(em, tau_l, fluxes)`` — per-run EM maps, line
     opacity maps and line(+continuum when ``contsub=False``) flux maps,
     matching ``optical_depth_rrl`` / ``flux_rrl`` (classes.py:2437-2450
     per-run products).
+
+    ``b_pairs``: optional (n_runs, 2) per-run departure coefficients
+    (b_n1, b_n2) — switches the per-device composition to the G&S
+    non-LTE form (rt.intensity_rrl_maps_nonlte).  The coefficients are
+    host-side scalars per run (JetModel.departure_coefficients at each
+    run's epoch), sharded over the run axis alongside the times, so
+    non-LTE runs fan out exactly like LTE ones (r4's fan-out was
+    LTE-only).
     """
     f = model._ensure_fields()
     st = model._rt_static()
@@ -149,23 +159,34 @@ def rrl_runs_fanout(model, line: str, years, freqs_mat,
     fscale = float(rt.flux_scale_jy(csize, dist))
     spec_r, spec_b = model._spec_r, model._spec_b
     has_bursts = model._has_bursts
+    nonlte = b_pairs is not None
 
     m = run_mesh(mesh)
     n_dev = int(m.devices.size)
     times, freqs, n = _pad_runs(
         np.asarray(years, dtype=float) * cnsts.YEAR, freqs_mat, n_dev,
         model._dtype)
+    if nonlte:
+        bp = np.atleast_2d(np.asarray(b_pairs, dtype=float))
+        if bp.shape != (n, 2):
+            raise ValueError(f"b_pairs shape {bp.shape} != ({n}, 2)")
+        pad = (-n) % n_dev
+        if pad:
+            bp = np.pad(bp, ((0, pad), (0, 0)), mode='edge')
+        bp = jnp.asarray(bp, model._dtype)
+    else:   # tiny placeholder keeps one traced program shape per mode
+        bp = jnp.ones((times.shape[0], 2), model._dtype)
 
     red, ts = _burst_cubes(model, f)
 
     @partial(jax.shard_map, mesh=m,
-             in_specs=(P('run'), P('run', None)) + (P(),) * 13,
+             in_specs=(P('run'), P('run', None), P('run')) + (P(),) * 13,
              out_specs=(P('run'), P('run'), P('run')),
              check_vma=False)
-    def fan(times_l, freqs_l, red, ts, nd, xi, temp, vy, ff, area,
+    def fan(times_l, freqs_l, bp_l, red, ts, nd, xi, temp, vy, ff, area,
             inside, em_base, a, tbar, any_in):
         def per_run(args):
-            t, fr = args
+            t, fr, b12 = args
             if has_bursts:
                 chi = ej.chi_field(red, t - ts, spec_r, spec_b)
                 chi2 = chi * chi
@@ -180,17 +201,29 @@ def rrl_runs_fanout(model, line: str, years, freqs_mat,
             scale = rt.tau_ff_channel_scale(fr, t_0, reyn)
             tau_c = scale[:, None, None] * \
                 jnp.sum(a * chi2, axis=rt.LOS_AXIS)[None]
-            ints = rt.intensity_rrl_maps(fr, tbar, tau_c, tau_l,
-                                         any_in)
+            if nonlte:
+                # the tau product is the stimulated-corrected opacity
+                # b_n1 beta tau_L* — G&S 2.141, matching the sequential
+                # JetModel._nonlte_tau definition
+                safe_t = jnp.where(any_in, tbar, 1.0)[None]
+                beta = mrrl.beta_coeff(fr[:, None, None], safe_t,
+                                       b12[0], b12[1])
+                tau_out = b12[0] * beta * tau_l
+                ints = rt.intensity_rrl_maps_nonlte(
+                    fr, tbar, tau_c, tau_l, any_in, b12[0], b12[1])
+            else:
+                tau_out = tau_l
+                ints = rt.intensity_rrl_maps(fr, tbar, tau_c, tau_l,
+                                             any_in)
             fluxes = ints * fscale
             if not contsub:
                 fluxes = fluxes + rt.flux_ff_maps(fr, tau_c, tbar,
                                                   any_in, csize, dist)
-            return em, tau_l, fluxes
-        return jax.lax.map(per_run, (times_l, freqs_l))
+            return em, tau_out, fluxes
+        return jax.lax.map(per_run, (times_l, freqs_l, bp_l))
 
     em, tau_l, fluxes = jax.jit(fan)(
-        times, freqs, red, ts, f.nd, f.xi, f.temp, f.vy, f.ff, f.area,
-        f.inside, st.em_base, st.a, st.tbar, st.any_in)
+        times, freqs, bp, red, ts, f.nd, f.xi, f.temp, f.vy, f.ff,
+        f.area, f.inside, st.em_base, st.a, st.tbar, st.any_in)
     return (np.asarray(em)[:n], np.asarray(tau_l)[:n],
             np.asarray(fluxes)[:n])

@@ -91,6 +91,15 @@ def sharded_static_fields(mesh: Mesh, static_params, rb_frac: float,
     (``JetModel._static_params()`` / ``_ss_jml_rb_frac``); ``ny`` must
     tile over the mesh's 'los' axis.
     """
+    fill, coords = _fill_program(mesh, static_params, rb_frac, nx, ny,
+                                 nz, csize, dtype, with_time)
+    return fill(*coords)
+
+
+def _fill_program(mesh: Mesh, static_params, rb_frac, nx, ny, nz, csize,
+                  dtype, with_time):
+    """(jitted LOS-sharded fill, its coordinate args) — shared by
+    :func:`sharded_static_fields` and :func:`fill_memory_stats`."""
     from ..models import grid as mgrid
     from ..models.fields import StaticFields, compute_static_fields
     if dtype is None:
@@ -103,8 +112,39 @@ def sharded_static_fields(mesh: Mesh, static_params, rb_frac: float,
         return compute_static_fields(static_params, xx, yy, zz, rb_frac,
                                      with_time=with_time)
 
-    xx, yy, zz = mgrid.grid_corner_coords(nx, ny, nz, csize, dtype)
-    return fill(xx, yy, zz)
+    return fill, mgrid.grid_corner_coords(nx, ny, nz, csize, dtype)
+
+
+def fill_memory_stats(mesh: Mesh, static_params, rb_frac: float,
+                      nx: int, ny: int, nz: int, csize: float,
+                      dtype=None, with_time: bool = True):
+    """Compiler-reported PER-DEVICE bytes for the mesh-sharded grid fill.
+
+    Proves the beyond-single-HBM claim (SURVEY §2.9(b)): XLA's buffer
+    assignment for the SPMD fill program gives the true per-device live
+    footprint (arguments + outputs + temporaries), so a test can assert
+    ``per_device_bytes < full cube-set bytes`` — i.e. a model too big
+    for one device's HBM really builds shard-by-shard across the mesh.
+
+    Returns ``{'per_device_bytes', 'full_output_bytes', 'n_los'}`` or
+    ``None`` when the backend doesn't expose
+    :meth:`~jax.stages.Compiled.memory_analysis` (assert availability in
+    tests — the CPU and TPU backends both support it).
+    """
+    from ..models.fields import StaticFields  # noqa: F401 — doc link
+    fill, coords = _fill_program(mesh, static_params, rb_frac, nx, ny,
+                                 nz, csize, dtype, with_time)
+    ma = fill.lower(*coords).compile().memory_analysis()
+    if ma is None:
+        return None
+    n_los = int(mesh.shape['los'])
+    per_dev = (int(ma.argument_size_in_bytes) +
+               int(ma.output_size_in_bytes) +
+               int(ma.temp_size_in_bytes))
+    return {'per_device_bytes': per_dev,
+            'per_device_output_bytes': int(ma.output_size_in_bytes),
+            'full_output_bytes': int(ma.output_size_in_bytes) * n_los,
+            'n_los': n_los}
 
 
 def sharded_continuum_step(mesh: Mesh, t_0: float, reynolds_gaunt: bool):

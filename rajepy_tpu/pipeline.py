@@ -299,15 +299,13 @@ class Pipeline:
         for idx, run in enumerate(self.runs):
             if not pending(run):
                 continue
-            if run.obs_type != 'continuum' and \
-                    not getattr(run, 'lte', True):
-                # non-LTE RRL runs take the sequential per-run path
-                # (rrl_rt_products handles their departure-coefficient
-                # composition; fanout's sharded program is LTE-only)
-                continue
             nchan = len(np.atleast_1d(run.chan_freqs))
+            # non-LTE RRL runs fan out too (r5): their per-epoch
+            # departure coefficients are host-derived scalars sharded
+            # over the run axis; grouped apart from LTE runs because
+            # the traced composition differs
             key = ('continuum', nchan) if run.obs_type == 'continuum' \
-                else ('rrl', run.line, nchan)
+                else ('rrl', run.line, nchan, getattr(run, 'lte', True))
             groups.setdefault(key, []).append(idx)
 
         from .parallel import fanout
@@ -339,8 +337,26 @@ class Pipeline:
                 em, taus, fluxes = fanout.continuum_runs_fanout(
                     self.model, years, freqs_mat)
             else:
+                b_pairs = None
+                if not key[3]:
+                    # per-epoch table coefficients, derived at each
+                    # run's model time exactly as the sequential
+                    # rrl_rt_products path does (same memoised values)
+                    t_saved = self.model.time
+                    try:
+                        pairs = []
+                        for i in idxs:
+                            self.model.time = \
+                                self.runs[i].year * cnsts.YEAR
+                            pairs.append(
+                                self.model.departure_coefficients(
+                                    key[1]))
+                    finally:
+                        self.model.time = t_saved
+                    b_pairs = np.asarray(pairs, dtype=float)
                 em, taus, fluxes = fanout.rrl_runs_fanout(
-                    self.model, key[1], years, freqs_mat, contsub=False)
+                    self.model, key[1], years, freqs_mat, contsub=False,
+                    b_pairs=b_pairs)
             for k, i in enumerate(idxs):
                 fanned[i] = {'em': em[k], 'tau': taus[k], 'flux': fluxes[k]}
             self.log.add_entry(

@@ -276,6 +276,57 @@ class TestPipelineIntegration:
                 b, _ = read_fits(getattr(rs, attr))
                 np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-30)
 
+    def test_device_fanout_nonlte_rrl_group(self, model_params,
+                                            tmp_path):
+        """Non-LTE RRL runs fan out too (r5; r4 fan-out was LTE-only):
+        2 non-LTE epochs of one line through the sharded program match
+        the sequential rrl_rt_products(lte=False) path bit-for-bit (the
+        per-epoch table coefficients are the same memoised values), and
+        differ from the LTE products (the non-LTE composition really
+        ran)."""
+        import jax
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        from rajepy_tpu.io.fits import read_fits
+
+        def pparams(sub, lte):
+            return self._pparams(
+                tmp_path / sub,
+                rrls={'times': np.array([0., 0.8]),
+                      'lines': np.array(['H58a']),
+                      'lte': np.array([lte]),
+                      't_obs': None, 'tscps': None, 't_ints': None,
+                      'bws': np.array([4e6]),
+                      'chanws': np.array([2e6])})
+
+        pl_fan = Pipeline(JetModel(small(model_params)),
+                          pparams('nlfan', False))
+        pl_fan.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False)
+        # the group really took the fanned path
+        assert any('Fanned 2 rrl runs' in str(e)
+                   for e in pl_fan.log.entries.values())
+        pl_seq = Pipeline(JetModel(small(model_params)),
+                          pparams('nlseq', False))
+        pl_seq.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False, device_fanout=False)
+        pl_lte = Pipeline(JetModel(small(model_params)),
+                          pparams('nllte', True))
+        pl_lte.execute(simobserve=False, verbose=False, resume=False,
+                       clobber=True, plot=False, device_fanout=False)
+        assert all(r.completed for r in pl_fan.runs)
+        assert all(not r.lte for r in pl_fan.runs)
+        for rf, rs, rl in zip(pl_fan.runs, pl_seq.runs, pl_lte.runs):
+            for attr in ('fits_em', 'fits_tau', 'fits_flux'):
+                a, _ = read_fits(getattr(rf, attr))
+                b, _ = read_fits(getattr(rs, attr))
+                np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-30)
+            fl_fan, _ = read_fits(rf.fits_flux)
+            fl_lte, _ = read_fits(rl.fits_flux)
+            # the non-LTE composition differs measurably from LTE
+            assert not np.allclose(np.nan_to_num(fl_fan),
+                                   np.nan_to_num(fl_lte), rtol=1e-6)
+
     def test_ew_telescope_scan_split(self, model_params, tmp_path):
         pparams = self._pparams(
             tmp_path,

@@ -73,6 +73,15 @@ b = departure.solve_bn(1e4, 1e6)
 print("b_n(T=1e4 K, n_e=1e6): n=58 ->", round(float(b[56]), 4),
       " n=100 ->", round(float(b[98]), 4))
 
+# r5: the table's collisional-rate systematic is quantified — the
+# bundled file carries x0.5/x2 rate-scaled edge solutions, and any
+# non-LTE fit with table-derived coefficients should propagate it
+# (fit.rrl_departure_systematic) on top of the statistical sigmas
+s1, s2 = departure.b_n_pair_systematic(58, 1, t_c, ne_c)
+print(f"rate-prescription systematic at the jet's conditions: "
+      f"b_58 +- {s1:.1e}, b_59 +- {s2:.1e} "
+      f"(JetModel.departure_coefficient_systematic('H58a'))")
+
 # --- 2. a 12-model survey in one compiled program --------------------- #
 sed_freqs = np.array([6e9, 2.2e10, 1e11, 3e11])
 res = fit.sweep(jm, sed_freqs,

@@ -458,6 +458,59 @@ class TestImfit:
         assert abs(d['I']['value'] - d['Flux']['value']) < 1e-12
         assert d['Ierr']['value'] >= 0.0
 
+    def test_summary_parses_with_reference_parser(self, tmp_path):
+        """Adversarial interchange check: the summary file must parse
+        with the REFERENCE'S OWN parser loop — reimplemented here
+        verbatim from /root/reference/classes.py:2821-2832, NOT via the
+        repo's casa_imfit_file_to_dict — with every header/unit/value
+        column aligned.  The format's trap is the off-by-one units line
+        (one fewer token than the header line; the reference compensates
+        with a leading ''), which a self-round-trip through our own
+        reader cannot catch if both sides share the same misalignment."""
+        fit = {'peak': 2.5, 'x': 52.0, 'y': 47.0, 'maj_pix': 14.0,
+               'min_pix': 7.0, 'pa_deg': 40.0, 'flux_pixsum': 300.0,
+               'peak_err': 0.1, 'x_err': 0.2, 'y_err': 0.3,
+               'maj_pix_err': 0.4, 'min_pix_err': 0.5, 'pa_deg_err': 1.5,
+               'flux_pixsum_err': 12.0}
+        f = str(tmp_path / "ref_parse.imfit")
+        imfit_mod.write_imfit_summary(f, fit, cell_arcsec=0.1,
+                                      beam_area_pix=10.0)
+
+        # --- the reference's parser, classes.py:2821-2832, verbatim ---
+        units = h = line = None
+        with open(f, 'rt') as fh:
+            for idx3, raw in enumerate(fh.readlines()):
+                if idx3 == 0:
+                    units = [''] + raw[1:].split()
+                elif idx3 == 1:
+                    h = raw[1:].split()
+                else:
+                    line = [float(_) for _ in raw.split()]
+        ref = {h[i]: {'val': v, 'unit': units[i]}
+               for i, v in enumerate(line)}
+        # --------------------------------------------------------------
+
+        assert len(h) == len(units) == len(line)
+        # every column lands under the right header with the right unit
+        expect = {'Peak': (2.5, 'Jy/beam'), 'Peakerr': (0.1, 'Jy/beam'),
+                  'I': (30.0, 'Jy'), 'Ierr': (1.2, 'Jy'),
+                  'Flux': (30.0, 'Jy'),
+                  'X': (52.0, 'pix'), 'Xerr': (0.2, 'pix'),
+                  'Y': (47.0, 'pix'), 'Yerr': (0.3, 'pix'),
+                  'Maj': (1.4, 'arcsec'), 'Majerr': (0.04, 'arcsec'),
+                  'Min': (0.7, 'arcsec'), 'Minerr': (0.05, 'arcsec'),
+                  'PA': (40.0, 'deg'), 'PAerr': (1.5, 'deg')}
+        for key, (val, unit) in expect.items():
+            assert abs(ref[key]['val'] - val) < 1e-6 * max(1.0, abs(val)), key
+            assert ref[key]['unit'] == unit, key
+        assert ref['N']['unit'] == ''       # the unitless count column
+        # and the repo's reader agrees with the reference's, key by key
+        from rajepy_tpu.utils.misc import casa_imfit_file_to_dict
+        ours = casa_imfit_file_to_dict(f)
+        for key in ref:
+            assert ours[key]['value'] == ref[key]['val'], key
+            assert ours[key]['units'] == ref[key]['unit'], key
+
     def test_gaussian_fit_uncertainties(self, tmp_path):
         """Gauss-Newton errors: calibrated against the known noise on a
         synthetic source (fit deviations within a few sigma, errors grow

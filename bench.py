@@ -495,11 +495,14 @@ def pipeline_bench(n=256, freqs=(1.5e9, 6e9, 2.2e10, 4.3e10)):
                       clobber=True, plot=False)
         warm = time.perf_counter() - t0
         device_s, transfer_s, other_s = profiling.split_stage_times()
-        profiling.collect_stage_times(False)
         log("pipeline stage split (warm): device compute "
             f"{device_s:.1f}s, transfer+IO {transfer_s:.1f}s, "
             f"untimed/other {warm - device_s - transfer_s:.1f}s")
     finally:
+        # inside the finally: a failed warm run must not leave the
+        # process-global registry collecting for later bench stages
+        from rajepy_tpu.utils import profiling
+        profiling.collect_stage_times(False)
         shutil.rmtree(td, ignore_errors=True)
     return cold, warm, device_s, transfer_s
 

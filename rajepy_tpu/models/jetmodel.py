@@ -1022,7 +1022,7 @@ class JetModel:
         return (jnp.sum(st.a * chi2, axis=rt.LOS_AXIS),
                 jnp.sum(st.em_base * chi2, axis=rt.LOS_AXIS))
 
-    def continuum_rt_products(self, freq):
+    def continuum_rt_products(self, freq, as_numpy: bool = True):
         """The complete per-run continuum RT stage — EM map, per-channel
         optical-depth maps and flux maps — in ONE fused device program.
 
@@ -1034,7 +1034,9 @@ class JetModel:
         vs 0.46 ms device time at 512^3x16chan on v5e, plus two saved
         ~30 ms dispatch round trips per run on remote backends.  Returns
         numpy ``(em, taus, fluxes)``; ``Pipeline.execute`` uses this for
-        fresh continuum runs.
+        fresh continuum runs.  ``as_numpy=False`` returns the device
+        arrays so callers can time (and overlap) the host transfer
+        separately from the device compute.
         """
         f = self._ensure_fields()
         st = self._rt_static()
@@ -1054,6 +1056,8 @@ class JetModel:
         em, taus, fluxes = self._jitted(
             ('ff_products', self._use_fused_rrl(),
              self._compact_flag(st)), build)(f, st, self.time, freqs)
+        if not as_numpy:
+            return em, taus, fluxes
         return np.asarray(em), np.asarray(taus), np.asarray(fluxes)
 
     def emission_measure(self, savefits: Union[bool, str] = False
@@ -1283,7 +1287,8 @@ class JetModel:
         return call
 
     def rrl_rt_products(self, line: str, freq, contsub: bool = False,
-                        lte: bool = True, departure_coeffs=None):
+                        lte: bool = True, departure_coeffs=None,
+                        as_numpy: bool = True):
         """The complete per-run RRL RT stage — EM map, line optical-depth
         maps and line(+continuum when ``contsub=False``) flux maps — in
         ONE fused device program (the reference's per-run sequence at
@@ -1296,7 +1301,8 @@ class JetModel:
         EM map rides the same dual-base pass — one dispatch instead of
         three (two saved ~30 ms round trips per run on remote backends,
         and the line chain's cost once instead of twice).  Returns numpy
-        ``(em, tau_l, fluxes)``.
+        ``(em, tau_l, fluxes)`` (device arrays with ``as_numpy=False``,
+        so callers can account the host transfer separately).
 
         ``lte=False`` (beyond-reference; the pipeline's optional
         ``rrls.lte`` array routes here) swaps in the G&S non-LTE slab
@@ -1348,6 +1354,8 @@ class JetModel:
             ('rrl_products', line, contsub, nonlte, fused,
              tiles is not None, self._compact_flag(st)),
             build)(f, st, tiles, self.time, freqs, b_n1, b_n2)
+        if not as_numpy:
+            return em, tau_l, fluxes
         return np.asarray(em), np.asarray(tau_l), np.asarray(fluxes)
 
     def _tau_rrl_dispatch(self, coeffs, use_tiles: bool, fused: bool,
@@ -1380,7 +1388,19 @@ class JetModel:
         """Emission-measure-weighted (T_e [K], n_e [cm^-3]) over the jet
         at the current model time — the slab-characteristic conditions
         the auto-derived departure coefficients are evaluated at (n_e is
-        averaged in log space; it spans decades along the jet)."""
+        averaged in log space; it spans decades along the jet).
+
+        Memoised per model time: the reduction is a device dispatch
+        (~30-60 ms round trip on remote backends) and every departure-
+        coefficient entry point — central, rate-scale edges, systematic
+        — needs the same pair (r5 review)."""
+        cache = getattr(self, '_char_cond_cache', None)
+        if cache is None:
+            cache = self._char_cond_cache = {}
+        key = float(self.time)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         f = self._ensure_fields()
 
         def build():
@@ -1397,7 +1417,9 @@ class JetModel:
 
         t_char, ln_char = self._jitted('char_conditions', build)(
             f, self.time)
-        return float(t_char), 10.0 ** float(ln_char)
+        out = (float(t_char), 10.0 ** float(ln_char))
+        cache[key] = out
+        return out
 
     def departure_coefficients(self, line: str):
         """(b_n1, b_n2) for ``line`` from the bundled case-B hydrogenic

@@ -141,9 +141,17 @@ def fill_memory_stats(mesh: Mesh, static_params, rb_frac: float,
     per_dev = (int(ma.argument_size_in_bytes) +
                int(ma.output_size_in_bytes) +
                int(ma.temp_size_in_bytes))
+    # the full cube-set size comes from the LOGICAL output shapes
+    # (eval_shape — sharding-independent), NOT per_device * n_los: if
+    # XLA replicated the outputs, per_device_output_bytes would itself
+    # be the full size and a derived 'full' would hide it (r5 review)
+    abstract = jax.eval_shape(fill, *coords)
+    full_out = sum(
+        int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+        for leaf in jax.tree_util.tree_leaves(abstract))
     return {'per_device_bytes': per_dev,
             'per_device_output_bytes': int(ma.output_size_in_bytes),
-            'full_output_bytes': int(ma.output_size_in_bytes) * n_los,
+            'full_output_bytes': full_out,
             'n_los': n_los}
 
 

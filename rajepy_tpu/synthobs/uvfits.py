@@ -339,9 +339,18 @@ def _jd_to_date(jd: float) -> str:
 #                                       | onto the channel axis with the   #
 #                                       | FQ frequency offsets/sidebands   #
 #   multi-IF without an FQ table        | ValueError                       #
+#   multi-setup (multi-row) FQ table    | supported when FREQSEL is        #
+#                                       | constant: the FRQSEL-matched     #
+#                                       | row is used (missing/unmatched   #
+#                                       | FRQSEL is a ValueError)          #
 #   FREQSEL / SOURCE group params       | supported when constant;         #
 #                                       | multi-setup/multi-source files   #
 #                                       | are a ValueError                 #
+#   other extensions between tables     | skipped by the full FITS         #
+#   (heap bintables, IMAGE HDUs)        | data-unit size (BITPIX, GCOUNT,  #
+#                                       | PCOUNT, all NAXISn)              #
+#   nX bit columns in AN/FQ tables      | occupy ceil(n/8) bytes (values   #
+#                                       | skipped, offsets correct)        #
 #   DATE as two parameters              | supported (summed)               #
 #   DATE as one parameter               | supported                        #
 #   PZERO/PSCAL on any parameter        | applied (incl. UU/VV/WW)         #
@@ -397,7 +406,10 @@ _STOKES_NAMES = {1: 'I', 2: 'Q', 3: 'U', 4: 'V', -1: 'RR', -2: 'LL',
                  -8: 'YX'}
 _PARALLEL_HANDS = ((-1, -2), (-5, -6))   # (RR, LL), (XX, YY)
 
-_TFORM_SIZES = {'A': 1, 'E': 4, 'J': 4, 'D': 8, 'I': 2, 'L': 1, 'X': 1}
+#: bytes per repeat element ('X' bit columns are special-cased: an nX
+#: column occupies ceil(n/8) bytes TOTAL, not n bytes)
+_TFORM_SIZES = {'A': 1, 'E': 4, 'J': 4, 'D': 8, 'I': 2, 'L': 1, 'B': 1,
+                'K': 8, 'C': 8, 'M': 16}
 _TFORM_DTYPES = {'E': '>f4', 'J': '>i4', 'D': '>f8', 'I': '>i2'}
 
 
@@ -415,7 +427,7 @@ def _read_bintable(raw: bytes, ehdr: Dict[str, object],
         rep = int(form[:-1]) if form[:-1] else 1
         name = str(ehdr.get(f'TTYPE{i}', f'COL{i}')).strip()
         cols[name] = (off, code, rep)
-        off += rep * _TFORM_SIZES[code]
+        off += (rep + 7) // 8 if code == 'X' else rep * _TFORM_SIZES[code]
     if off > row:
         raise ValueError(f"BINTABLE row length {row} < summed column "
                          f"widths {off}")
@@ -443,7 +455,18 @@ def _read_extensions(raw: bytes, pos: int) -> Dict[str, tuple]:
             ehdr, _, dpos = _read_header(raw, pos)
         except (ValueError, KeyError):
             break
-        nbytes = int(ehdr.get('NAXIS1', 0)) * int(ehdr.get('NAXIS2', 0))
+        # general FITS data-unit size: |BITPIX|/8 * GCOUNT * (PCOUNT +
+        # prod NAXISn) — covers bintable heaps (PCOUNT>0) and image
+        # extensions (BITPIX != 8) that a bare NAXIS1*NAXIS2 would
+        # under-skip, landing the scan mid-data
+        n_ax = int(ehdr.get('NAXIS', 0))
+        dims = 0
+        if n_ax:
+            dims = 1
+            for k in range(1, n_ax + 1):
+                dims *= int(ehdr.get(f'NAXIS{k}', 1))
+        nbytes = (abs(int(ehdr.get('BITPIX', 8))) // 8) * \
+            int(ehdr.get('GCOUNT', 1)) * (int(ehdr.get('PCOUNT', 0)) + dims)
         pos = dpos + ((nbytes + BLOCK - 1) // BLOCK) * BLOCK
         name = str(ehdr.get('EXTNAME', '')).strip()
         if str(ehdr.get('XTENSION', '')).strip() == 'BINTABLE' and name:
@@ -561,13 +584,21 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
     jd = par('DATE')
 
     # multi-setup / multi-source files need per-group table dereferencing
+    freqsel = 1
     for ptype, what in (('FREQSEL', 'frequency setups'),
                         ('SOURCE', 'sources')):
         vals = par(ptype, required=False)
-        if vals is not None and np.unique(np.round(vals)).size > 1:
+        if vals is None:
+            continue
+        uniq = np.unique(np.round(vals))
+        if uniq.size > 1:
             raise ValueError(
                 f"multiple {what} in one file are not supported "
-                f"({ptype} takes {np.unique(np.round(vals)).size} values)")
+                f"({ptype} takes {uniq.size} values)")
+        if ptype == 'FREQSEL' and uniq.size:
+            # a CONSTANT non-1 FREQSEL is fine — it just keys which FQ
+            # row describes the data (multi-setup FQ, one setup used)
+            freqsel = int(uniq[0])
 
     # regular axes located by CTYPE, any order
     ctypes = {str(hdr.get(f'CTYPE{i}', '')).strip(): i
@@ -638,12 +669,35 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
                              "frequencies are undefined")
         fq = exts['AIPS FQ'][1]
         try:
-            if_freq = np.asarray(fq['IF FREQ'], np.float64)[0]
-            ch_width = np.asarray(fq['CH WIDTH'], np.float64)[0]
-            sideband = np.asarray(fq.get(
-                'SIDEBAND', np.ones((1, n_if))), np.float64)[0]
+            if_freq_all = np.atleast_2d(np.asarray(fq['IF FREQ'],
+                                                   np.float64))
+            ch_width_all = np.atleast_2d(np.asarray(fq['CH WIDTH'],
+                                                    np.float64))
         except (KeyError, IndexError) as e:
             raise ValueError(f"AIPS FQ table is missing column {e}")
+        n_fq = if_freq_all.shape[0]
+        if n_fq == 1:
+            r = 0
+        else:
+            # multi-setup FQ table: the (constant) FREQSEL group
+            # parameter keys the FRQSEL column, NOT row order
+            sel = fq.get('FRQSEL')
+            if sel is None:
+                raise ValueError(
+                    f"AIPS FQ table has {n_fq} setups but no FRQSEL "
+                    "column to match the FREQSEL group parameter")
+            sel = np.round(np.asarray(sel, np.float64)).astype(
+                int).reshape(-1)
+            rows = np.nonzero(sel == freqsel)[0]
+            if rows.size != 1:
+                raise ValueError(
+                    f"AIPS FQ table has {rows.size} rows with "
+                    f"FRQSEL={freqsel}; expected exactly one")
+            r = int(rows[0])
+        if_freq = if_freq_all[r]
+        ch_width = ch_width_all[r]
+        sideband = np.atleast_2d(np.asarray(fq.get(
+            'SIDEBAND', np.ones((n_fq, n_if))), np.float64))[r]
         if if_freq.size != n_if:
             raise ValueError(f"AIPS FQ table describes {if_freq.size} "
                              f"IFs, data has {n_if}")

@@ -175,6 +175,20 @@ class TestNonLTEMode:
         tau = jm.optical_depth_rrl('H58a', 1.4716e10, lte=False)
         assert np.isfinite(np.nan_to_num(tau)).all()
 
+    def test_characteristic_conditions_memoised_per_time(self, jm):
+        """The EM-weighted conditions are a device reduction (~30-60 ms
+        round trip on remote backends) hit by every departure entry
+        point — repeated calls at one model time must reuse the cached
+        pair, and a time change must recompute (r5 review fix)."""
+        jm.time = 0.0
+        first = jm.characteristic_conditions()
+        assert jm.characteristic_conditions() == first
+        cache = jm._char_cond_cache
+        assert list(cache) == [0.0] and cache[0.0] == first
+        jm.time = 3.15e7
+        second = jm.characteristic_conditions()
+        assert set(cache) == {0.0, 3.15e7} and cache[3.15e7] == second
+
     def test_lte_limit(self, jm):
         """b_n1 = b_n2 = 1 must reproduce the LTE products exactly
         (beta = eta = 1)."""

@@ -376,9 +376,14 @@ class TestShardedFill:
             with_time=jm._has_bursts)
         assert stats is not None, "backend lost memory_analysis support"
         assert stats['n_los'] == 8
-        # the output set is exactly 1/8th per device (never replicated)
-        assert stats['per_device_output_bytes'] * 8 == \
-            stats['full_output_bytes']
+        # the output set is 1/8th per device (never replicated):
+        # full_output_bytes comes INDEPENDENTLY from the logical
+        # eval_shape leaves, so this has teeth — XLA's buffer accounting
+        # adds ~8 B/leaf of alignment, far below the ~7.3 MB a single
+        # replicated cube would add
+        pad = stats['per_device_output_bytes'] - \
+            stats['full_output_bytes'] // 8
+        assert 0 <= pad <= 1024, stats
         # and TOTAL per-device live bytes — temporaries included — stay
         # under half the full cube set: a device with half the model's
         # HBM footprint still builds it

@@ -111,25 +111,37 @@ def build_group_file(path, *, axes, pars, par_vals, data, extra_cards=(),
     return str(path)
 
 
-def build_fq_table(n_if, if_freq, ch_width, sideband):
-    """AIPS FQ binary table bytes (1 row: FRQSEL 1, per-IF columns)."""
-    row = 4 + 8 * n_if + 4 * n_if + 4 * n_if + 4 * n_if
+def build_fq_table(n_if, if_freq, ch_width, sideband, frqsel=(1,),
+                   with_frqsel_col=True):
+    """AIPS FQ binary table bytes.  ``if_freq``/``ch_width``/``sideband``
+    may be (n_rows, n_if) for a multi-setup table keyed by ``frqsel``."""
+    if_freq = np.atleast_2d(if_freq)
+    ch_width = np.atleast_2d(ch_width)
+    sideband = np.atleast_2d(sideband)
+    n_rows = if_freq.shape[0]
+    row = (4 if with_frqsel_col else 0) + 8 * n_if + 4 * n_if + \
+        4 * n_if + 4 * n_if
+    fields = []
+    if with_frqsel_col:
+        fields += [('FRQSEL', '1J')]
+    fields += [('IF FREQ', f'{n_if}D'), ('CH WIDTH', f'{n_if}E'),
+               ('TOTAL BANDWIDTH', f'{n_if}E'), ('SIDEBAND', f'{n_if}J')]
     cards = [card('XTENSION', 'BINTABLE'), card('BITPIX', 8),
-             card('NAXIS', 2), card('NAXIS1', row), card('NAXIS2', 1),
-             card('PCOUNT', 0), card('GCOUNT', 1), card('TFIELDS', 5),
-             card('EXTNAME', 'AIPS FQ'),
-             card('TTYPE1', 'FRQSEL'), card('TFORM1', '1J'),
-             card('TTYPE2', 'IF FREQ'), card('TFORM2', f'{n_if}D'),
-             card('TTYPE3', 'CH WIDTH'), card('TFORM3', f'{n_if}E'),
-             card('TTYPE4', 'TOTAL BANDWIDTH'), card('TFORM4', f'{n_if}E'),
-             card('TTYPE5', 'SIDEBAND'), card('TFORM5', f'{n_if}J'),
-             card('NO_IF', n_if), card('END')]
-    rows = struct.pack('>i', 1)
-    rows += np.asarray(if_freq, '>f8').tobytes()
-    rows += np.asarray(ch_width, '>f4').tobytes()
-    rows += np.asarray(np.abs(ch_width) * 4, '>f4').tobytes()
-    rows += np.asarray(sideband, '>i4').tobytes()
-    assert len(rows) == row
+             card('NAXIS', 2), card('NAXIS1', row), card('NAXIS2', n_rows),
+             card('PCOUNT', 0), card('GCOUNT', 1),
+             card('TFIELDS', len(fields)), card('EXTNAME', 'AIPS FQ')]
+    for i, (ttype, tform) in enumerate(fields, start=1):
+        cards += [card(f'TTYPE{i}', ttype), card(f'TFORM{i}', tform)]
+    cards += [card('NO_IF', n_if), card('END')]
+    rows = b''
+    for k in range(n_rows):
+        if with_frqsel_col:
+            rows += struct.pack('>i', int(frqsel[k]))
+        rows += np.asarray(if_freq[k], '>f8').tobytes()
+        rows += np.asarray(ch_width[k], '>f4').tobytes()
+        rows += np.asarray(np.abs(ch_width[k]) * 4, '>f4').tobytes()
+        rows += np.asarray(sideband[k], '>i4').tobytes()
+    assert len(rows) == row * n_rows
     return header_bytes(cards) + rows + b'\x00' * (-len(rows) % BLOCK)
 
 
@@ -427,6 +439,118 @@ class TestForeignLayouts:
             out['vis_re'][n_chan:2 * n_chan],
             cube[:, 0, 0, 1, 0, :, 0].T, atol=1e-6)
 
+    def test_multi_setup_fq_constant_freqsel(self, tmp_path):
+        """A multi-setup FQ table with a CONSTANT non-1 FREQSEL: the
+        frequencies must come from the FRQSEL-matched row, not row 0."""
+        n_chan, n_if, n_vis = 2, 2, 8
+        rng = np.random.default_rng(16)
+        cube = rng.normal(size=(n_vis, 1, 1, n_if, 1, n_chan, 3))
+        cube[..., 2] = 1.0
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, 1.0e6),
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        if_freq = np.array([[0.0, 1.0e8],       # setup 1 (unused)
+                            [5.0e7, 3.0e8]])    # setup 2 (selected)
+        ch_w = np.array([[1.0e6, 1.0e6], [2.0e6, 2.0e6]])
+        sideband = np.array([[1, 1], [1, -1]])
+        pars = std_pars() + [('FREQSEL', 1.0, 0.0)]
+        pv, a1, a2 = std_par_vals(n_vis)
+        pv = np.concatenate([pv, np.full((n_vis, 1), 2.0)], axis=1)
+        fn = build_group_file(
+            tmp_path / 'mset.uvfits', axes=axes, pars=pars,
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(n_if, if_freq, ch_w, sideband,
+                                      frqsel=(1, 2)))
+        out = uvfits.read_uvfits(fn)
+        expect = np.concatenate([
+            4.0e9 + if_freq[1, i] +
+            np.arange(n_chan) * ch_w[1, i] * sideband[1, i]
+            for i in range(n_if)])
+        np.testing.assert_allclose(out['freqs'], expect, rtol=0, atol=1.0)
+
+    def test_heap_and_image_extensions_skipped(self, tmp_path):
+        """Extensions between the group data and the FQ table must be
+        skipped by the FULL FITS data-unit size — a bintable with a
+        PCOUNT heap and an IMAGE extension with BITPIX=-32 both occupy
+        more blocks than a bare NAXIS1*NAXIS2 suggests."""
+        n_chan, n_if, n_vis = 2, 3, 8
+        rng = np.random.default_rng(17)
+        cube = rng.normal(size=(n_vis, 1, 1, n_if, 1, n_chan, 3))
+        cube[..., 2] = 1.0
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, 1.0e6),
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        # heap bintable: 16 data bytes + 3000 heap bytes = 2 blocks
+        heap_ext = header_bytes(
+            [card('XTENSION', 'BINTABLE'), card('BITPIX', 8),
+             card('NAXIS', 2), card('NAXIS1', 8), card('NAXIS2', 2),
+             card('PCOUNT', 3000), card('GCOUNT', 1),
+             card('TFIELDS', 1), card('EXTNAME', 'EXTRA'),
+             card('TTYPE1', 'BLOB'), card('TFORM1', '1PB(8)'),
+             card('END')]) + b'\x00' * BLOCK * 2
+        # image extension: 30x30 f32 = 3600 bytes = 2 blocks
+        img = np.zeros((30, 30), '>f4').tobytes()
+        img_ext = header_bytes(
+            [card('XTENSION', 'IMAGE'), card('BITPIX', -32),
+             card('NAXIS', 2), card('NAXIS1', 30), card('NAXIS2', 30),
+             card('PCOUNT', 0), card('GCOUNT', 1),
+             card('EXTNAME', 'BEAM'), card('END')]) + \
+            img + b'\x00' * (-len(img) % BLOCK)
+        if_freq = np.array([0.0, 1.0e8, 2.5e8])
+        ch_w = np.array([1.0e6, 1.0e6, 2.0e6])
+        sideband = np.array([1, 1, -1])
+        pv, *_ = std_par_vals(n_vis)
+        fn = build_group_file(
+            tmp_path / 'heap.uvfits', axes=axes, pars=std_pars(),
+            par_vals=pv, data=cube,
+            extensions=heap_ext + img_ext +
+            build_fq_table(n_if, if_freq, ch_w, sideband))
+        out = uvfits.read_uvfits(fn)
+        expect = np.concatenate([
+            4.0e9 + if_freq[i] + np.arange(n_chan) * ch_w[i] * sideband[i]
+            for i in range(n_if)])
+        np.testing.assert_allclose(out['freqs'], expect, rtol=0, atol=1.0)
+
+    def test_bit_flag_column_offsets(self, tmp_path):
+        """An nX bit column occupies ceil(n/8) bytes — columns after a
+        16X flag column must be read at the right offsets."""
+        re, im = simple_vis()
+        names = [b'ALPHA   ', b'BRAVO   ', b'CHARLI  ']
+        xyz = np.arange(9, dtype=float).reshape(3, 3) * 10.0
+        # row: ANNAME 8A @0, FLAGS 16X @8 (2 bytes), STABXYZ 3D @10,
+        # NOSTA 1J @34 -> row length 38
+        row = 38
+        cards = [card('XTENSION', 'BINTABLE'), card('BITPIX', 8),
+                 card('NAXIS', 2), card('NAXIS1', row), card('NAXIS2', 3),
+                 card('PCOUNT', 0), card('GCOUNT', 1), card('TFIELDS', 4),
+                 card('EXTNAME', 'AIPS AN'),
+                 card('TTYPE1', 'ANNAME'), card('TFORM1', '8A'),
+                 card('TTYPE2', 'FLAGS'), card('TFORM2', '16X'),
+                 card('TTYPE3', 'STABXYZ'), card('TFORM3', '3D'),
+                 card('TTYPE4', 'NOSTA'), card('TFORM4', '1J'),
+                 card('END')]
+        rows = b''
+        for k in range(3):
+            rows += names[k] + b'\xff\x00' + \
+                np.asarray(xyz[k], '>f8').tobytes() + \
+                struct.pack('>i', k + 1)
+        assert len(rows) == row * 3
+        an_ext = header_bytes(cards) + rows + \
+            b'\x00' * (-len(rows) % BLOCK)
+        pv, *_ = std_par_vals(8)
+        fn = build_group_file(
+            tmp_path / 'bitcol.uvfits', axes=STD_AXES, pars=std_pars(),
+            par_vals=pv, data=pack_data(re, im, np.ones_like(re),
+                                        STD_AXES),
+            extensions=an_ext)
+        out = uvfits.read_uvfits(fn)
+        assert out['ant_names'][:3] == ['ALPHA', 'BRAVO', 'CHARLI']
+        np.testing.assert_allclose(out['ant_xyz'][:3], xyz, atol=0)
+
     def test_degenerate_if_axis_without_fq(self, tmp_path):
         re, im = simple_vis()
         axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
@@ -665,6 +789,37 @@ class TestClearRejections:
         fn = self._base(tmp_path, pars=pars, par_vals=pv)
         with pytest.raises(ValueError, match="frequency setups"):
             uvfits.read_uvfits(fn)
+
+    def test_multi_setup_fq_unmatched_freqsel(self, tmp_path):
+        """FREQSEL pointing at no FQ row (or a multi-row FQ with no
+        FRQSEL column) must raise, never silently use row 0."""
+        n_chan, n_if, n_vis = 2, 2, 8
+        cube = np.ones((n_vis, 1, 1, n_if, 1, n_chan, 3))
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, 1.0e6),
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        if_freq = np.zeros((2, n_if))
+        ch_w = np.full((2, n_if), 1e6)
+        sideband = np.ones((2, n_if), int)
+        pars = std_pars() + [('FREQSEL', 1.0, 0.0)]
+        pv = np.concatenate([std_par_vals(n_vis)[0],
+                             np.full((n_vis, 1), 3.0)], axis=1)
+        fn = build_group_file(
+            tmp_path / 'badsel.uvfits', axes=axes, pars=pars,
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(n_if, if_freq, ch_w, sideband,
+                                      frqsel=(1, 2)))
+        with pytest.raises(ValueError, match="FRQSEL=3"):
+            uvfits.read_uvfits(fn)
+        fn2 = build_group_file(
+            tmp_path / 'nocol.uvfits', axes=axes, pars=pars,
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(n_if, if_freq, ch_w, sideband,
+                                      with_frqsel_col=False))
+        with pytest.raises(ValueError, match="no FRQSEL column"):
+            uvfits.read_uvfits(fn2)
 
     def test_varying_source(self, tmp_path):
         pars = std_pars() + [('SOURCE', 1.0, 0.0)]

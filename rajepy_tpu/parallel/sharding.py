@@ -134,7 +134,8 @@ def fill_memory_stats(mesh: Mesh, static_params, rb_frac: float,
     from ..models.fields import StaticFields  # noqa: F401 — doc link
     fill, coords = _fill_program(mesh, static_params, rb_frac, nx, ny,
                                  nz, csize, dtype, with_time)
-    ma = fill.lower(*coords).compile().memory_analysis()
+    lowered = fill.lower(*coords)
+    ma = lowered.compile().memory_analysis()
     if ma is None:
         return None
     n_los = int(mesh.shape['los'])
@@ -142,10 +143,14 @@ def fill_memory_stats(mesh: Mesh, static_params, rb_frac: float,
                int(ma.output_size_in_bytes) +
                int(ma.temp_size_in_bytes))
     # the full cube-set size comes from the LOGICAL output shapes
-    # (eval_shape — sharding-independent), NOT per_device * n_los: if
-    # XLA replicated the outputs, per_device_output_bytes would itself
-    # be the full size and a derived 'full' would hide it (r5 review)
-    abstract = jax.eval_shape(fill, *coords)
+    # (sharding-independent), NOT per_device * n_los: if XLA replicated
+    # the outputs, per_device_output_bytes would itself be the full size
+    # and a derived 'full' would hide it (r5 review).  The lowered
+    # program already knows its output avals — no second trace
+    try:
+        abstract = lowered.out_info
+    except AttributeError:      # older jax.stages without out_info
+        abstract = jax.eval_shape(fill, *coords)
     full_out = sum(
         int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
         for leaf in jax.tree_util.tree_leaves(abstract))

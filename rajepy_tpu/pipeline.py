@@ -319,7 +319,10 @@ class Pipeline:
             # AND flux maps at once (the sequential loop holds one run's)
             # — the budget is CUMULATIVE over groups, since all groups'
             # products coexist until the per-run loop pops them
-            nchan = key[1] if key[0] == 'continuum' else key[2]
+            # derive nchan from the group's runs (all share it by key
+            # construction) — positional key slots have already bitten
+            # once (key[-1] read the lte bool as nchan)
+            nchan = len(np.atleast_1d(self.runs[idxs[0]].chan_freqs))
             group_bytes = len(idxs) * nchan * nx * nz * itemsize * 2
             if cached_bytes + group_bytes > 8e9:
                 self.log.add_entry(

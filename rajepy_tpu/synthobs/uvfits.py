@@ -334,7 +334,10 @@ def _jd_to_date(jd: float) -> str:
 #   STOKES: single RR/LL/XX/YY          | supported (treated as an I       #
 #                                       | estimate; assumes unpolarised)   #
 #   STOKES: cross-hand only (RL/XY...)  | ValueError naming the codes      #
-#   single IF axis (or none)            | supported                        #
+#   single IF axis (or none)            | supported; an FQ table, when     #
+#                                       | present, governs single-IF       #
+#                                       | frequencies too (IF FREQ offset  #
+#                                       | + sideband-signed CH WIDTH)      #
 #   multi-IF + AIPS FQ table            | supported - IFs stack IF-major   #
 #                                       | onto the channel axis with the   #
 #                                       | FQ frequency offsets/sidebands   #
@@ -342,7 +345,8 @@ def _jd_to_date(jd: float) -> str:
 #   multi-setup (multi-row) FQ table    | supported when FREQSEL is        #
 #                                       | constant: the FRQSEL-matched     #
 #                                       | row is used (missing/unmatched   #
-#                                       | FRQSEL is a ValueError)          #
+#                                       | FRQSEL is a ValueError, even     #
+#                                       | for one-row tables)              #
 #   FREQSEL / SOURCE group params       | supported when constant;         #
 #                                       | multi-setup/multi-source files   #
 #                                       | are a ValueError                 #
@@ -407,9 +411,11 @@ _STOKES_NAMES = {1: 'I', 2: 'Q', 3: 'U', 4: 'V', -1: 'RR', -2: 'LL',
 _PARALLEL_HANDS = ((-1, -2), (-5, -6))   # (RR, LL), (XX, YY)
 
 #: bytes per repeat element ('X' bit columns are special-cased: an nX
-#: column occupies ceil(n/8) bytes TOTAL, not n bytes)
+#: column occupies ceil(n/8) bytes TOTAL, not n bytes; 'P'/'Q' are the
+#: 8/16-byte variable-length-array descriptors — the heap data itself
+#: lives past NAXIS1*NAXIS2 and is never needed by AN/FQ columns)
 _TFORM_SIZES = {'A': 1, 'E': 4, 'J': 4, 'D': 8, 'I': 2, 'L': 1, 'B': 1,
-                'K': 8, 'C': 8, 'M': 16}
+                'K': 8, 'C': 8, 'M': 16, 'P': 8, 'Q': 16}
 _TFORM_DTYPES = {'E': '>f4', 'J': '>i4', 'D': '>f8', 'I': '>i2'}
 
 
@@ -423,8 +429,13 @@ def _read_bintable(raw: bytes, ehdr: Dict[str, object],
     off = 0
     for i in range(1, int(ehdr['TFIELDS']) + 1):
         form = str(ehdr[f'TFORM{i}']).strip()
-        code = form[-1]
-        rep = int(form[:-1]) if form[:-1] else 1
+        if '(' in form:                 # rPt(emax) / rQt(emax) variants
+            form = form[:form.index('(')]
+        # the FIRST letter is the column code: for variable-length
+        # descriptors ('1PB') that is P/Q, not the element type after it
+        alpha = next(k for k, ch in enumerate(form) if ch.isalpha())
+        code = form[alpha]
+        rep = int(form[:alpha]) if form[:alpha] else 1
         name = str(ehdr.get(f'TTYPE{i}', f'COL{i}')).strip()
         cols[name] = (off, code, rep)
         off += (rep + 7) // 8 if code == 'X' else rep * _TFORM_SIZES[code]
@@ -661,12 +672,10 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
     crpix = float(hdr.get(f'CRPIX{i_freq}', 1.0))
     cdelt = float(hdr.get(f'CDELT{i_freq}', 1.0))
     chan_off = np.arange(n_chan) - (crpix - 1.0)
-    if n_if == 1:
-        freqs = crval + chan_off * cdelt
-    else:
-        if 'AIPS FQ' not in exts:
-            raise ValueError(f"{n_if} IFs but no AIPS FQ table: per-IF "
-                             "frequencies are undefined")
+    if 'AIPS FQ' in exts and exts['AIPS FQ'][1]:
+        # the FQ table governs whenever present — its IF FREQ offsets
+        # apply to single-IF data too (a single-IF multi-setup file
+        # must not silently get the reference-setup frequencies)
         fq = exts['AIPS FQ'][1]
         try:
             if_freq_all = np.atleast_2d(np.asarray(fq['IF FREQ'],
@@ -676,16 +685,11 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
         except (KeyError, IndexError) as e:
             raise ValueError(f"AIPS FQ table is missing column {e}")
         n_fq = if_freq_all.shape[0]
-        if n_fq == 1:
-            r = 0
-        else:
-            # multi-setup FQ table: the (constant) FREQSEL group
-            # parameter keys the FRQSEL column, NOT row order
-            sel = fq.get('FRQSEL')
-            if sel is None:
-                raise ValueError(
-                    f"AIPS FQ table has {n_fq} setups but no FRQSEL "
-                    "column to match the FREQSEL group parameter")
+        # the (constant) FREQSEL group parameter keys the FRQSEL
+        # column, NOT row order; a missing/unmatched setup must raise,
+        # never silently fall back to row 0 — even for one-row tables
+        sel = fq.get('FRQSEL')
+        if sel is not None:
             sel = np.round(np.asarray(sel, np.float64)).astype(
                 int).reshape(-1)
             rows = np.nonzero(sel == freqsel)[0]
@@ -694,6 +698,13 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
                     f"AIPS FQ table has {rows.size} rows with "
                     f"FRQSEL={freqsel}; expected exactly one")
             r = int(rows[0])
+        elif n_fq == 1 and freqsel == 1:
+            r = 0               # bare minimal single-setup table
+        else:
+            raise ValueError(
+                f"AIPS FQ table has {n_fq} setups but no FRQSEL "
+                "column to match the FREQSEL group parameter "
+                f"({freqsel})")
         if_freq = if_freq_all[r]
         ch_width = ch_width_all[r]
         sideband = np.atleast_2d(np.asarray(fq.get(
@@ -706,6 +717,11 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
             np.where(sideband == 0.0, 1.0, sideband)
         freqs = (crval + if_freq[:, None] +
                  chan_off[None, :] * step[:, None]).reshape(-1)
+    elif n_if == 1:
+        freqs = crval + chan_off * cdelt
+    else:
+        raise ValueError(f"{n_if} IFs but no AIPS FQ table: per-IF "
+                         "frequencies are undefined")
     dat = dat.reshape(gcount, n_if * n_chan, 3)
 
     out = {

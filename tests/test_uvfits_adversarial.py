@@ -551,6 +551,72 @@ class TestForeignLayouts:
         assert out['ant_names'][:3] == ['ALPHA', 'BRAVO', 'CHARLI']
         np.testing.assert_allclose(out['ant_xyz'][:3], xyz, atol=0)
 
+    def test_variable_length_column_offsets(self, tmp_path):
+        """A 1PB(8) variable-length descriptor column (8 bytes in-row,
+        data on the heap) must not break the columns after it."""
+        re, im = simple_vis()
+        names = [b'ALPHA   ', b'BRAVO   ', b'CHARLI  ']
+        xyz = np.arange(9, dtype=float).reshape(3, 3) * 10.0
+        # row: ANNAME 8A @0, BLOB 1PB(8) @8 (8-byte descriptor),
+        # STABXYZ 3D @16, NOSTA 1J @40 -> row length 44
+        row = 44
+        heap = b'\xab' * 24
+        cards = [card('XTENSION', 'BINTABLE'), card('BITPIX', 8),
+                 card('NAXIS', 2), card('NAXIS1', row), card('NAXIS2', 3),
+                 card('PCOUNT', len(heap)), card('GCOUNT', 1),
+                 card('TFIELDS', 4), card('EXTNAME', 'AIPS AN'),
+                 card('TTYPE1', 'ANNAME'), card('TFORM1', '8A'),
+                 card('TTYPE2', 'BLOB'), card('TFORM2', '1PB(8)'),
+                 card('TTYPE3', 'STABXYZ'), card('TFORM3', '3D'),
+                 card('TTYPE4', 'NOSTA'), card('TFORM4', '1J'),
+                 card('END')]
+        rows = b''
+        for k in range(3):
+            rows += names[k] + struct.pack('>ii', 8, k * 8) + \
+                np.asarray(xyz[k], '>f8').tobytes() + \
+                struct.pack('>i', k + 1)
+        assert len(rows) == row * 3
+        an_ext = header_bytes(cards) + rows + heap + \
+            b'\x00' * (-(len(rows) + len(heap)) % BLOCK)
+        pv, *_ = std_par_vals(8)
+        fn = build_group_file(
+            tmp_path / 'varcol.uvfits', axes=STD_AXES, pars=std_pars(),
+            par_vals=pv, data=pack_data(re, im, np.ones_like(re),
+                                        STD_AXES),
+            extensions=an_ext)
+        out = uvfits.read_uvfits(fn)
+        assert out['ant_names'][:3] == ['ALPHA', 'BRAVO', 'CHARLI']
+        np.testing.assert_allclose(out['ant_xyz'][:3], xyz, atol=0)
+
+    def test_single_if_multi_setup_fq(self, tmp_path):
+        """FQ IF FREQ offsets apply to SINGLE-IF data too: a single-IF
+        file with a multi-setup FQ table and FREQSEL=2 must get the
+        setup-2 offset and sideband-signed CH WIDTH, not bare
+        CRVAL + chan*CDELT."""
+        n_chan, n_vis = 3, 8
+        rng = np.random.default_rng(21)
+        cube = rng.normal(size=(n_vis, 1, 1, 1, 1, n_chan, 3))
+        cube[..., 2] = 1.0
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, 1.0e6),
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', 1, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        if_freq = np.array([[0.0], [5.0e7]])
+        ch_w = np.array([[1.0e6], [2.0e6]])
+        sideband = np.array([[1], [-1]])
+        pars = std_pars() + [('FREQSEL', 1.0, 0.0)]
+        pv, *_ = std_par_vals(n_vis)
+        pv = np.concatenate([pv, np.full((n_vis, 1), 2.0)], axis=1)
+        fn = build_group_file(
+            tmp_path / 'if1fq.uvfits', axes=axes, pars=pars,
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(1, if_freq, ch_w, sideband,
+                                      frqsel=(1, 2)))
+        out = uvfits.read_uvfits(fn)
+        expect = 4.0e9 + 5.0e7 - np.arange(n_chan) * 2.0e6
+        np.testing.assert_allclose(out['freqs'], expect, rtol=0, atol=1.0)
+
     def test_degenerate_if_axis_without_fq(self, tmp_path):
         re, im = simple_vis()
         axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
@@ -815,6 +881,40 @@ class TestClearRejections:
             uvfits.read_uvfits(fn)
         fn2 = build_group_file(
             tmp_path / 'nocol.uvfits', axes=axes, pars=pars,
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(n_if, if_freq, ch_w, sideband,
+                                      with_frqsel_col=False))
+        with pytest.raises(ValueError, match="no FRQSEL column"):
+            uvfits.read_uvfits(fn2)
+
+    def test_single_row_fq_unmatched_freqsel(self, tmp_path):
+        """Even a ONE-row FQ table must honour FRQSEL matching: groups
+        carrying FREQSEL=2 against a lone FRQSEL=1 row (a mis-split
+        archive file) must raise, never silently use that row; and a
+        bare one-row table (no FRQSEL column) with a non-1 FREQSEL is
+        equally unverifiable."""
+        n_chan, n_if, n_vis = 2, 2, 8
+        cube = np.ones((n_vis, 1, 1, n_if, 1, n_chan, 3))
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, 1.0e6),
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        if_freq = np.zeros((1, n_if))
+        ch_w = np.full((1, n_if), 1e6)
+        sideband = np.ones((1, n_if), int)
+        pars = std_pars() + [('FREQSEL', 1.0, 0.0)]
+        pv = np.concatenate([std_par_vals(n_vis)[0],
+                             np.full((n_vis, 1), 2.0)], axis=1)
+        fn = build_group_file(
+            tmp_path / 'one_row.uvfits', axes=axes, pars=pars,
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(n_if, if_freq, ch_w, sideband,
+                                      frqsel=(1,)))
+        with pytest.raises(ValueError, match="FRQSEL=2"):
+            uvfits.read_uvfits(fn)
+        fn2 = build_group_file(
+            tmp_path / 'one_row_nocol.uvfits', axes=axes, pars=pars,
             par_vals=pv, data=cube,
             extensions=build_fq_table(n_if, if_freq, ch_w, sideband,
                                       with_frqsel_col=False))

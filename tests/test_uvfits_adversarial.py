@@ -1105,3 +1105,192 @@ class TestFitUVFITSFailureModes:
                               par_vals=std_par_vals(n_vis)[0], data=dat)
         with pytest.raises(ValueError, match="cannot form"):
             self._fit(s, fn)
+
+
+# --------------------------------------------------------------------- #
+# 4. randomized layout fuzz: the supported-format matrix, cross-product  #
+# --------------------------------------------------------------------- #
+
+class TestRandomizedLayoutFuzz:
+    """Each seed draws a random combination of supported layout variants
+    (axis order, COMPLEX length, Stokes set, IF count, FQ table shape,
+    FREQSEL, baseline encoding, PZERO/PSCAL, DATE split, interposed
+    extensions) and asserts the reader recovers the exact visibilities,
+    weights, (u,v,w), antenna indices and frequencies — every expectation
+    computed HERE, independently of the reader's logic."""
+
+    @pytest.mark.parametrize('seed', range(24))
+    def test_random_layout_roundtrip(self, seed, tmp_path):
+        rng = np.random.default_rng(1000 + seed)
+        n_vis = 12
+        n_chan = int(rng.choice([1, 2, 5]))
+        n_if = int(rng.choice([1, 2, 3]))
+        n_cplx = int(rng.choice([2, 3]))
+        stokes_sets = [(1,), (-1, -2), (-5, -6), (-1,),
+                       (-1, -2, -3, -4)]
+        stokes_codes = list(stokes_sets[rng.integers(len(stokes_sets))])
+        n_stok = len(stokes_codes)
+        use_fq = bool(n_if > 1 or rng.random() < 0.5)
+        multi_setup = bool(use_fq and rng.random() < 0.5)
+        freqsel = 2 if multi_setup else 1
+        use_antenna_pars = bool(rng.random() < 0.3)
+        use_ext_baseline = bool(not use_antenna_pars and
+                                rng.random() < 0.3)
+        split_date = bool(rng.random() < 0.5)
+        interpose_ext = bool(use_fq and rng.random() < 0.4)
+        crpix_f = float(rng.choice([1.0, 2.0]))
+        crval_f = 4.0e9
+        cdelt_f = float(rng.choice([1.0e6, -2.0e6]))
+
+        # ---------- ground truth ----------
+        uvw_true = rng.normal(scale=2e4, size=(n_vis, 3))
+        a1 = rng.integers(0, 3, n_vis)
+        a2 = a1 + 1 + rng.integers(0, 3, n_vis)
+        jd_true = 2451544.5 + 0.25 + np.arange(n_vis) * 1e-5
+        # per-(if,stokes) planes; weights random positive, some flagged
+        cube = rng.normal(size=(n_vis, n_if, n_stok, n_chan, 3))
+        if n_cplx == 3:
+            cube[..., 2] = rng.uniform(0.5, 2.0,
+                                       size=cube[..., 2].shape)
+            flag = rng.random(size=cube[..., 2].shape) < 0.15
+            cube[..., 2] = np.where(flag, -cube[..., 2], cube[..., 2])
+        else:
+            cube = cube[..., :2]
+
+        # expected Stokes-I combination (independent re-derivation)
+        w_full = cube[..., 2] if n_cplx == 3 else \
+            np.ones(cube.shape[:-1])
+        if 1 in stokes_codes:
+            k = stokes_codes.index(1)
+            exp = cube[:, :, k, :, :2] if n_cplx == 3 else \
+                cube[:, :, k, :, :]
+            exp_re, exp_im = exp[..., 0], exp[..., 1]
+            exp_wt = w_full[:, :, k, :]
+        elif n_stok == 1:
+            exp_re, exp_im = cube[..., 0, :, 0], cube[..., 0, :, 1]
+            exp_wt = w_full[:, :, 0, :]
+        else:
+            pair = (stokes_codes.index(-1), stokes_codes.index(-2)) \
+                if -1 in stokes_codes else \
+                (stokes_codes.index(-5), stokes_codes.index(-6))
+            wa = np.maximum(w_full[:, :, pair[0], :], 0.0)
+            wb = np.maximum(w_full[:, :, pair[1], :], 0.0)
+            div = np.where(wa + wb > 0, wa + wb, 1.0)
+            exp_re = (wa * cube[:, :, pair[0], :, 0] +
+                      wb * cube[:, :, pair[1], :, 0]) / div
+            exp_im = (wa * cube[:, :, pair[0], :, 1] +
+                      wb * cube[:, :, pair[1], :, 1]) / div
+            exp_wt = wa + wb
+
+        # expected frequencies
+        chan_off = np.arange(n_chan) - (crpix_f - 1.0)
+        if use_fq:
+            if_freq = np.round(rng.uniform(-2e8, 2e8, (2, n_if)))
+            ch_w = np.round(rng.uniform(1e5, 5e6, (2, n_if)))
+            sideband = rng.choice([-1, 1], (2, n_if))
+            r = freqsel - 1          # FRQSEL column holds (1, 2)
+            exp_freqs = np.concatenate([
+                crval_f + if_freq[r, i] +
+                chan_off * ch_w[r, i] * sideband[r, i]
+                for i in range(n_if)])
+            fq_ext = build_fq_table(
+                n_if, if_freq if multi_setup else if_freq[r],
+                ch_w if multi_setup else ch_w[r],
+                sideband if multi_setup else sideband[r],
+                frqsel=(1, 2) if multi_setup else (freqsel,))
+        else:
+            exp_freqs = crval_f + chan_off * cdelt_f
+            fq_ext = b''
+        if interpose_ext:
+            img = np.zeros((17, 5), '>f8').tobytes()
+            fq_ext = header_bytes(
+                [card('XTENSION', 'IMAGE'), card('BITPIX', -64),
+                 card('NAXIS', 2), card('NAXIS1', 5),
+                 card('NAXIS2', 17), card('PCOUNT', 0),
+                 card('GCOUNT', 1), card('EXTNAME', 'JUNK'),
+                 card('END')]) + img + \
+                b'\x00' * (-len(img) % BLOCK) + fq_ext
+
+        # ---------- group parameters (random PSCAL/PZERO) ----------
+        pars, cols = [], []
+
+        def add_par(ptype, true_vals, pscal=None, pzero=None):
+            p = float(pscal if pscal is not None else
+                      rng.choice([1.0, 1e-7, 4.0]))
+            z = float(pzero if pzero is not None else
+                      rng.choice([0.0, rng.normal(scale=1e-5)]))
+            pars.append((ptype, p, z))
+            cols.append((np.asarray(true_vals, np.float64) - z) / p)
+
+        from rajepy_tpu.synthobs.uvfits import C_MPS
+        add_par('UU---SIN', uvw_true[:, 0] / C_MPS)
+        add_par('VV---SIN', uvw_true[:, 1] / C_MPS)
+        add_par('WW---SIN', uvw_true[:, 2] / C_MPS)
+        if use_antenna_pars:
+            add_par('ANTENNA1', a1 + 1.0, pscal=1.0, pzero=0.0)
+            add_par('ANTENNA2', a2 + 1.0, pscal=1.0, pzero=0.0)
+        elif use_ext_baseline:
+            add_par('BASELINE',
+                    2048.0 * (a1 + 1) + (a2 + 1) + 65536.0,
+                    pscal=1.0, pzero=0.0)
+        else:
+            add_par('BASELINE', 256.0 * (a1 + 1) + (a2 + 1),
+                    pscal=1.0, pzero=0.0)
+        if split_date:
+            day = np.floor(jd_true - 2451544.5)
+            add_par('DATE', day + 2451544.5, pscal=1.0,
+                    pzero=2451544.5)
+            add_par('DATE', jd_true - 2451544.5 - day,
+                    pscal=1.0, pzero=0.0)
+        else:
+            add_par('DATE', jd_true, pscal=1.0, pzero=2451544.5)
+        if freqsel != 1:
+            add_par('FREQSEL', np.full(n_vis, float(freqsel)),
+                    pscal=1.0, pzero=0.0)
+        par_vals = np.stack(cols, axis=1)
+
+        # ---------- axes, randomly ordered ----------
+        axes = [('COMPLEX', n_cplx, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, crval_f, crpix_f, cdelt_f),
+                ('STOKES', n_stok, float(stokes_codes[0]), 1.0,
+                 float(stokes_codes[1] - stokes_codes[0])
+                 if n_stok > 1 else 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 40.0, 1.0, 1.0), ('DEC', 1, -12.0, 1.0, 1.0)]
+        order = rng.permutation(len(axes))
+        axes = [axes[i] for i in order]
+        names = [a[0] for a in axes]
+        lens = [a[1] for a in axes]
+        nax = len(axes)
+        dat = np.zeros((n_vis,) + tuple(reversed(lens)))
+        mv = np.moveaxis(
+            dat, [1 + (nax - 1 - names.index(nm))
+                  for nm in ('IF', 'STOKES', 'FREQ', 'COMPLEX')],
+            [1, 2, 3, 4])
+        mv[..., 0, 0] = cube        # RA/DEC trail as the two length-1s
+
+        fn = build_group_file(tmp_path / f'fuzz{seed}.uvfits',
+                              axes=axes, pars=pars, par_vals=par_vals,
+                              data=dat, extensions=fq_ext)
+        out = uvfits.read_uvfits(fn)
+
+        # f32 storage: compare at f32 precision
+        # f32 storage + random PSCAL/PZERO de/re-scaling: ~1e-6 relative
+        np.testing.assert_allclose(out['uvw'], uvw_true, rtol=1e-5,
+                                   atol=1e-3)
+        np.testing.assert_array_equal(out['ant1'], a1)
+        np.testing.assert_array_equal(out['ant2'], a2)
+        np.testing.assert_allclose(out['jd'], jd_true, rtol=0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(out['freqs'], exp_freqs, rtol=0,
+                                   atol=max(1.0, abs(cdelt_f) * 1e-5))
+        exp_re_t = exp_re.reshape(n_vis, n_if * n_chan).T
+        exp_im_t = exp_im.reshape(n_vis, n_if * n_chan).T
+        exp_wt_t = exp_wt.reshape(n_vis, n_if * n_chan).T
+        np.testing.assert_allclose(out['vis_re'], exp_re_t, rtol=0,
+                                   atol=5e-7)
+        np.testing.assert_allclose(out['vis_im'], exp_im_t, rtol=0,
+                                   atol=5e-7)
+        np.testing.assert_allclose(out['weights'], exp_wt_t, rtol=0,
+                                   atol=5e-7)
+        assert out['n_if'] == n_if

@@ -523,6 +523,10 @@ def previous_round_json():
         except Exception:
             continue
         if int(m.group(1)) > best_n:
+            # the driver wraps our JSON line under 'parsed' (alongside
+            # rc/tail bookkeeping); unwrap so the metric keys resolve
+            if isinstance(data.get('parsed'), dict):
+                data = data['parsed']
             best_n, best = int(m.group(1)), data
     return best
 

@@ -1856,13 +1856,62 @@ class JetModel:
     # ------------------------------------------------------------------ #
     # Persistence (classes.py:1704-1713)
     # ------------------------------------------------------------------ #
+    def _save_signature(self, with_fields: bool) -> str:
+        """Fingerprint of everything :meth:`save` would write: the params
+        tree (array bytes included — repr truncates), model time, and
+        whether the fill-factor/area caches are part of the payload."""
+        import hashlib
+        h = hashlib.blake2b(digest_size=16)
+
+        def feed(obj):
+            if isinstance(obj, dict):
+                for k in sorted(obj, key=str):
+                    h.update(repr(k).encode())
+                    feed(obj[k])
+            elif isinstance(obj, (list, tuple)):
+                h.update(b'[')
+                for v in obj:
+                    feed(v)
+            elif isinstance(obj, np.ndarray):
+                h.update(repr((obj.shape, str(obj.dtype))).encode())
+                h.update(np.ascontiguousarray(obj).tobytes())
+            else:
+                h.update(repr(obj).encode())
+
+        feed(self._params)
+        h.update(repr((float(self.time), bool(with_fields),
+                       str(self._dtype))).encode())
+        return h.hexdigest()
+
     def save(self, filename: str):
         """Pickle params + expensive caches + model time
         (classes.py:1704-1713).  The fill-factor/area host copies are
         immutable per model and cached after the first pull — a pipeline
         saves several times per execute, and each full-cube device->host
-        transfer costs seconds through a remote-device tunnel."""
+        transfer costs seconds through a remote-device tunnel.
+
+        Writing the caches costs seconds of disk per save at 256^3+, so
+        an up-to-date checkpoint (same content signature, recorded in a
+        ``<filename>.sig`` sidecar alongside the pickle's byte size) is
+        left untouched instead of rewritten — every ``Pipeline.execute``
+        ends with a save of a model whose state rarely changed."""
         f = self._fields
+        sig = self._save_signature(with_fields=f is not None)
+        sig_file = filename + '.sig'
+        if os.path.exists(filename) and os.path.exists(sig_file):
+            try:
+                with open(sig_file, 'rt') as fh:
+                    old_sig, old_size = fh.read().split()
+                unchanged = (old_sig == sig and
+                             int(old_size) == os.path.getsize(filename))
+            except (ValueError, OSError):
+                unchanged = False
+            if unchanged:
+                if self.log:
+                    self.log.add_entry(
+                        "INFO", f"Model checkpoint {filename} is "
+                                "up to date, not rewriting")
+                return
         if f is not None and getattr(self, '_host_ff_cache', None) is None:
             self._host_ff_cache = (np.asarray(self.areas),
                                    np.asarray(self.fill_factor))
@@ -1877,6 +1926,8 @@ class JetModel:
                                f"Saving physical model to {filename}")
         with miscf.atomic_write(filename) as fh:
             pickle.dump(ps, fh)
+        with miscf.atomic_write(sig_file, mode='wt') as fh:
+            fh.write(f"{sig} {os.path.getsize(filename)}")
 
     # ------------------------------------------------------------------ #
     def __str__(self) -> str:

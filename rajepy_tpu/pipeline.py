@@ -539,9 +539,12 @@ class Pipeline:
                         f"{_time.perf_counter() - rt_t0:.3f}s",
                         timestamp=False)
 
+                    ckpt_t0 = _time.perf_counter()
                     if not os.path.exists(self.model_file):
                         self.model.save(self.model_file)
                     self.save(self.save_file, absolute_directories=True)
+                    record_stage("checkpoint write",
+                                 _time.perf_counter() - ckpt_t0)
 
             except KeyboardInterrupt:
                 self.log.add_entry(
@@ -618,8 +621,11 @@ class Pipeline:
                             f"time {year}yr")
                 pfunc.sed_plot(self, year, savefig=save_file)
 
+        from .utils.profiling import record_stage as _record_stage
+        ckpt_t0 = _time.perf_counter()
         self.save(self.save_file)
         self.model.save(self.model_file)
+        _record_stage("checkpoint write", _time.perf_counter() - ckpt_t0)
         return None
 
     def radio_plot(self, run, percentile: float = 5.0, savefig: str = ''):

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 import zipfile
 from typing import Dict, Optional
 
@@ -34,7 +35,7 @@ from ..ops import astronomy as astro
 from ..ops import geometry as mgeom
 from ..ops import physics as mphys
 from ..utils.misc import atomic_write, casa_imfit_file_to_dict
-from ..utils.profiling import KernelTimer
+from ..utils.profiling import KernelTimer, record_stage
 from . import calibration, imaging, imfit as imfit_mod, observatories, \
     sampler, uvgen
 
@@ -1070,6 +1071,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
 
         beam_area_pix = (np.pi / (4 * np.log(2.0)) *
                          (bmaj_rad / cell_rad) * (bmin_rad / cell_rad))
+        fit_t0 = time.perf_counter()
         fit = imfit_mod.fit_gaussian(
             restored_cube[0],
             estimates={'peak': max(peak_flux, 1e-12), 'x': imsize / 2.0,
@@ -1077,6 +1079,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                        'min_pix': conv_min / cell_as,
                        'pa_deg': mp['geometry']['pa']},
             beam_area_pix=beam_area_pix)
+        record_stage("host source fit (imfit)",
+                     time.perf_counter() - fit_t0)
         imfit_file = _product_path(fitsfile, '.imfit')
         if fit is not None:
             imfit_mod.write_imfit_summary(imfit_file, fit, cell_as,

@@ -285,3 +285,31 @@ class TestSaveLoad:
         assert jm2.time == jm.time
         _nan_allclose(jm2.fill_factor, jm.fill_factor)
         _nan_allclose(jm2.number_density, jm.number_density)
+
+    def test_save_skips_when_unchanged(self, model_params, tmp_path):
+        """An up-to-date checkpoint (same params/time/caches) is not
+        rewritten — pipeline executes end with a save of an unchanged
+        model, and the fill caches cost seconds of disk at 256^3+."""
+        import os
+
+        p = small_grid(model_params)
+        jm = JetModel(copy.deepcopy(p))
+        _ = jm.fill_factor
+        f = str(tmp_path / "model.save")
+        jm.save(f)
+        stat0 = os.stat(f)
+        jm.save(f)          # unchanged → must not rewrite
+        stat1 = os.stat(f)
+        assert (stat1.st_mtime_ns, stat1.st_ino) == \
+            (stat0.st_mtime_ns, stat0.st_ino)
+        jm.time = 2.0 * 31536000.0
+        jm.save(f)          # time changed → must rewrite
+        assert os.stat(f).st_mtime_ns != stat0.st_mtime_ns
+        jm2 = JetModel.load_model(f)
+        assert jm2.time == jm.time
+        # a checkpoint without its sidecar is rewritten, not trusted
+        os.remove(f + '.sig')
+        before = os.stat(f).st_mtime_ns
+        jm.save(f)
+        assert os.path.exists(f + '.sig')
+        assert os.stat(f).st_mtime_ns >= before

@@ -428,6 +428,26 @@ class TestImaging:
 
 
 class TestImfit:
+    def test_analytic_jacobian_matches_finite_differences(self):
+        """The LM solve runs on a closed-form Jacobian (one shared
+        exponential, ~3x faster than scipy's forward differences); it
+        must agree with central differences of the model plane to
+        truncation accuracy, including negative-width iterates the
+        optimiser passes through."""
+        rng = np.random.default_rng(7)
+        yy, xx = np.mgrid[0:30, 0:40]
+        for flip in (1.0, -1.0):
+            p = np.array([1.5, 21.3, 14.2, 5.1 * flip, 2.7, 0.7])
+            p += rng.normal(0.0, 0.2, 6)
+            J = imfit_mod._gauss2d_jac(
+                p, imfit_mod._gauss2d_terms(p, xx, yy))
+            for k in range(6):
+                e = np.zeros(6)
+                e[k] = 1e-7
+                fd = (imfit_mod._gauss2d(p + e, xx, yy) -
+                      imfit_mod._gauss2d(p - e, xx, yy)).ravel() / 2e-7
+                assert np.abs(J[:, k] - fd).max() < 1e-6
+
     def test_gaussian_fit_roundtrip(self, tmp_path):
         n = 100
         yy, xx = np.mgrid[0:n, 0:n]

@@ -1221,12 +1221,12 @@ class JetModel:
     @staticmethod
     def _nonlte_tau(st, freqs, tau_l, b_n1, b_n2):
         """Stimulated-corrected non-LTE line opacity b_n1 beta tau_L*
-        (G&S 2.141) — the ONE definition shared by _rrl_kernel's tau
-        branch and rrl_rt_products (a composition fix must not be
-        applied twice)."""
-        safe_t = jnp.where(st.any_in, st.tbar, 1.0)[None]
-        beta = mrrl.beta_coeff(freqs[:, None, None], safe_t, b_n1, b_n2)
-        return b_n1 * beta * tau_l
+        (G&S 2.141) — delegates to the ONE ops-level definition
+        (ops.radtrans.tau_rrl_maps_nonlte), shared by _rrl_kernel's tau
+        branch, rrl_rt_products and parallel.fanout (a composition fix
+        must not be applied twice, and must reach every path)."""
+        return rt.tau_rrl_maps_nonlte(freqs, st.tbar, st.any_in, tau_l,
+                                      b_n1, b_n2)
 
     def _rrl_kernel(self, line: str, kind: str, collapse: bool = True,
                     nonlte: bool = False):

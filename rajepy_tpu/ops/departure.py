@@ -348,16 +348,34 @@ def build_table(verbose: bool = False) -> dict:
 @functools.lru_cache(maxsize=1)
 def _get_table_dict() -> dict:
     """Bundled table dict; (re)built on first use if the data file is
-    absent or predates the systematic bands (and cached when writable)."""
+    absent or predates the systematic bands (and cached when writable).
+
+    The rebuild is hundreds of dense statistical-equilibrium solves
+    (minutes) and the lru_cache is per-process, so both the rebuild and
+    a failure to persist it are WARNED about — a stale table in a
+    read-only install would otherwise silently re-pay the solver on
+    every process with no hint why non-LTE startup is slow."""
+    import warnings
     if os.path.exists(_TABLE_FILE):
         t = np.load(_TABLE_FILE)
         if 'b_lo' in t.files:
             return {k: t[k] for k in t.files}
+        warnings.warn(
+            f"departure table {_TABLE_FILE} predates the rate-scale "
+            "systematic bands; re-solving the full (T, n_e) grid x3 "
+            "(minutes, once per process unless the file is writable)")
+    else:
+        warnings.warn(
+            f"departure table {_TABLE_FILE} is missing; solving the "
+            "full (T, n_e) grid x3 (minutes, once per process unless "
+            "the directory is writable)")
     tab = build_table()
     try:
         np.savez_compressed(_TABLE_FILE, **tab)
-    except OSError:
-        pass
+    except OSError as exc:
+        warnings.warn(
+            f"could not persist the rebuilt departure table to "
+            f"{_TABLE_FILE} ({exc}); every new process will re-solve it")
     return tab
 
 

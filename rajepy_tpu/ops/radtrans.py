@@ -312,6 +312,18 @@ def intensity_rrl_maps(freqs, tbar_map, tau_ff_maps_, tau_rrl_maps_,
     return jnp.where(any_inside[None], ints, 0.0)
 
 
+def tau_rrl_maps_nonlte(freqs, tbar_map, any_inside, tau_rrl_maps_,
+                        b_n1, b_n2):
+    """Stimulated-corrected non-LTE line opacity b_n1 beta tau_L*
+    (G&S eq. 2.141) — the ONE definition shared by JetModel._nonlte_tau
+    (tau products, rrl_rt_products) and parallel.fanout's sharded RRL
+    runs: a composition fix must reach every path exactly once."""
+    freqs = jnp.asarray(freqs)
+    safe_t = jnp.where(any_inside, tbar_map, 1.0)[None]
+    beta = mrrl.beta_coeff(freqs[:, None, None], safe_t, b_n1, b_n2)
+    return b_n1 * beta * tau_rrl_maps_
+
+
 def intensity_rrl_maps_nonlte(freqs, tbar_map, tau_ff_maps_, tau_rrl_maps_,
                               any_inside, b_n1, b_n2):
     """Non-LTE RRL intensity maps from departure coefficients

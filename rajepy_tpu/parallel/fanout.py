@@ -36,7 +36,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import constants as cnsts
 from ..models import ejection as ej
 from ..ops import radtrans as rt
-from ..ops import rrls as mrrl
 
 
 def run_mesh(mesh: Optional[Mesh] = None) -> Mesh:
@@ -202,13 +201,10 @@ def rrl_runs_fanout(model, line: str, years, freqs_mat,
             tau_c = scale[:, None, None] * \
                 jnp.sum(a * chi2, axis=rt.LOS_AXIS)[None]
             if nonlte:
-                # the tau product is the stimulated-corrected opacity
-                # b_n1 beta tau_L* — G&S 2.141, matching the sequential
-                # JetModel._nonlte_tau definition
-                safe_t = jnp.where(any_in, tbar, 1.0)[None]
-                beta = mrrl.beta_coeff(fr[:, None, None], safe_t,
-                                       b12[0], b12[1])
-                tau_out = b12[0] * beta * tau_l
+                # the tau product is the stimulated-corrected opacity —
+                # the SAME ops-level definition the sequential path uses
+                tau_out = rt.tau_rrl_maps_nonlte(fr, tbar, any_in,
+                                                 tau_l, b12[0], b12[1])
                 ints = rt.intensity_rrl_maps_nonlte(
                     fr, tbar, tau_c, tau_l, any_in, b12[0], b12[1])
             else:

@@ -96,14 +96,39 @@ def sharded_static_fields(mesh: Mesh, static_params, rb_frac: float,
     return fill(*coords)
 
 
+def _freeze(obj):
+    """Nested dicts/lists of scalars -> a hashable key."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+_FILL_PROGRAMS: dict = {}
+
+
 def _fill_program(mesh: Mesh, static_params, rb_frac, nx, ny, nz, csize,
                   dtype, with_time):
     """(jitted LOS-sharded fill, its coordinate args) — shared by
-    :func:`sharded_static_fields` and :func:`fill_memory_stats`."""
+    :func:`sharded_static_fields` and :func:`fill_memory_stats`.
+
+    Memoised on the full argument key so both entry points reuse ONE jit
+    object (and so one compile: ``lower().compile()`` and the call path
+    share the dispatch cache only for the same function object) — a
+    dryrun calling ``sharded_static_fields`` then ``fill_memory_stats``
+    at the same shape previously compiled the identical SPMD program
+    twice, and a standalone large-shape fill compile is the documented
+    remote-compile wedge risk (CLAUDE.md r3s6)."""
     from ..models import grid as mgrid
     from ..models.fields import StaticFields, compute_static_fields
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    key = (mesh, _freeze(static_params), float(rb_frac), nx, ny, nz,
+           float(csize), np.dtype(dtype).name, bool(with_time))
+    hit = _FILL_PROGRAMS.get(key)
+    if hit is not None:
+        return hit
     sh = grid_sharding(mesh)
     out_sh = StaticFields(*([sh] * len(StaticFields._fields)))
 
@@ -112,7 +137,11 @@ def _fill_program(mesh: Mesh, static_params, rb_frac, nx, ny, nz, csize,
         return compute_static_fields(static_params, xx, yy, zz, rb_frac,
                                      with_time=with_time)
 
-    return fill, mgrid.grid_corner_coords(nx, ny, nz, csize, dtype)
+    out = fill, mgrid.grid_corner_coords(nx, ny, nz, csize, dtype)
+    if len(_FILL_PROGRAMS) > 32:   # bound the per-process cache
+        _FILL_PROGRAMS.clear()
+    _FILL_PROGRAMS[key] = out
+    return out
 
 
 def fill_memory_stats(mesh: Mesh, static_params, rb_frac: float,
@@ -151,12 +180,16 @@ def fill_memory_stats(mesh: Mesh, static_params, rb_frac: float,
         abstract = lowered.out_info
     except AttributeError:      # older jax.stages without out_info
         abstract = jax.eval_shape(fill, *coords)
-    full_out = sum(
+    leaf_bytes = [
         int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
-        for leaf in jax.tree_util.tree_leaves(abstract))
+        for leaf in jax.tree_util.tree_leaves(abstract)]
     return {'per_device_bytes': per_dev,
             'per_device_output_bytes': int(ma.output_size_in_bytes),
-            'full_output_bytes': full_out,
+            'full_output_bytes': sum(leaf_bytes),
+            # replication detection threshold: replicating even the
+            # SMALLEST output cube inflates the per-device share by
+            # (n_los-1)/n_los of this, far above buffer alignment
+            'min_leaf_bytes': min(leaf_bytes),
             'n_los': n_los}
 
 

@@ -707,13 +707,22 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
                 f"({freqsel})")
         if_freq = if_freq_all[r]
         ch_width = ch_width_all[r]
-        sideband = np.atleast_2d(np.asarray(fq.get(
-            'SIDEBAND', np.ones((n_fq, n_if))), np.float64))[r]
-        if if_freq.size != n_if:
-            raise ValueError(f"AIPS FQ table describes {if_freq.size} "
-                             f"IFs, data has {n_if}")
-        # AIPS convention: CH WIDTH is positive, SIDEBAND signs it
-        step = np.where(ch_width == 0.0, cdelt, ch_width) * \
+        sb_col = fq.get('SIDEBAND')
+        sideband = (np.atleast_2d(np.asarray(sb_col, np.float64))[r]
+                    if sb_col is not None else np.ones(n_if))
+        for nm, col in (('IF FREQ', if_freq), ('CH WIDTH', ch_width),
+                        ('SIDEBAND', sideband)):
+            if col.size != n_if:
+                raise ValueError(f"AIPS FQ column {nm} describes "
+                                 f"{col.size} IFs, data has {n_if}")
+        # AIPS convention: CH WIDTH is positive, SIDEBAND signs it.  A
+        # zero CH WIDTH falls back to the header CDELT — as |CDELT| when
+        # a SIDEBAND column is present (the sideband signs the step, and
+        # LSB writers may have signed CDELT itself: applying both would
+        # flip the channel ordering back to USB), raw signed CDELT when
+        # there is no SIDEBAND column to do the signing
+        fallback = abs(cdelt) if sb_col is not None else cdelt
+        step = np.where(ch_width == 0.0, fallback, ch_width) * \
             np.where(sideband == 0.0, 1.0, sideband)
         freqs = (crval + if_freq[:, None] +
                  chan_off[None, :] * step[:, None]).reshape(-1)
@@ -755,6 +764,14 @@ def read_uvfits(filename: str) -> Dict[str, np.ndarray]:
             # index NOSTA-1 so ant1/ant2 index ant_xyz directly
             if 'NOSTA' in an and len(an['NOSTA']):
                 nosta = np.asarray(an['NOSTA'], np.int64).ravel()
+                if nosta.min() < 1:
+                    # NOSTA is 1-relative (AIPS memo 117); a 0-based
+                    # writer would otherwise scatter station 0 into the
+                    # LAST slot via the -1 index, silently shifting
+                    # every antenna's position
+                    raise ValueError(
+                        "AIPS AN table has NOSTA station numbers < 1 "
+                        f"(min {int(nosta.min())}); NOSTA is 1-relative")
                 size = int(nosta.max())
                 full_xyz = np.full((size, 3), np.nan)
                 full_names = [''] * size

@@ -97,18 +97,34 @@ def split_stage_times(times: Optional[dict] = None):
     return dev, tr, other
 
 
+#: live KernelTimer nesting stack (single-threaded pipeline): a nested
+#: timer's seconds are subtracted from its parent's recorded stage so
+#: the registry totals stay disjoint — e.g. a cold execute's 'grid fill'
+#: timer fires inside the 'rt stage: device compute' timer, and without
+#: the subtraction split_stage_times would count those seconds twice
+#: (both names match DEVICE_STAGE_MARKERS)
+_TIMER_STACK: list = []
+
+
 class KernelTimer:
     """``with KernelTimer("fill factors", log) as t: ...`` — logs the
-    elapsed wall time with a device sync at exit."""
+    elapsed wall time with a device sync at exit.
+
+    The log line reports the INCLUSIVE elapsed time; the stage registry
+    (:func:`record_stage`) receives the EXCLUSIVE time (children's
+    seconds subtracted), keeping aggregated stage totals disjoint under
+    nesting."""
 
     def __init__(self, name: str, log=None, result=None):
         self.name = name
         self.log = log
         self.elapsed: Optional[float] = None
         self._result = result
+        self._child_s = 0.0
 
     def __enter__(self):
         self._t0 = time.perf_counter()
+        _TIMER_STACK.append(self)
         return self
 
     def set_result(self, result):
@@ -120,8 +136,13 @@ class KernelTimer:
         if self._result is not None:
             _sync(self._result)
         self.elapsed = time.perf_counter() - self._t0
+        if _TIMER_STACK and _TIMER_STACK[-1] is self:
+            _TIMER_STACK.pop()
+        if _TIMER_STACK:
+            _TIMER_STACK[-1]._child_s += self.elapsed
         if exc_type is None:
-            record_stage(self.name, self.elapsed)
+            record_stage(self.name,
+                         max(self.elapsed - self._child_s, 0.0))
         if self.log is not None and exc_type is None:
             self.log.add_entry(
                 "INFO", f"[timing] {self.name}: {self.elapsed:.3f}s",

@@ -662,6 +662,34 @@ class TestStageTimeSplit:
         profiling.record_stage('rt stage: device compute', 99.0)
         assert profiling.stage_times()['rt stage: device compute'] == 1.5
 
+    def test_nested_timers_record_disjoint_seconds(self):
+        """A timer firing inside another (cold execute: 'grid fill'
+        inside 'rt stage: device compute' — both device-marked) must not
+        double-count: the parent records its EXCLUSIVE time, so the
+        registry totals sum to the real wall time."""
+        import time as _t
+        from rajepy_tpu.utils import profiling
+        profiling.collect_stage_times(True)
+        try:
+            with profiling.KernelTimer('rt stage: device compute') as po:
+                with profiling.KernelTimer(
+                        'grid fill (fields + fill factors)') as ci:
+                    _t.sleep(0.05)
+                _t.sleep(0.02)
+            times = profiling.stage_times()
+        finally:
+            profiling.collect_stage_times(False)
+        child = times['grid fill (fields + fill factors)']
+        parent = times['rt stage: device compute']
+        assert child >= 0.05
+        # exclusive: the parent's recorded time excludes the child's
+        assert parent == pytest.approx(po.elapsed - ci.elapsed, abs=1e-9)
+        assert 0.0 < parent < 0.05
+        # the log-facing elapsed stays inclusive
+        assert po.elapsed >= child + 0.02
+        dev, _, _ = profiling.split_stage_times(times)
+        assert dev == pytest.approx(po.elapsed, rel=1e-6)
+
     def test_pipeline_execute_records_stages(self, model_params,
                                              tmp_path):
         import copy

@@ -749,6 +749,102 @@ class TestForeignLayouts:
         assert out['ant_names'][1] == 'ANT002'
         assert np.isnan(out['ant_xyz'][0]).all()   # gap rows are NaN
 
+    def test_an_table_zero_based_nosta_rejected(self, tmp_path):
+        """NOSTA is 1-relative (AIPS memo 117): a 0-based writer must be
+        rejected, not have station 0 scattered into the LAST slot via
+        the -1 index (which silently shifts every antenna position)."""
+        rng = np.random.default_rng(8)
+        s_xyz = rng.normal(scale=1e3, size=(3, 3))
+        fn0 = uvfits.write_uvfits(
+            str(tmp_path / 'base0.uvfits'), rng.normal(size=(3, 3)),
+            np.ones((1, 3)), np.zeros((1, 3)), np.array([1e9]),
+            s_xyz, np.array([0, 0, 1]), np.array([1, 2, 2]),
+            np.zeros(3), ra_deg=0.0, dec_deg=0.0)
+        raw = bytearray(open(fn0, 'rb').read())
+        _, dpos = scan_cards(bytes(raw))
+        gbytes = 3 * 4 * (6 + 3)
+        ext = dpos + gbytes + (-gbytes % BLOCK)
+        cards, rows_pos = scan_cards(bytes(raw), ext)
+        row = int(dict(cards)['NAXIS1'])
+        for k, nosta in enumerate((0, 1, 2)):   # 0-based numbering
+            raw[rows_pos + k * row + 32:rows_pos + k * row + 36] = \
+                struct.pack('>i', nosta)
+        fn = tmp_path / 'zerobased.uvfits'
+        fn.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match='NOSTA'):
+            uvfits.read_uvfits(str(fn))
+
+    def test_fq_zero_ch_width_falls_back_to_unsigned_cdelt(self,
+                                                           tmp_path):
+        """A zero CH WIDTH falls back to the header CDELT — but the
+        SIDEBAND column signs the step, so a HEADER-signed (LSB) CDELT
+        must contribute only its magnitude: applying both signs would
+        flip the channel ordering back to USB."""
+        n_chan, n_if, n_vis = 3, 2, 8
+        rng = np.random.default_rng(23)
+        cube = rng.normal(size=(n_vis, 1, 1, n_if, 1, n_chan, 3))
+        cube[..., 2] = 1.0
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, -1.0e6),   # signed LSB CDELT
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        if_freq = np.array([0.0, 2.0e8])
+        ch_w = np.zeros(n_if)                   # force the fallback
+        sideband = np.array([-1, -1])
+        pv, a1, a2 = std_par_vals(n_vis)
+        fn = build_group_file(
+            tmp_path / 'lsb.uvfits', axes=axes, pars=std_pars(),
+            par_vals=pv, data=cube,
+            extensions=build_fq_table(n_if, if_freq, ch_w, sideband))
+        out = uvfits.read_uvfits(fn)
+        expect = np.concatenate([
+            4.0e9 + if_freq[i] + np.arange(n_chan) * (-1.0e6)
+            for i in range(n_if)])
+        np.testing.assert_allclose(out['freqs'], expect, rtol=0, atol=1.0)
+
+    def test_fq_column_length_mismatch_rejected(self, tmp_path):
+        """An FQ table whose CH WIDTH repeat count disagrees with the
+        data's IF count must raise a clear ValueError, not die in a raw
+        numpy broadcast."""
+        n_chan, n_if, n_vis = 2, 3, 8
+        rng = np.random.default_rng(24)
+        cube = rng.normal(size=(n_vis, 1, 1, n_if, 1, n_chan, 3))
+        cube[..., 2] = 1.0
+        axes = [('COMPLEX', 3, 1.0, 1.0, 1.0),
+                ('FREQ', n_chan, 4.0e9, 1.0, 1.0e6),
+                ('STOKES', 1, 1.0, 1.0, 1.0),
+                ('IF', n_if, 1.0, 1.0, 1.0),
+                ('RA', 1, 0.0, 1.0, 1.0), ('DEC', 1, 0.0, 1.0, 1.0)]
+        # hand-build an FQ table: IF FREQ says 3 IFs, CH WIDTH only 2
+        short = n_if - 1
+        fields = [('FRQSEL', '1J'), ('IF FREQ', f'{n_if}D'),
+                  ('CH WIDTH', f'{short}E'),
+                  ('TOTAL BANDWIDTH', f'{n_if}E'),
+                  ('SIDEBAND', f'{n_if}J')]
+        row = 4 + 8 * n_if + 4 * short + 4 * n_if + 4 * n_if
+        cards = [card('XTENSION', 'BINTABLE'), card('BITPIX', 8),
+                 card('NAXIS', 2), card('NAXIS1', row),
+                 card('NAXIS2', 1), card('PCOUNT', 0), card('GCOUNT', 1),
+                 card('TFIELDS', len(fields)),
+                 card('EXTNAME', 'AIPS FQ')]
+        for i, (ttype, tform) in enumerate(fields, start=1):
+            cards += [card(f'TTYPE{i}', ttype), card(f'TFORM{i}', tform)]
+        cards += [card('NO_IF', n_if), card('END')]
+        rows = struct.pack('>i', 1)
+        rows += np.asarray([0.0, 1e8, 2e8], '>f8').tobytes()
+        rows += np.asarray([1e6] * short, '>f4').tobytes()
+        rows += np.asarray([4e6] * n_if, '>f4').tobytes()
+        rows += np.asarray([1] * n_if, '>i4').tobytes()
+        assert len(rows) == row
+        fq = header_bytes(cards) + rows + b'\x00' * (-len(rows) % BLOCK)
+        pv, a1, a2 = std_par_vals(n_vis)
+        fn = build_group_file(
+            tmp_path / 'mismatch.uvfits', axes=axes, pars=std_pars(),
+            par_vals=pv, data=cube, extensions=fq)
+        with pytest.raises(ValueError, match='CH WIDTH'):
+            uvfits.read_uvfits(fn)
+
     def test_arrayx_offset_applied(self, tmp_path):
         """STABXYZ is relative to ARRAYX/Y/Z in real AN tables."""
         rng = np.random.default_rng(9)

@@ -478,9 +478,13 @@ class Pipeline:
                                         as_numpy=False)
                             kt.set_result((em_c, tau_c, flux_c))
                         write_t0 = _time.perf_counter()
-                        fan = {'em': np.asarray(em_c),
-                               'tau': np.asarray(tau_c),
-                               'flux': np.asarray(flux_c)}
+                        # one batched pull for all three products — on a
+                        # remote accelerator separate np.asarray calls
+                        # pay a full tunnel round trip each
+                        import jax as _jax
+                        fan = dict(zip(
+                            ('em', 'tau', 'flux'),
+                            _jax.device_get((em_c, tau_c, flux_c))))
 
                     # NB within every write guard below fan is non-None:
                     # fan skips computing only when all three products

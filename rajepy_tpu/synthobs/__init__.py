@@ -34,7 +34,8 @@ from ..io import fits as fitsio
 from ..ops import astronomy as astro
 from ..ops import geometry as mgeom
 from ..ops import physics as mphys
-from ..utils.misc import atomic_write, casa_imfit_file_to_dict
+from ..utils.misc import atomic_write, casa_imfit_file_to_dict, \
+    on_host_device
 from ..utils.profiling import KernelTimer, record_stage
 from . import calibration, imaging, imfit as imfit_mod, observatories, \
     sampler, uvgen
@@ -466,9 +467,11 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         # keep visibilities as (re, im) float pairs end to end: complex
         # arrays can't cross the device boundary on TPU backends, and a
         # (2x-sized) complex128 host copy of a 1,000-channel set costs
-        # gigabytes for nothing
-        re_cn, im_cn = np.asarray(re_c), np.asarray(im_c)
-        re_nn, im_nn = np.asarray(re_n), np.asarray(im_n)
+        # gigabytes for nothing.  ONE device_get for all four arrays:
+        # on a remote accelerator each separate pull pays a full
+        # round-trip of tunnel latency (~30 ms), a batched tree pays one
+        re_cn, im_cn, re_nn, im_nn = jax.device_get(
+            (re_c, im_c, re_n, im_n))
 
     # --- antenna gain corruption (sm.setgain analogue) ------------------- #
     n_ant = ant['xyz'].shape[0]
@@ -481,10 +484,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             t_int_s=t_int_eff)
         ant1, ant2, t_index = calibration.vis_metadata(n_samp, _pairs)
         with KernelTimer("synthobs: gain corruption", log):
-            re_nn, im_nn = [np.asarray(x) for x in calibration.apply_gains(
+            re_nn, im_nn = jax.device_get(calibration.apply_gains(
                 jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
                 jnp.asarray(g_re, rdt), jnp.asarray(g_im, rdt),
-                ant1, ant2, t_index)]
+                ant1, ant2, t_index))
         if log:
             log.add_entry(
                 "INFO",
@@ -515,12 +518,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 "1+0j before transfer")
         ant1, ant2, t_index = calibration.vis_metadata(n_samp, _pairs)
         with KernelTimer("synthobs: applycal (gain transfer)", log):
-            re_nn, im_nn = [np.asarray(x) for x in
-                            calibration.correct_vis(
-                                jnp.asarray(re_nn, rdt),
-                                jnp.asarray(im_nn, rdt),
-                                g_re_t, g_im_t,
-                                ant1, ant2, t_index, n_samp)]
+            re_nn, im_nn = jax.device_get(calibration.correct_vis(
+                jnp.asarray(re_nn, rdt), jnp.asarray(im_nn, rdt),
+                g_re_t, g_im_t, ant1, ant2, t_index, n_samp))
         if log:
             log.add_entry(
                 "INFO",
@@ -639,15 +639,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         wb = _wb_cache.get(key)
         if wb is None:
             w0 = uvtaper_weights(us, vs)
+            # cached as a DEVICE array: the weights are consumed on
+            # device below (and again per selfcal round) — pulling them
+            # to host just to re-upload costs a tunnel round trip each
             if weighting == 'briggs':
-                wb = np.asarray(imaging.briggs_weights(
+                wb = imaging.briggs_weights(
                     jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
                     jnp.asarray(w0, rdt), imsize, cell_rad,
-                    robust=robust))
+                    robust=robust)
             elif weighting == 'uniform':
-                wb = np.asarray(imaging.briggs_weights(
+                wb = imaging.briggs_weights(
                     jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
-                    jnp.asarray(w0, rdt), imsize, cell_rad, robust=-2.0))
+                    jnp.asarray(w0, rdt), imsize, cell_rad, robust=-2.0)
             else:
                 wb = w0
             _wb_cache[key] = wb
@@ -655,7 +658,8 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             jnp.asarray(us, rdt), jnp.asarray(vs, rdt),
             jnp.asarray(vr, rdt), jnp.asarray(vi, rdt),
             jnp.asarray(wb, rdt), imsize, cell_rad)
-        return np.asarray(dirty), np.asarray(psf)
+        # one batched pull (single round trip) instead of two
+        return jax.device_get((dirty, psf))
 
     # CLEAN mask: the model's bounding box mapped into the new image
     # (classes.py:2688-2751)
@@ -723,11 +727,13 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                     jnp.asarray(mask, rdt), jnp.asarray(beam_kernel, rdt),
                     weighting=weighting, robust=robust, gain=0.1,
                     niter=niter, nsigma=nsigma)
-            restored_cube = np.asarray(restored_j)
+            if save_products and 'dirty' in save_products:
+                restored_cube, extra_maps['dirty'] = jax.device_get(
+                    (restored_j, dirty_j))
+            else:
+                restored_cube = np.asarray(restored_j)
             if save_products:
                 extra_maps['psf'] = np.asarray(psf0)
-                if 'dirty' in save_products:
-                    extra_maps['dirty'] = np.asarray(dirty_j)
     else:
         # multi-frequency synthesis: all channels on one grid
         def mfs_image(vr_all, vi_all, label=''):
@@ -757,14 +763,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 beam = imaging.fit_psf_beam(psf, cell_rad)
                 beam_kernel = imaging.gaussian_beam_kernel(
                     imsize, cell_rad, beam[0], beam[1], beam[2])
-                restored = np.asarray(
-                    imaging.restore(mdl, resid, beam_kernel.astype(rdt)))
+                # restored + model (+ residual) in one batched pull:
+                # separate np.asarray calls pay a tunnel round trip each
+                restored_dev = imaging.restore(mdl, resid,
+                                               beam_kernel.astype(rdt))
                 if save_products:
-                    extra_maps.update(
-                        psf=np.asarray(psf), dirty=np.asarray(dirty),
-                        model=np.asarray(mdl),
-                        residual=np.asarray(resid))
-            return restored, np.asarray(mdl), beam
+                    restored, mdl_np, resid_np = jax.device_get(
+                        (restored_dev, mdl, resid))
+                    extra_maps.update(psf=psf, dirty=dirty,
+                                      model=mdl_np, residual=resid_np)
+                else:
+                    restored, mdl_np = jax.device_get((restored_dev, mdl))
+            return restored, mdl_np, beam
 
         def dynamic_range(img):
             noise = img[mask == 0]
@@ -787,19 +797,22 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 dirty_t, psf_m = imaging.taylor_stacks(
                     dirty_c, psf_c, jnp.asarray(freqs, rdt), nu_ref,
                     nterms=nterms)
-                d0 = np.asarray(dirty_t[0])
+                # batched pulls throughout (one tunnel round trip per
+                # device_get tree, not per array)
+                d0, psf0_np = jax.device_get((dirty_t[0], psf_m[0]))
                 outside = d0[mask == 0]
                 rms = float(np.std(outside)) if outside.size else 0.0
                 mdl_t, res_t, its = imaging.mtmfs_clean(
                     dirty_t, psf_m, jnp.asarray(mask, rdt), gain=0.1,
                     niter=niter, threshold=nsigma * rms)
-                beam = imaging.fit_psf_beam(np.asarray(psf_m[0]),
-                                            cell_rad)
+                beam = imaging.fit_psf_beam(psf0_np, cell_rad)
                 beam_kernel = imaging.gaussian_beam_kernel(
                     imsize, cell_rad, beam[0], beam[1], beam[2])
-                tt = [np.asarray(imaging.restore(
-                    mdl_t[t], res_t[t], beam_kernel.astype(rdt)))
+                tt_dev = [imaging.restore(
+                    mdl_t[t], res_t[t], beam_kernel.astype(rdt))
                     for t in range(nterms)]
+                tt, res01, mdl0_np = jax.device_get(
+                    (tt_dev, [res_t[0], res_t[1]], mdl_t[0]))
                 # in-band spectral index where tt0 is solid (5 sigma)
                 lim = 5.0 * rms
                 solid = tt[0] > lim
@@ -809,7 +822,7 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 # propagation of the per-plane residual rms through
                 # alpha = I1/I0 (covariance term dropped — conservative
                 # for anticorrelated Taylor residuals)
-                sig = [float(np.std(np.asarray(res_t[t])[mask == 0]))
+                sig = [float(np.std(res01[t][mask == 0]))
                        if outside.size else 0.0 for t in range(2)]
                 alpha_err = np.where(
                     solid,
@@ -821,11 +834,9 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 mtmfs_maps['alpha'] = alpha_map
                 mtmfs_maps['alpha_error'] = alpha_err
                 if save_products:
-                    extra_maps.update(
-                        psf=np.asarray(psf_m[0]), dirty=d0,
-                        model=np.asarray(mdl_t[0]),
-                        residual=np.asarray(res_t[0]))
-            return tt[0], np.asarray(mdl_t[0]), beam
+                    extra_maps.update(psf=psf0_np, dirty=d0,
+                                      model=mdl0_np, residual=res01[0])
+            return tt[0], mdl0_np, beam
 
         restored, mdl, beam = (mtmfs_image() if deconvolver == 'mtmfs'
                                else mfs_image(re_nn, im_nn))
@@ -857,24 +868,22 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                 mode = (selfcal if rnd == selfcal_rounds - 1 else 'phase')
                 with KernelTimer(f"synthobs: selfcal round {rnd + 1} "
                                  f"({mode}, {n_sol} solint)", log):
-                    mdl_re, mdl_im = calibration.model_vis(
+                    mdl_re, mdl_im = jax.device_get(calibration.model_vis(
                         jnp.asarray(mdl, rdt), cell_rad,
                         us.ravel(), vs.ravel(), w_wav=ws,
-                        n_wplanes=w_planes)
-                    mdl_re = np.asarray(mdl_re).reshape(n_chan, -1)
-                    mdl_im = np.asarray(mdl_im).reshape(n_chan, -1)
+                        n_wplanes=w_planes))
+                    mdl_re = mdl_re.reshape(n_chan, -1)
+                    mdl_im = mdl_im.reshape(n_chan, -1)
                     g_sol_re, g_sol_im = calibration.solve_gains(
                         re_sc, im_sc, mdl_re, mdl_im, ant1, ant2,
                         t_index, n_ant=n_ant, n_t=n_samp, n_sol=n_sol,
                         mode=mode)
-                    re_sc, im_sc = [np.asarray(x) for x in
-                                    calibration.correct_vis(
-                                        jnp.asarray(re_sc, rdt),
-                                        jnp.asarray(im_sc, rdt),
-                                        g_sol_re, g_sol_im,
-                                        ant1, ant2, t_index, n_samp)]
-                g_tot = g_tot * (np.asarray(g_sol_re) +
-                                 1j * np.asarray(g_sol_im))
+                    cv = calibration.correct_vis(
+                        jnp.asarray(re_sc, rdt), jnp.asarray(im_sc, rdt),
+                        g_sol_re, g_sol_im, ant1, ant2, t_index, n_samp)
+                    re_sc, im_sc, g_sol_re, g_sol_im = jax.device_get(
+                        (*cv, g_sol_re, g_sol_im))
+                g_tot = g_tot * (g_sol_re + 1j * g_sol_im)
                 restored, mdl, beam = mfs_image(
                     re_sc, im_sc, f', selfcal {rnd + 1}')
                 dr_rounds.append(dynamic_range(restored))
@@ -1039,12 +1048,15 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
             np.where(rr_as < beam_min_as / 2.0, fm_data, 0.0)))
 
         # expected deconvolved jet dims from the tau = 1 surface
-        # (classes.py:2720-2746)
+        # (classes.py:2720-2746) — scalar algebra, evaluated on the
+        # host CPU backend (on_host_device): dispatched eagerly to a
+        # remote accelerator each op costs a ~30 ms tunnel round trip
         mp = model.params
         r_0_au = mp['geometry']['r_0']
         mod_r_0_au = mp['geometry']['mod_r_0']
         w_0_au = mp['geometry']['w_0']
-        tau_0 = float(mphys.tau_r_from_params(mp, run.freq, r_0_au))
+        with on_host_device():
+            tau_0 = float(mphys.tau_r_from_params(mp, run.freq, r_0_au))
         q_tau = mp['power_laws']['q_tau']
         eps = mp['geometry']['epsilon']
         dist_pc = mp['target']['dist']
@@ -1052,8 +1064,10 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
                   mod_r_0_au) * 2.0
         maj_as = np.arctan(maj_au * cnsts.AU /
                            (dist_pc * cnsts.PARSEC)) / cnsts.ARCSEC
-        min_au = float(np.asarray(mgeom.w_r(
-            jnp.asarray(maj_au / 2.0), w_0_au, mod_r_0_au, r_0_au, eps)))
+        with on_host_device():
+            min_au = float(np.asarray(mgeom.w_r(
+                jnp.asarray(maj_au / 2.0), w_0_au, mod_r_0_au, r_0_au,
+                eps)))
         min_as = np.arctan(min_au * cnsts.AU /
                            (dist_pc * cnsts.PARSEC)) / cnsts.ARCSEC
         conv_maj = float(np.sqrt(maj_as ** 2 + beam_min_as ** 2))

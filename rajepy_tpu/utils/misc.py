@@ -35,6 +35,28 @@ def atomic_write(path: str, mode: str = 'wb'):
             os.remove(tmp)
         raise
 
+@contextlib.contextmanager
+def on_host_device():
+    """Route eager jnp ops inside the block to the host CPU backend.
+
+    Per-run *scalar* physics (e.g. the imfit estimate seeds) is a
+    handful of algebraic ops on python floats — but dispatched eagerly
+    to a remote accelerator each op costs a full host<->device round
+    trip (~30 ms through the axon tunnel; CLAUDE.md).  Evaluating them
+    on the co-resident CPU backend keeps ONE implementation of the
+    physics while making the scalars effectively free.  No-op when no
+    CPU backend is registered.
+    """
+    import jax
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
+
+
 _FREQ_SUFFIXES = (('Hz', 1.0), ('kHz', 1e3), ('MHz', 1e6), ('GHz', 1e9),
                   ('THz', 1e12), ('PHz', 1e15))
 

@@ -995,14 +995,18 @@ def simulate_observation(pipeline, run, min_el: float = 20.0,
         pb_freqs = freqs if cube_mode else np.asarray([run.freq])
         # channel-at-a-time: stacking all channels' PB planes plus the
         # where/divide temporaries peaks at several GB of host RAM for a
-        # 1,000-channel cube, when one plane at a time costs a few MB
+        # 1,000-channel cube, when one plane at a time costs a few MB.
+        # on_host_device: the airy pattern's eager jnp ops would
+        # otherwise dispatch per channel to the remote accelerator
+        # (~2 round trips/plane — minutes over a wide cube)
         pbc = np.empty_like(np.asarray(restored_cube))
-        for k, f in enumerate(pb_freqs):
-            pb_k = np.asarray(sampler.primary_beam(
-                imsize, imsize, cell_rad, f, mean_dish, model=pb_model,
-                blockage_m=pb_blockage_m))
-            pbc[k] = np.where(pb_k >= pblimit, restored_cube[k] / pb_k,
-                              np.nan)
+        with on_host_device():
+            for k, f in enumerate(pb_freqs):
+                pb_k = np.asarray(sampler.primary_beam(
+                    imsize, imsize, cell_rad, f, mean_dish,
+                    model=pb_model, blockage_m=pb_blockage_m))
+                pbc[k] = np.where(pb_k >= pblimit,
+                                  restored_cube[k] / pb_k, np.nan)
         pbcor_file = _product_path(fitsfile, '.pbcor.fits')
         with KernelTimer("synthobs: pbcor FITS write", log):
             fitsio.write_fits(pbcor_file,

@@ -355,6 +355,22 @@ class TestMisc:
                                 axis3_type='y', axis4=0, axis4_type='freq')
         np.testing.assert_array_equal(out, np.transpose(a, (0, 2, 3, 1)))
 
+    def test_on_host_device_routes_eager_ops_to_cpu(self):
+        """on_host_device evaluates eager jnp ops on the host CPU
+        backend (no remote round trips) with identical values — the
+        per-run scalar-physics path in synthobs' imfit estimates."""
+        import jax
+        import jax.numpy as jnp
+        from rajepy_tpu.ops import physics as mphys
+        ref = float(mphys.tau_r(100., 10., 2., 1e9, 1., 1e4, 6e9,
+                                60., 1., -2., 0., 0., 30.))
+        with misc.on_host_device():
+            x = jnp.asarray(2.0) * 3.0
+            got = float(mphys.tau_r(100., 10., 2., 1e9, 1., 1e4, 6e9,
+                                    60., 1., -2., 0., 0., 30.))
+            assert next(iter(x.devices())).platform == 'cpu'
+        assert got == pytest.approx(ref, rel=1e-12)
+
     def test_home_relativise_is_prefix_anchored(self):
         """Pipeline save/load '~' substitution must only touch a home
         PREFIX: a bare str.replace corrupted '/rootfs/...' paths when

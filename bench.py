@@ -483,17 +483,23 @@ def pipeline_bench(n=256, freqs=(1.5e9, 6e9, 2.2e10, 4.3e10)):
                  'chanws': np.array([])},
     }
     try:
-        pline = Pipeline(JetModel(copy.deepcopy(params)), pparams)
-        t0 = time.perf_counter()
-        pline.execute(simobserve=True, verbose=False, resume=False,
-                      clobber=True, plot=False)
-        cold = time.perf_counter() - t0
-        from rajepy_tpu.utils import profiling
-        profiling.collect_stage_times(True)
-        t0 = time.perf_counter()
-        pline.execute(simobserve=True, verbose=False, resume=False,
-                      clobber=True, plot=False)
-        warm = time.perf_counter() - t0
+        # Pipeline construction logs its run table through Log.add_entry
+        # (stdout, the reference's convention) — bench's stdout contract
+        # is ONE JSON line, so route the table to stderr with the other
+        # '#' diagnostics
+        import contextlib
+        with contextlib.redirect_stdout(sys.stderr):
+            pline = Pipeline(JetModel(copy.deepcopy(params)), pparams)
+            t0 = time.perf_counter()
+            pline.execute(simobserve=True, verbose=False, resume=False,
+                          clobber=True, plot=False)
+            cold = time.perf_counter() - t0
+            from rajepy_tpu.utils import profiling
+            profiling.collect_stage_times(True)
+            t0 = time.perf_counter()
+            pline.execute(simobserve=True, verbose=False, resume=False,
+                          clobber=True, plot=False)
+            warm = time.perf_counter() - t0
         device_s, transfer_s, other_s = profiling.split_stage_times()
         log("pipeline stage split (warm): device compute "
             f"{device_s:.1f}s, transfer+IO {transfer_s:.1f}s, "
